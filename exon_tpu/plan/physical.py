@@ -1,0 +1,688 @@
+"""Physical operators: streaming device-batch execution.
+
+Execution model (TPU-first): each operator transforms an iterator of
+fixed-capacity device batches. Per-batch work (predicate eval, compaction,
+partial aggregation, join probe) is jit-compiled once per capacity bucket and
+streamed; host↔device sync happens only at operator breakers (final
+aggregate merge, sort, join build) — the design analog of the reference's
+tokio FileStream pipelines (exon-core/src/datasources/*/scanner.rs) with XLA
+replacing the per-row loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import datatypes as dt
+from ..batch import (Batch, DictColumn, FixedColumn, Schema, VarColumn,
+                     bucket_capacity)
+from ..errors import ExecutionError, PlanError
+from ..ops import aggregate as agg_ops
+from ..ops import layout as layout_ops
+from .expressions import (AggregateCall, Alias, ColumnRef, Expr, as_bool_mask,
+                          eval_expr)
+
+
+class PhysicalPlan:
+    def schema(self) -> Schema:
+        raise NotImplementedError
+
+    def batches(self) -> Iterator[Batch]:
+        raise NotImplementedError
+
+    def children(self) -> list["PhysicalPlan"]:
+        return []
+
+    # -- conveniences -------------------------------------------------------
+
+    def collect_arrow(self):
+        import pyarrow as pa
+
+        tables = [b.to_arrow() for b in self.batches()]
+        pa_schema = None
+        batches = []
+        for rb in tables:
+            if rb.num_rows:
+                pa_schema = rb.schema
+                batches.append(rb)
+        if not batches:
+            fields = []
+            from ..batch import arrow_type
+
+            for f in self.schema().all_fields:
+                fields.append(pa.field(f.name, arrow_type(f.dtype), f.nullable))
+            return pa.table({f.name: pa.array([], f.type) for f in fields},
+                            schema=pa.schema(fields))
+        return pa.Table.from_batches(batches)
+
+    def count_rows(self) -> int:
+        total = 0
+        for b in self.batches():
+            total += b.num_rows_host()
+        return total
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ScanExec(PhysicalPlan):
+    """Leaf scan: host decode stream → device batches.
+
+    ``source`` yields host Batches; they are padded to bucketed capacities
+    and transferred. Mirrors <FMT>Scan + FileOpener in the reference
+    (e.g. exon-core/src/datasources/fasta/scanner.rs:101-178).
+    """
+
+    out_schema: Schema
+    source: Callable[[], Iterator[Batch]]
+    to_device: bool = True
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        for host_batch in self.source():
+            yield host_batch.to_device() if self.to_device else host_batch
+
+
+@dataclasses.dataclass
+class FilterExec(PhysicalPlan):
+    predicate: Expr
+    input: PhysicalPlan
+    compact: bool = True  # False → leave rows, only used before aggregates
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def batches(self) -> Iterator[Batch]:
+        step = _jit_filter_step(self.predicate)
+        for b in self.input.batches():
+            yield step(b)
+
+
+@functools.cache
+def _jit_filter_step(predicate: Expr):
+    @jax.jit
+    def step(batch: Batch) -> Batch:
+        mask = as_bool_mask(eval_expr(predicate, batch), batch)
+        return layout_ops.filter_batch(batch, mask)
+
+    return step
+
+
+@dataclasses.dataclass
+class ProjectExec(PhysicalPlan):
+    exprs: list[Expr]
+    out_schema: Schema
+    input: PhysicalPlan
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        step = _jit_project_step(tuple(self.exprs), self.out_schema)
+        for b in self.input.batches():
+            yield step(b)
+
+
+@functools.cache
+def _jit_project_step(exprs: tuple, out_schema: Schema):
+    @jax.jit
+    def step(batch: Batch) -> Batch:
+        cols = []
+        for e in exprs:
+            v = eval_expr(e, batch)
+            cols.append(_to_column(v, batch))
+        return Batch(out_schema, cols, batch.length)
+
+    return step
+
+
+def _to_column(v, batch: Batch):
+    if isinstance(v, (FixedColumn, VarColumn, DictColumn)):
+        return v
+    if isinstance(v, (int, float, bool)):
+        arr = jnp.full(batch.capacity, v)
+        return FixedColumn(arr, batch.row_mask())
+    if isinstance(v, str):
+        raise PlanError("string literal projection handled in planner")
+    arr = jnp.asarray(v)
+    return FixedColumn(arr, batch.row_mask())
+
+
+# ---------------------------------------------------------------------------
+# Aggregate
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class AggregateExec(PhysicalPlan):
+    """Group-by + aggregate with streaming per-batch partials.
+
+    Device does the per-row work (key packing, segment reductions); the host
+    merges the per-batch group partials (small) — the TPU-shaped analog of
+    DataFusion's two-phase repartitioned hash aggregate (config/mod.rs:31).
+    """
+
+    group_exprs: list[Expr]
+    agg_calls: list[AggregateCall]
+    out_schema: Schema
+    input: PhysicalPlan
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        if not self.group_exprs:
+            yield self._ungrouped()
+            return
+        yield self._grouped()
+
+    # -- ungrouped ----------------------------------------------------------
+
+    def _ungrouped(self) -> Batch:
+        step = _jit_ungrouped_partial(tuple(self.agg_calls))
+        partials = None
+        for b in self.input.batches():
+            p = step(b)
+            p = jax.device_get(p)
+            partials = p if partials is None else _merge_ungrouped(
+                partials, p, self.agg_calls)
+        if partials is None:
+            partials = _empty_ungrouped(self.agg_calls)
+        cols, n = _finalize_ungrouped(partials, self.agg_calls, self.out_schema)
+        return Batch(self.out_schema, cols, np.int32(1)).to_device(capacity=128)
+
+    # -- grouped ------------------------------------------------------------
+
+    def _grouped(self) -> Batch:
+        step = _jit_grouped_partial(tuple(self.group_exprs), tuple(self.agg_calls))
+        # host merge state: key tuple -> list of partial accumulators
+        state: dict[tuple, list] = {}
+        for b in self.input.batches():
+            gids, num_groups, first_idx, partials = step(b)
+            ng = int(jax.device_get(num_groups))
+            if ng == 0:
+                continue
+            first_idx = np.asarray(jax.device_get(first_idx))[:ng]
+            partials = jax.device_get(partials)  # tuples stay tuples
+            keys = self._group_key_tuples(b, first_idx)
+            for g, key in enumerate(keys):
+                row = [tuple(x[g] for x in p) if isinstance(p, tuple)
+                       else p[g] for p in partials]
+                if key in state:
+                    state[key] = _merge_grouped_row(state[key], row, self.agg_calls)
+                else:
+                    state[key] = row
+        return self._finalize_grouped(state)
+
+    def _group_key_tuples(self, batch: Batch, first_idx: np.ndarray) -> list[tuple]:
+        """Fetch the actual group-key values for representative rows."""
+        idx = jnp.asarray(first_idx, jnp.int32)
+        count = jnp.int32(len(first_idx))
+        taken = layout_ops.take_batch(batch, idx, count)
+        # evaluate group exprs over the taken batch, host-side via arrow
+        cols = []
+        for e in self.group_exprs:
+            v = eval_expr(e, taken)
+            cols.append(_column_host_values(v, len(first_idx)))
+        return list(zip(*cols)) if cols else []
+
+    def _finalize_grouped(self, state: dict[tuple, list]) -> Batch:
+        n = len(state)
+        keys = list(state.keys())
+        fields = self.out_schema.all_fields
+        n_group = len(self.group_exprs)
+        cols = []
+        from ..batch import utf8_column, fixed_column
+
+        for i in range(n_group):
+            vals = [k[i] for k in keys]
+            f = fields[i]
+            if f.dtype.is_var_width or f.dtype.kind == dt.TypeKind.DICTIONARY:
+                cols.append(utf8_column([None if v is None else str(v) for v in vals]))
+            else:
+                npdt = dt.numpy_dtype(f.dtype)
+                arr = np.asarray([0 if v is None else v for v in vals], dtype=npdt)
+                valid = np.asarray([v is not None for v in vals])
+                cols.append(fixed_column(arr, valid))
+        for j, call in enumerate(self.agg_calls):
+            f = fields[n_group + j]
+            rows = [_finalize_agg_value(state[k][j], call) for k in keys]
+            npdt = dt.numpy_dtype(f.dtype)
+            valid = np.asarray([r is not None for r in rows])
+            arr = np.asarray([0 if r is None else r for r in rows], dtype=npdt)
+            cols.append(fixed_column(arr, valid))
+        return Batch(self.out_schema, cols, np.int32(n)).to_device()
+
+
+def _column_host_values(v, n: int) -> list:
+    """Materialize first-n values of an eval result on host (for group keys)."""
+    if isinstance(v, DictColumn):
+        codes = np.asarray(jax.device_get(v.codes))[:n]
+        valid = np.asarray(jax.device_get(v.validity))[:n]
+        return [v.vocab[c] if vv and 0 <= c < len(v.vocab) else None
+                for c, vv in zip(codes, valid)]
+    if isinstance(v, VarColumn):
+        offs = np.asarray(jax.device_get(v.offsets))[: n + 1]
+        vals = np.asarray(jax.device_get(v.values))
+        valid = np.asarray(jax.device_get(v.validity))[:n]
+        out = []
+        for i in range(n):
+            if not valid[i]:
+                out.append(None)
+            else:
+                out.append(bytes(vals[offs[i]: offs[i + 1]]).decode("utf-8", "replace"))
+        return out
+    if isinstance(v, FixedColumn):
+        vals = np.asarray(jax.device_get(v.values))[:n]
+        valid = np.asarray(jax.device_get(v.validity))[:n]
+        return [x.item() if vv else None for x, vv in zip(vals, valid)]
+    arr = np.asarray(jax.device_get(v))[:n]
+    return [x.item() for x in arr]
+
+
+# partial accumulator per agg call:
+#   count → int; sum → (sum, count_nonnull); min/max → (val, seen)
+#   avg → (sum, count)
+
+
+@functools.cache
+def _jit_ungrouped_partial(agg_calls: tuple):
+    @jax.jit
+    def step(batch: Batch):
+        mask = batch.row_mask()
+        out = []
+        for call in agg_calls:
+            out.append(_partial_for(call, batch, mask, None, 1))
+        return out
+
+    return step
+
+
+def _values_for_call(call: AggregateCall, batch: Batch, mask):
+    if call.child is None:
+        return None, mask
+    v = eval_expr(call.child, batch)
+    from .expressions import _as_values, _validity_of
+
+    valid = jnp.logical_and(mask, _validity_of(v, batch))
+    if isinstance(v, VarColumn) and call.fn == "count":
+        return None, valid
+    vals = _as_values(v, batch)
+    return vals, valid
+
+
+def _partial_for(call: AggregateCall, batch: Batch, mask, gids, num_groups: int):
+    """Compute this call's partial; grouped if gids is not None."""
+    vals, valid = _values_for_call(call, batch, mask)
+    fn = call.fn
+    if gids is None:
+        if fn == "count":
+            return agg_ops.ungrouped_reduce(None, valid, "count")
+        if fn in ("sum", "avg"):
+            s = agg_ops.ungrouped_reduce(vals, valid, "sum")
+            c = agg_ops.ungrouped_reduce(None, valid, "count")
+            return (s, c)
+        if fn in ("min", "max"):
+            m = agg_ops.ungrouped_reduce(vals, valid, fn)
+            c = agg_ops.ungrouped_reduce(None, valid, "count")
+            return (m, c)
+        raise PlanError(f"aggregate {fn} unsupported")
+    else:
+        if fn == "count":
+            return agg_ops.grouped_reduce_codes(gids, valid, None, "count", num_groups)
+        if fn in ("sum", "avg"):
+            s = agg_ops.grouped_reduce_codes(gids, valid, vals, "sum", num_groups)
+            c = agg_ops.grouped_reduce_codes(gids, valid, None, "count", num_groups)
+            return (s, c)
+        if fn in ("min", "max"):
+            m = agg_ops.grouped_reduce_codes(gids, valid, vals, fn, num_groups)
+            c = agg_ops.grouped_reduce_codes(gids, valid, None, "count", num_groups)
+            return (m, c)
+        raise PlanError(f"aggregate {fn} unsupported")
+
+
+@functools.cache
+def _jit_grouped_partial(group_exprs: tuple, agg_calls: tuple):
+    @jax.jit
+    def step(batch: Batch):
+        mask = batch.row_mask()
+        keys = _group_key_i64(group_exprs, batch)
+        gids, _gkeys, num_groups = agg_ops.sort_group_ids(keys, mask)
+        cap = batch.capacity
+        # representative (first) row index per group
+        first_idx = jnp.full(cap, cap, jnp.int32).at[
+            jnp.where(mask, gids, cap - 1)
+        ].min(jnp.where(mask, jnp.arange(cap, dtype=jnp.int32), cap))
+        partials = [_partial_for(call, batch, mask, gids, cap)
+                    for call in agg_calls]
+        return gids, num_groups, first_idx, partials
+
+    return step
+
+
+def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
+    """Combine group expressions into a single int64 key per row.
+
+    Fixed/dict keys pack exactly; var-width string keys hash (prefix 64B +
+    suffix 16B + length → 61-bit poly), with exactness restored at the host
+    merge which keys on the actual string values.
+    """
+    parts = []
+    for e in group_exprs:
+        v = eval_expr(e, batch)
+        if isinstance(v, DictColumn):
+            parts.append(v.codes.astype(jnp.int64))
+        elif isinstance(v, FixedColumn):
+            parts.append(v.values.astype(jnp.int64))
+        elif isinstance(v, VarColumn):
+            parts.append(_hash_var(v))
+        else:
+            parts.append(jnp.asarray(v).astype(jnp.int64))
+    key = parts[0]
+    M = jnp.int64((1 << 61) - 1)
+    for p in parts[1:]:
+        key = (key * jnp.int64(1000003) + p) & M
+    return key
+
+
+def _hash_var(v: VarColumn) -> jnp.ndarray:
+    pre, mask = layout_ops.gather_prefix(v, 64)
+    lens = layout_ops.row_lengths(v.offsets)
+    ends = v.offsets[1:]
+    pos = ends[:, None] - 16 + jnp.arange(16, dtype=jnp.int32)[None, :]
+    ok = pos >= v.offsets[:-1][:, None]
+    suf = jnp.where(ok, v.values[jnp.clip(pos, 0, v.value_capacity - 1)], 0)
+    h = lens.astype(jnp.int64)
+    M = jnp.int64((1 << 61) - 1)
+    for arr in (pre, suf):
+        for t in range(arr.shape[1]):
+            h = (h * jnp.int64(131) + arr[:, t].astype(jnp.int64)) & M
+    return h
+
+
+def _merge_ungrouped(a, b, calls):
+    return [_merge_agg_value(x, y, c) for x, y, c in zip(a, b, calls)]
+
+
+def _merge_grouped_row(a, b, calls):
+    return [_merge_agg_value(x, y, c) for x, y, c in zip(a, b, calls)]
+
+
+def _merge_agg_value(x, y, call: AggregateCall):
+    fn = call.fn
+    if fn == "count":
+        return np.int64(x) + np.int64(y)
+    xs, xc = x
+    ys, yc = y
+    if fn in ("sum", "avg"):
+        return (xs + ys, xc + yc)
+    if fn == "min":
+        return (min(xs, ys) if xc and yc else (xs if xc else ys), xc + yc)
+    if fn == "max":
+        return (max(xs, ys) if xc and yc else (xs if xc else ys), xc + yc)
+    raise PlanError(fn)
+
+
+def _empty_ungrouped(calls):
+    out = []
+    for c in calls:
+        if c.fn == "count":
+            out.append(np.int64(0))
+        else:
+            out.append((np.float64(0), np.int64(0)))
+    return out
+
+
+def _finalize_agg_value(p, call: AggregateCall):
+    fn = call.fn
+    if fn == "count":
+        return int(np.asarray(p).item() if hasattr(p, "item") or isinstance(p, np.ndarray) else p)
+    s, c = p[0], p[1]
+    c = int(np.asarray(c))
+    if fn == "avg":
+        return float(s) / c if c else None
+    if fn == "sum":
+        return _np_item(s) if c else None
+    if fn in ("min", "max"):
+        return _np_item(s) if c else None
+    raise PlanError(fn)
+
+
+def _np_item(x):
+    a = np.asarray(x)
+    return a.item()
+
+
+def _finalize_ungrouped(partials, calls, out_schema: Schema):
+    from ..batch import fixed_column
+
+    cols = []
+    for p, call, f in zip(partials, calls, out_schema.all_fields):
+        v = _finalize_agg_value(p, call)
+        npdt = dt.numpy_dtype(f.dtype)
+        arr = np.asarray([0 if v is None else v], dtype=npdt)
+        cols.append(fixed_column(arr, np.asarray([v is not None])))
+    return cols, 1
+
+
+# ---------------------------------------------------------------------------
+# Sort / Limit / Union / Values
+# ---------------------------------------------------------------------------
+
+
+def concat_batches(schema: Schema, batches: list[Batch]) -> Batch:
+    """Concatenate device batches via host Arrow (breaker op)."""
+    import pyarrow as pa
+
+    rbs = [b.to_arrow() for b in batches if b.num_rows_host() > 0]
+    if not rbs:
+        return _empty_batch(schema)
+    table = pa.Table.from_batches(rbs).combine_chunks()
+    rb = table.to_batches()[0] if table.num_rows else None
+    if rb is None:
+        return _empty_batch(schema)
+    return Batch.from_arrow(rb, schema).to_device()
+
+
+def _empty_batch(schema: Schema) -> Batch:
+    import pyarrow as pa
+
+    from ..batch import arrow_type
+
+    arrays = [pa.array([], arrow_type(f.dtype)) for f in schema.all_fields]
+    rb = pa.RecordBatch.from_arrays(arrays, names=schema.names)
+    return Batch.from_arrow(rb, schema).to_device()
+
+
+@dataclasses.dataclass
+class SortExec(PhysicalPlan):
+    keys: list  # [(Expr, ascending)]
+    input: PhysicalPlan
+    fetch: Optional[int] = None
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def batches(self) -> Iterator[Batch]:
+        all_batches = list(self.input.batches())
+        combined = concat_batches(self.schema(), all_batches)
+        if combined.num_rows_host() == 0:
+            yield combined
+            return
+        step = _jit_sort_step(tuple((e, asc) for e, asc in self.keys))
+        out = step(combined)
+        if self.fetch is not None:
+            out = _jit_limit_slice(combined.capacity)(out, jnp.int32(0),
+                                                      jnp.int32(self.fetch))
+        yield out
+
+
+@functools.cache
+def _jit_sort_step(keys: tuple):
+    @jax.jit
+    def step(batch: Batch) -> Batch:
+        perm = sort_permutation(batch, keys)
+        return layout_ops.take_batch(batch, perm, jnp.asarray(batch.length, jnp.int32))
+
+    return step
+
+
+def sort_permutation(batch: Batch, keys: tuple) -> jnp.ndarray:
+    """Stable multi-key sort permutation (last key least significant)."""
+    mask = batch.row_mask()
+    perm = jnp.arange(batch.capacity, dtype=jnp.int32)
+    for e, asc in reversed(list(keys)):
+        v = eval_expr(e, batch)
+        k = _sort_key_values(v, batch)
+        k = k[perm]
+        if not asc:
+            k = _invert_key(k)
+        order = jnp.argsort(k, stable=True)
+        perm = perm[order]
+    # push padding rows to the end
+    live = mask[perm]
+    order = jnp.argsort(jnp.logical_not(live), stable=True)
+    return perm[order]
+
+
+def _sort_key_values(v, batch: Batch) -> jnp.ndarray:
+    if isinstance(v, DictColumn):
+        # order by vocab string order
+        vocab_rank = np.argsort(np.argsort(list(v.vocab))) if v.vocab else np.zeros(0)
+        return jnp.asarray(vocab_rank, jnp.int64)[
+            jnp.clip(v.codes, 0, max(len(v.vocab) - 1, 0))]
+    if isinstance(v, VarColumn):
+        # lexicographic by 8-byte prefix, ties broken... approximate; exact
+        # string sort goes through the host path in DataFrame.sort for now.
+        pre, _m = layout_ops.gather_prefix(v, 8)
+        key = jnp.zeros(v.capacity, jnp.int64)
+        for t in range(8):
+            key = (key << 8) | pre[:, t].astype(jnp.int64)
+        return key
+    if isinstance(v, FixedColumn):
+        vals = v.values
+        nulls = jnp.logical_not(v.validity)
+        k = _to_sortable_i64(vals)
+        big = jnp.int64(2 ** 62)
+        return jnp.where(nulls, big, k)  # nulls last
+    return _to_sortable_i64(jnp.asarray(v))
+
+
+def _to_sortable_i64(vals: jnp.ndarray) -> jnp.ndarray:
+    if jnp.issubdtype(vals.dtype, jnp.floating):
+        f = vals.astype(jnp.float64)
+        bits = jax.lax.bitcast_convert_type(f, jnp.int64)
+        # IEEE754 → order-preserving signed int: negatives flip all bits,
+        # positives flip the sign bit
+        flipped = jnp.where(bits < 0, ~bits, bits | (jnp.int64(1) << 63))
+        return flipped ^ (jnp.int64(1) << 63)
+    if vals.dtype == jnp.bool_:
+        return vals.astype(jnp.int64)
+    return vals.astype(jnp.int64)
+
+
+def _invert_key(k: jnp.ndarray) -> jnp.ndarray:
+    return jnp.int64(-1) - k
+
+
+@functools.cache
+def _jit_limit_slice(capacity: int):
+    @jax.jit
+    def step(batch: Batch, skip, fetch) -> Batch:
+        idx = jnp.arange(capacity, dtype=jnp.int32) + skip
+        n = jnp.asarray(batch.length, jnp.int32)
+        count = jnp.clip(n - skip, 0, fetch)
+        return layout_ops.take_batch(batch, idx, count)
+
+    return step
+
+
+@dataclasses.dataclass
+class LimitExec(PhysicalPlan):
+    skip: int
+    fetch: Optional[int]
+    input: PhysicalPlan
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def batches(self) -> Iterator[Batch]:
+        remaining_skip = self.skip
+        remaining_fetch = self.fetch if self.fetch is not None else None
+        for b in self.input.batches():
+            n = b.num_rows_host()
+            if remaining_skip >= n:
+                remaining_skip -= n
+                continue
+            take = n - remaining_skip
+            if remaining_fetch is not None:
+                take = min(take, remaining_fetch)
+            if take <= 0:
+                return
+            out = _jit_limit_slice(b.capacity)(b, jnp.int32(remaining_skip),
+                                               jnp.int32(take))
+            remaining_skip = 0
+            if remaining_fetch is not None:
+                remaining_fetch -= take
+            yield out
+            if remaining_fetch is not None and remaining_fetch <= 0:
+                return
+
+
+@dataclasses.dataclass
+class UnionExec(PhysicalPlan):
+    inputs: list[PhysicalPlan]
+
+    def children(self):
+        return list(self.inputs)
+
+    def schema(self) -> Schema:
+        return self.inputs[0].schema()
+
+    def batches(self) -> Iterator[Batch]:
+        for p in self.inputs:
+            yield from p.batches()
+
+
+@dataclasses.dataclass
+class ValuesExec(PhysicalPlan):
+    out_schema: Schema
+    rows: list
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        import pyarrow as pa
+
+        from ..batch import arrow_type
+
+        cols = list(zip(*self.rows)) if self.rows else [[] for _ in self.out_schema.all_fields]
+        arrays = [pa.array(list(c), type=arrow_type(f.dtype))
+                  for c, f in zip(cols, self.out_schema.all_fields)]
+        rb = pa.RecordBatch.from_arrays(arrays, names=self.out_schema.names)
+        yield Batch.from_arrow(rb, self.out_schema).to_device()

@@ -1,0 +1,246 @@
+"""Logical → physical lowering + basic optimizer passes.
+
+Passes (mirroring the reference's use of DataFusion's optimizer plus its own
+rules, exon-core/src/physical_optimizer/):
+  1. projection pushdown into scans
+  2. filter pushdown into scans (providers declare exact/inexact/none, like
+     supports_filters_pushdown in vcf/table_provider.rs:299-320); exact
+     filters are removed from the residual FilterExec
+  3. lowering to streaming physical operators
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .. import datatypes as dt
+from ..datatypes import Field, Schema
+from ..errors import PlanError
+from . import logical as L
+from . import physical as P
+from .expressions import (AggregateCall, Alias, BinaryOp, Cast, ColumnRef,
+                          Expr, FunctionCall, InList, IsNull, Like, Literal,
+                          Not, expr_columns, split_conjunction)
+
+# return-dtype registry for scalar functions (populated by udfs module)
+_FUNCTION_RETURN_TYPES: dict[str, callable] = {}
+
+
+def register_function_type(name: str, fn) -> None:
+    """fn(arg_fields: list[Field]) -> DataType"""
+    _FUNCTION_RETURN_TYPES[name.lower()] = fn
+
+
+def infer_expr_field(expr: Expr, schema: Schema) -> Field:
+    if isinstance(expr, Alias):
+        inner = infer_expr_field(expr.child, schema)
+        return Field(expr.name, inner.dtype, inner.nullable)
+    if isinstance(expr, ColumnRef):
+        return schema.field(expr.name)
+    if isinstance(expr, Literal):
+        v = expr.value
+        if isinstance(v, bool):
+            return Field(expr.display_name(), dt.bool_, False)
+        if isinstance(v, int):
+            return Field(expr.display_name(), dt.int64, False)
+        if isinstance(v, float):
+            return Field(expr.display_name(), dt.float64, False)
+        if isinstance(v, str):
+            return Field(expr.display_name(), dt.utf8, False)
+        if v is None:
+            return Field("NULL", dt.utf8, True)
+        raise PlanError(f"literal type {type(v)}")
+    if isinstance(expr, (Like, IsNull, InList, Not)):
+        return Field(expr.display_name(), dt.bool_, True)
+    if isinstance(expr, Cast):
+        return Field(expr.display_name(), expr.dtype, True)
+    if isinstance(expr, BinaryOp):
+        if expr.op in ("=", "!=", "<", "<=", ">", ">=", "and", "or"):
+            return Field(expr.display_name(), dt.bool_, True)
+        lf = infer_expr_field(expr.left, schema)
+        rf = infer_expr_field(expr.right, schema)
+        if expr.op == "/":
+            out = lf.dtype if lf.dtype.kind.value.startswith("float") else (
+                rf.dtype if rf.dtype.kind.value.startswith("float") else dt.int64)
+        else:
+            ranked = [lf.dtype, rf.dtype]
+            order = ["int8", "int16", "int32", "int64", "float32", "float64"]
+            out = max(ranked, key=lambda d: order.index(d.kind.value)
+                      if d.kind.value in order else 0)
+        return Field(expr.display_name(), out, True)
+    if isinstance(expr, FunctionCall):
+        fn = _FUNCTION_RETURN_TYPES.get(expr.name.lower())
+        if fn is None:
+            return Field(expr.display_name(), dt.float64, True)
+        args = [infer_expr_field(a, schema) for a in expr.args
+                if not isinstance(a, Literal)]
+        return Field(expr.display_name(), fn(args), True)
+    if isinstance(expr, AggregateCall):
+        if expr.fn == "count":
+            return Field(expr.display_name(), dt.int64, False)
+        if expr.fn == "avg":
+            return Field(expr.display_name(), dt.float64, True)
+        inner = infer_expr_field(expr.child, schema)
+        return Field(expr.display_name(), inner.dtype, True)
+    raise PlanError(f"cannot infer type of {expr!r}")
+
+
+# ---------------------------------------------------------------------------
+# Optimizer
+# ---------------------------------------------------------------------------
+
+
+def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
+    plan = _push_filters(plan)
+    plan = _push_projection(plan)
+    return plan
+
+
+def _push_filters(plan: L.LogicalPlan) -> L.LogicalPlan:
+    if isinstance(plan, L.Filter):
+        child = _push_filters(plan.input)
+        if isinstance(child, L.Scan):
+            conjs = split_conjunction(plan.predicate)
+            pushed, residual = [], []
+            for c in conjs:
+                verdict = child.provider.supports_filter_pushdown(c)
+                if verdict in ("exact", "inexact"):
+                    pushed.append(c)
+                if verdict != "exact":
+                    residual.append(c)
+            if pushed:
+                child = L.Scan(child.provider, child.table_name,
+                               child.projection, child.filters + tuple(pushed),
+                               child.fetch)
+            if not residual:
+                return child
+            from .expressions import conjoin
+
+            return L.Filter(conjoin(residual), child)
+        return L.Filter(plan.predicate, child)
+    kids = [_push_filters(c) for c in plan.children()]
+    return _with_children(plan, kids)
+
+
+def _push_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Compute required columns top-down; narrow Scan.projection."""
+
+    def required(p: L.LogicalPlan, needed: Optional[set]) -> L.LogicalPlan:
+        if isinstance(p, L.Scan):
+            if needed is None:
+                return p
+            schema = p.provider.schema()
+            cols = [n for n in schema.names if n in needed]
+            for f in p.filters:
+                for n in expr_columns(f):
+                    if n not in cols and schema.has_field(n):
+                        cols.append(n)
+            # preserve schema order
+            cols = [n for n in schema.names if n in cols]
+            return L.Scan(p.provider, p.table_name, cols, p.filters, p.fetch)
+        if isinstance(p, L.Filter):
+            need = None if needed is None else needed | expr_columns(p.predicate)
+            return L.Filter(p.predicate, required(p.input, need))
+        if isinstance(p, L.Project):
+            need = set()
+            for e in p.exprs:
+                need |= expr_columns(e)
+            return L.Project(p.exprs, required(p.input, need))
+        if isinstance(p, L.Aggregate):
+            need = set()
+            for e in list(p.group_exprs) + list(p.agg_exprs):
+                need |= expr_columns(e)
+            return L.Aggregate(p.group_exprs, p.agg_exprs, p.agg_names,
+                               required(p.input, need))
+        if isinstance(p, L.Sort):
+            need = None if needed is None else set(needed)
+            if need is not None:
+                for e, _ in p.keys:
+                    need |= expr_columns(e)
+            return L.Sort(p.keys, required(p.input, need), p.fetch)
+        if isinstance(p, L.Limit):
+            return L.Limit(p.skip, p.fetch, required(p.input, needed))
+        if isinstance(p, L.Join):
+            lneed = rneed = None
+            if needed is not None:
+                lschema = p.left.schema()
+                rschema = p.right.schema()
+                on_cols = set()
+                for le, re in p.on:
+                    on_cols |= expr_columns(le) | expr_columns(re)
+                if p.filter is not None:
+                    on_cols |= expr_columns(p.filter)
+                all_need = needed | on_cols
+                lneed = {n for n in all_need if lschema.has_field(n)}
+                rneed = {n for n in all_need if rschema.has_field(n)}
+            return L.Join(required(p.left, lneed), required(p.right, rneed),
+                          p.on, p.how, p.filter)
+        kids = [required(c, None) for c in p.children()]
+        return _with_children(p, kids)
+
+    return required(plan, None)
+
+
+def _with_children(plan: L.LogicalPlan, kids: list) -> L.LogicalPlan:
+    import dataclasses as dc
+
+    if isinstance(plan, (L.Scan, L.Values)):
+        return plan
+    if isinstance(plan, L.Filter):
+        return L.Filter(plan.predicate, kids[0])
+    if isinstance(plan, L.Project):
+        return L.Project(plan.exprs, kids[0])
+    if isinstance(plan, L.Aggregate):
+        return L.Aggregate(plan.group_exprs, plan.agg_exprs, plan.agg_names, kids[0])
+    if isinstance(plan, L.Sort):
+        return L.Sort(plan.keys, kids[0], plan.fetch)
+    if isinstance(plan, L.Limit):
+        return L.Limit(plan.skip, plan.fetch, kids[0])
+    if isinstance(plan, L.Join):
+        return L.Join(kids[0], kids[1], plan.on, plan.how, plan.filter)
+    if isinstance(plan, L.Union):
+        return L.Union(kids)
+    if isinstance(plan, L.CopyTo):
+        return L.CopyTo(kids[0], plan.target_url, plan.file_format, plan.options)
+    if isinstance(plan, L.Explain):
+        return L.Explain(kids[0], plan.analyze)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# Lowering
+# ---------------------------------------------------------------------------
+
+
+def create_physical_plan(plan: L.LogicalPlan) -> P.PhysicalPlan:
+    if isinstance(plan, L.Scan):
+        return plan.provider.scan(plan.projection, list(plan.filters), plan.fetch)
+    if isinstance(plan, L.Filter):
+        return P.FilterExec(plan.predicate, create_physical_plan(plan.input))
+    if isinstance(plan, L.Project):
+        child = create_physical_plan(plan.input)
+        return P.ProjectExec(plan.exprs, plan.schema(), child)
+    if isinstance(plan, L.Aggregate):
+        child = create_physical_plan(plan.input)
+        return P.AggregateExec(plan.group_exprs, plan.agg_exprs, plan.schema(), child)
+    if isinstance(plan, L.Sort):
+        return P.SortExec(plan.keys, create_physical_plan(plan.input), plan.fetch)
+    if isinstance(plan, L.Limit):
+        return P.LimitExec(plan.skip, plan.fetch, create_physical_plan(plan.input))
+    if isinstance(plan, L.Union):
+        return P.UnionExec([create_physical_plan(c) for c in plan.inputs])
+    if isinstance(plan, L.Values):
+        return P.ValuesExec(plan.out_schema, plan.rows)
+    if isinstance(plan, L.Join):
+        from .join_exec import JoinExec
+
+        return JoinExec(create_physical_plan(plan.left),
+                        create_physical_plan(plan.right),
+                        plan.on, plan.how, plan.filter,
+                        plan.schema())
+    if isinstance(plan, L.CopyTo):
+        from ..sinks.writers import CopyToExec
+
+        return CopyToExec(create_physical_plan(plan.input), plan.input.schema(),
+                          plan.target_url, plan.file_format, plan.options)
+    raise PlanError(f"cannot lower {type(plan).__name__}")

@@ -1,0 +1,129 @@
+"""Table providers: tie format decoders + object store into scannable tables.
+
+Mirrors the reference's Listing<FMT>Table family
+(exon-core/src/datasources/<fmt>/table_provider.rs): a table is a URL
+(file or directory), per-format options, and a ``scan(projection, filters)``
+that yields a physical plan. Filter pushdown hooks (regions, hive partition
+pruning) are resolved here before execution.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from . import datatypes as dt
+from .batch import Batch, Schema
+from .errors import PlanError
+from .io import resolve_table_files
+from .io.compression import decompress, infer_compression
+from .plan.expressions import Expr
+from .plan.physical import PhysicalPlan, ScanExec
+
+
+class TableProvider:
+    def schema(self) -> Schema:
+        raise NotImplementedError
+
+    def scan(self, projection: Optional[list[str]] = None,
+             filters: Sequence[Expr] = (), limit: Optional[int] = None
+             ) -> PhysicalPlan:
+        raise NotImplementedError
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        """'exact' | 'inexact' | 'none' — mirrors DataFusion
+        supports_filters_pushdown (e.g. vcf/table_provider.rs:299-320)."""
+        return "none"
+
+
+@dataclasses.dataclass
+class FileTable(TableProvider):
+    """Generic listing table over files decoded by a per-format module."""
+
+    url: str
+    fmt: "FormatSpec"
+    options: object  # per-format options dataclass
+
+    def schema(self) -> Schema:
+        return self.fmt.schema(self.options)
+
+    def files(self) -> list:
+        ext = getattr(self.options, "file_extension", None)
+        files = resolve_table_files(self.url, ext)
+        if not files:
+            # retry without extension filter for directly-named files
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        schema = self.schema()
+        if projection is not None:
+            schema = schema.project(projection)
+        files = self.files()
+        fmt, options = self.fmt, self.options
+
+        def source() -> Iterator[Batch]:
+            produced = 0
+            for store, meta in files:
+                _stem, comp = infer_compression(meta.path)
+                raw = store.get(meta.path)
+                data = decompress(raw, comp)
+                for b in fmt.decode(data, options, projection):
+                    yield b
+                    produced += b.num_rows_host() if hasattr(b, "num_rows_host") else int(b.length)
+                    if limit is not None and produced >= limit:
+                        return
+
+        return ScanExec(schema, source)
+
+
+@dataclasses.dataclass
+class FormatSpec:
+    """Adapter hooks each format module provides."""
+
+    name: str
+    schema: callable  # (options) -> Schema
+    decode: callable  # (bytes, options, projection) -> Iterator[host Batch]
+    default_options: callable  # () -> options
+    extension: str
+
+
+_FORMATS: dict[str, FormatSpec] = {}
+
+
+def register_format(spec: FormatSpec) -> None:
+    _FORMATS[spec.name.upper()] = spec
+
+
+def get_format(name: str) -> FormatSpec:
+    key = name.upper()
+    if key not in _FORMATS:
+        raise PlanError(f"unknown format {name!r}; registered: {sorted(_FORMATS)}")
+    return _FORMATS[key]
+
+
+def registered_formats() -> list[str]:
+    return sorted(_FORMATS)
+
+
+def _register_builtin_formats() -> None:
+    from .formats import fasta as fasta_mod
+
+    def fasta_decode(data: bytes, options, projection):
+        opts = dataclasses.replace(options, projection=projection)
+        yield from fasta_mod.read_fasta_bytes(data, opts)
+
+    register_format(FormatSpec(
+        name="FASTA",
+        schema=fasta_mod.fasta_schema,
+        decode=fasta_decode,
+        default_options=fasta_mod.FastaOptions,
+        extension=".fasta",
+    ))
+
+
+_register_builtin_formats()
