@@ -13,7 +13,11 @@ import os
 
 @dataclasses.dataclass
 class SessionConfig:
-    batch_size: int = 8192                     # DEFAULT_BATCH_SIZE
+    batch_size: int = 8192                     # DEFAULT_BATCH_SIZE (output granularity)
+    # rows per *device* batch on the scan path: large batches amortize
+    # host→device transfer + dispatch latency (the TPU analog of the
+    # reference's 8192-row Arrow batches; results are identical either way)
+    device_batch_size: int = 1 << 17
     target_partitions: int = 0                 # 0 → device/host-parallel default
     catalog: str = "public"
     schema: str = "exon"

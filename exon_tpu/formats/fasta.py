@@ -125,10 +125,15 @@ def decode_buffer(data: bytes, options: FastaOptions) -> DecodedFasta:
             + np.arange(int(hdr_lens.sum()), dtype=np.int64)
         keep[hdr_flat] = False
     seq_flat = arr[keep]
-    # sequence bytes preceding each header (in kept space) → record offsets
-    kept_before = np.zeros(len(arr) + 1, dtype=np.int64)
-    np.cumsum(keep, out=kept_before[1:])
-    rec_starts = kept_before[hstart]
+    # Record starts in kept space, WITHOUT a 254M-element cumsum:
+    # kept bytes before hstart_i = hstart_i − (#newlines before) −
+    # (#CRs before) − (header-content bytes of earlier headers).
+    hdr_cum = np.zeros(n, dtype=np.int64)
+    np.cumsum(hdr_lens[:-1], out=hdr_cum[1:])
+    rec_starts = (hstart
+                  - np.searchsorted(nl, hstart)
+                  - (np.searchsorted(cr_pos, hstart) if len(cr_pos) else 0)
+                  - hdr_cum)
     seq_offsets = np.empty(n + 1, dtype=np.int64)
     seq_offsets[:-1] = rec_starts
     seq_offsets[-1] = len(seq_flat)

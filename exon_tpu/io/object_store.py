@@ -56,6 +56,8 @@ class LocalStore(ObjectStore):
     def _abs(self, path: str) -> str:
         if os.path.isabs(path):
             return path
+        if self.root == "/":
+            return os.path.abspath(path)  # cwd-relative plain paths
         return os.path.join(self.root, path)
 
     def list(self, prefix: str) -> list[ObjectMeta]:

@@ -33,7 +33,8 @@ def byte_row_ids(offsets: jnp.ndarray, vcap: int) -> jnp.ndarray:
     """
     cap = offsets.shape[0] - 1
     starts = offsets[1:]  # row i ends at offsets[i+1]
-    ones = jnp.zeros(vcap + 1, dtype=jnp.int32).at[jnp.clip(starts, 0, vcap)].add(1)
+    ones = jnp.zeros(vcap + 1, dtype=jnp.int32).at[
+        jnp.clip(starts, 0, vcap)].add(1, indices_are_sorted=True)
     return jnp.cumsum(ones[:vcap], dtype=jnp.int32)
 
 
@@ -124,26 +125,33 @@ def take_offsets(offsets: jnp.ndarray, indices: jnp.ndarray,
 
 
 def relayout_values(values: jnp.ndarray, src_starts: jnp.ndarray,
-                    new_offsets: jnp.ndarray, out_vcap: int) -> jnp.ndarray:
+                    new_offsets: jnp.ndarray, out_vcap: int,
+                    sorted_src: bool = False) -> jnp.ndarray:
     """Move flat values into the new layout: one gather per output position.
 
     For output position p in row r (r = byte_row_ids(new_offsets)):
         out[p] = values[src_starts[r] + (p - new_offsets[r])]
+
+    Pass sorted_src=True when src_starts is non-decreasing (filter-style
+    takes) — keeps the TPU gather on the fast path.
     """
     vcap = values.shape[0]
     rid = byte_row_ids(new_offsets, out_vcap)
     ocap = src_starts.shape[0]
     rid = jnp.clip(rid, 0, ocap - 1)
-    delta = jnp.arange(out_vcap, dtype=jnp.int32) - new_offsets[rid]
-    src = jnp.clip(src_starts[rid] + delta, 0, vcap - 1)
-    return values[src]
+    delta = jnp.arange(out_vcap, dtype=jnp.int32) - new_offsets.at[rid].get(
+        indices_are_sorted=True)
+    src = jnp.clip(src_starts.at[rid].get(indices_are_sorted=True) + delta,
+                   0, vcap - 1)
+    return values.at[src].get(indices_are_sorted=sorted_src)
 
 
 def take_var(col: VarColumn, indices: jnp.ndarray, count: jnp.ndarray,
-             out_vcap: int | None = None) -> VarColumn:
+             out_vcap: int | None = None, sorted_indices: bool = False) -> VarColumn:
     out_vcap = out_vcap or col.value_capacity
     new_off, src_starts, total = take_offsets(col.offsets, indices, count)
-    vals = relayout_values(col.values, src_starts, new_off, out_vcap)
+    vals = relayout_values(col.values, src_starts, new_off, out_vcap,
+                           sorted_src=sorted_indices)
     live_v = jnp.arange(out_vcap, dtype=jnp.int32) < total
     vals = jnp.where(live_v, vals, 0)
     ocap = indices.shape[0]
@@ -152,13 +160,14 @@ def take_var(col: VarColumn, indices: jnp.ndarray, count: jnp.ndarray,
     return VarColumn(vals, new_off, valid)
 
 
-def take_column(col: Column, indices: jnp.ndarray, count: jnp.ndarray) -> Column:
+def take_column(col: Column, indices: jnp.ndarray, count: jnp.ndarray,
+                sorted_indices: bool = False) -> Column:
     if isinstance(col, FixedColumn):
         return take_fixed(col, indices, count)
     if isinstance(col, DictColumn):
         return take_dict(col, indices, count)
     if isinstance(col, VarColumn):
-        return take_var(col, indices, count)
+        return take_var(col, indices, count, sorted_indices=sorted_indices)
     if isinstance(col, StructColumn):
         return StructColumn(
             {k: take_column(v, indices, count) for k, v in col.children.items()},
@@ -185,8 +194,9 @@ def _column_capacity(col: Column) -> int:
     return col.capacity
 
 
-def take_batch(batch: Batch, indices: jnp.ndarray, count: jnp.ndarray) -> Batch:
-    cols = [take_column(c, indices, count) for c in batch.columns]
+def take_batch(batch: Batch, indices: jnp.ndarray, count: jnp.ndarray,
+               sorted_indices: bool = False) -> Batch:
+    cols = [take_column(c, indices, count, sorted_indices) for c in batch.columns]
     return Batch(batch.schema, cols, count)
 
 
@@ -194,7 +204,7 @@ def filter_batch(batch: Batch, mask: jnp.ndarray) -> Batch:
     """Materialize rows where mask & live. The fundamental FilterExec kernel."""
     mask = jnp.logical_and(mask, batch.row_mask())
     idx, count = mask_to_indices(mask)
-    return take_batch(batch, idx, count)
+    return take_batch(batch, idx, count, sorted_indices=True)
 
 
 # ---------------------------------------------------------------------------

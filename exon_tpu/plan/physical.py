@@ -198,14 +198,18 @@ class AggregateExec(PhysicalPlan):
 
     def _ungrouped(self) -> Batch:
         step = _jit_ungrouped_partial(tuple(self.agg_calls))
-        partials = None
+        # accumulate per-batch partials as *device* values — dispatch stays
+        # async, one host sync at the end (critical on tunneled TPUs where
+        # every blocking round-trip costs ~10ms)
+        device_partials: list = []
         for b in self.input.batches():
-            p = step(b)
-            p = jax.device_get(p)
-            partials = p if partials is None else _merge_ungrouped(
-                partials, p, self.agg_calls)
-        if partials is None:
+            device_partials.append(step(b))
+        if not device_partials:
             partials = _empty_ungrouped(self.agg_calls)
+        else:
+            partials = jax.device_get(device_partials[0])
+            for p in jax.device_get(device_partials[1:]):
+                partials = _merge_ungrouped(partials, p, self.agg_calls)
         cols, n = _finalize_ungrouped(partials, self.agg_calls, self.out_schema)
         return Batch(self.out_schema, cols, np.int32(1)).to_device(capacity=128)
 

@@ -62,7 +62,8 @@ class ExonSession:
         if kwargs:
             options = dataclasses.replace(options, **kwargs)
         if hasattr(options, "batch_size"):
-            options = dataclasses.replace(options, batch_size=self.config.batch_size)
+            options = dataclasses.replace(
+                options, batch_size=self.config.device_batch_size)
         provider = self._make_provider(spec, url, options)
         return DataFrame(self, L.Scan(provider, f"{fmt_name.lower()}:{url}"))
 

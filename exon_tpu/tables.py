@@ -66,19 +66,26 @@ class FileTable(TableProvider):
         files = self.files()
         fmt, options = self.fmt, self.options
 
+        import os as _os
+
+        use_device = (fmt.device_decode is not None
+                      and not _os.environ.get("EXON_TPU_HOST_DECODE"))
+        decode = fmt.device_decode if use_device else fmt.decode
+
         def source() -> Iterator[Batch]:
             produced = 0
             for store, meta in files:
                 _stem, comp = infer_compression(meta.path)
                 raw = store.get(meta.path)
                 data = decompress(raw, comp)
-                for b in fmt.decode(data, options, projection):
+                for b in decode(data, options, projection):
                     yield b
-                    produced += b.num_rows_host() if hasattr(b, "num_rows_host") else int(b.length)
-                    if limit is not None and produced >= limit:
-                        return
+                    if limit is not None:
+                        produced += b.num_rows_host()
+                        if produced >= limit:
+                            return
 
-        return ScanExec(schema, source)
+        return ScanExec(schema, source, to_device=not use_device)
 
 
 @dataclasses.dataclass
@@ -90,6 +97,9 @@ class FormatSpec:
     decode: callable  # (bytes, options, projection) -> Iterator[host Batch]
     default_options: callable  # () -> options
     extension: str
+    # optional on-device decode: (bytes, options, projection) -> Iterator of
+    # *device* Batches (see formats/fasta_device.py). Preferred when present.
+    device_decode: Optional[callable] = None
 
 
 _FORMATS: dict[str, FormatSpec] = {}
@@ -112,6 +122,7 @@ def registered_formats() -> list[str]:
 
 def _register_builtin_formats() -> None:
     from .formats import fasta as fasta_mod
+    from .formats import fasta_device as fasta_dev
 
     def fasta_decode(data: bytes, options, projection):
         opts = dataclasses.replace(options, projection=projection)
@@ -123,6 +134,7 @@ def _register_builtin_formats() -> None:
         decode=fasta_decode,
         default_options=fasta_mod.FastaOptions,
         extension=".fasta",
+        device_decode=fasta_dev.decode_fasta_device,
     ))
 
 

@@ -4,14 +4,12 @@ analog for 'distributed without a cluster')."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "true")
-
 import jax
 
+# Note: the axon TPU plugin ignores the JAX_PLATFORMS env var in this image;
+# the config keys below are what actually pins tests to 8 virtual CPU devices.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np
