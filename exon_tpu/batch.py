@@ -456,7 +456,8 @@ def _column_to_arrow(col: Column, dtype: DataType, n: int):
         offs = np.asarray(col.offsets)[: n + 1].astype(np.int32)
         vals = np.asarray(col.values)[: int(offs[-1]) if n else 0]
         valid = np.asarray(col.validity)[:n]
-        if dtype.kind in (TypeKind.UTF8, TypeKind.LARGE_UTF8, TypeKind.BINARY):
+        if dtype.kind in (TypeKind.UTF8, TypeKind.LARGE_UTF8, TypeKind.BINARY,
+                          TypeKind.DICTIONARY):
             buf_validity = None
             if not valid.all():
                 buf_validity = pa.array(valid).buffers()[1]
@@ -507,7 +508,10 @@ def _column_from_arrow(arr, dtype: DataType) -> Column:
         vals = np.nan_to_num(vals) if vals.dtype.kind == "f" else vals
         return FixedColumn(np.ascontiguousarray(vals, dtype=numpy_dtype(dtype)),
                            valid)
-    if dtype.kind in (TypeKind.UTF8, TypeKind.LARGE_UTF8, TypeKind.BINARY):
+    if dtype.kind in (TypeKind.UTF8, TypeKind.LARGE_UTF8, TypeKind.BINARY,
+                      TypeKind.DICTIONARY):
+        # DICTIONARY columns round-trip through arrow as plain utf8; they
+        # come back as VarColumn (re-encoding happens at scan time only)
         if pa.types.is_large_string(arr.type):
             arr = arr.cast(pa.utf8())
         bufs = arr.buffers()

@@ -137,5 +137,41 @@ def _register_builtin_formats() -> None:
         device_decode=fasta_dev.decode_fasta_device,
     ))
 
+    from .formats import fastq as fastq_mod
+
+    register_format(FormatSpec(
+        name="FASTQ",
+        schema=fastq_mod.fastq_schema,
+        decode=fastq_mod.decode_host,
+        default_options=fastq_mod.FastqOptions,
+        extension=".fastq",
+        device_decode=fastq_mod.decode_device,
+    ))
+
+    from .formats import bed as bed_mod
+    from .formats import gff as gff_mod
+
+    register_format(FormatSpec(
+        name="GFF",
+        schema=gff_mod.gff_schema,
+        decode=gff_mod.decode_host,
+        default_options=gff_mod.GffOptions,
+        extension=".gff",
+    ))
+    register_format(FormatSpec(
+        name="GTF",
+        schema=gff_mod.gtf_schema,
+        decode=gff_mod.decode_host,
+        default_options=gff_mod.GtfOptions,
+        extension=".gtf",
+    ))
+    register_format(FormatSpec(
+        name="BED",
+        schema=bed_mod.bed_schema,
+        decode=bed_mod.decode_host,
+        default_options=bed_mod.BedOptions,
+        extension=".bed",
+    ))
+
 
 _register_builtin_formats()
