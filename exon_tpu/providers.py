@@ -1,0 +1,133 @@
+"""Indexed table providers: region-aware scans with index-driven pruning.
+
+The engine analog of the reference's Listing<FMT>Table providers with
+ExonIndexedListingOptions (exon-core/src/datasources/exon_listing_table_options.rs):
+a provider declares region-filter markers Exact, extracts regions at scan
+time, consults .tbi/.fai/.bai indexes for byte ranges, and wraps the scan
+in an on-device residual region predicate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from .batch import Batch, Schema
+from .errors import InvalidRegionError
+from .io import bgzf
+from .io.compression import Compression, infer_compression
+from .io.indexes import Chunk, Region, TabixIndex, parse_tabix
+from .io.object_store import ObjectStore, get_store, resolve_table_files
+from .plan import regions as R
+from .plan.expressions import Expr, conjoin
+from .plan.physical import FilterExec, PhysicalPlan, ProjectExec, ScanExec
+from .tables import TableProvider
+
+
+def read_bgzf_chunk(store: ObjectStore, path: str, chunk: Chunk,
+                    file_size: int) -> bytes:
+    """Range-read + decompress one tabix chunk (virtual positions)."""
+    lo = bgzf.coffset(chunk.vstart)
+    hi = min(bgzf.coffset(chunk.vend) + (1 << 17), file_size)
+    buf = store.get_range(path, lo, hi)
+    vstart = bgzf.make_vpos(0, bgzf.uoffset(chunk.vstart))
+    vend = bgzf.make_vpos(bgzf.coffset(chunk.vend) - lo, bgzf.uoffset(chunk.vend))
+    return bgzf.decompress_range(buf, vstart, vend)
+
+
+@dataclasses.dataclass
+class VcfTable(TableProvider):
+    """VCF listing table with tabix region pruning
+    (exon-core/src/datasources/vcf/table_provider.rs)."""
+
+    url: str
+    options: object
+    config: object = None
+
+    def schema(self) -> Schema:
+        from .formats.vcf import vcf_schema
+
+        return vcf_schema(self.options)
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        if R.is_region_filter(expr):
+            return "exact"
+        return "none"
+
+    def files(self):
+        files = resolve_table_files(self.url, getattr(self.options, "file_extension", ".vcf"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def scan(self, projection: Optional[list[str]] = None,
+             filters: Sequence[Expr] = (), limit: Optional[int] = None
+             ) -> PhysicalPlan:
+        from .formats.vcf import decode_host
+
+        regions = R.infer_regions_from_filters(filters)
+        options = self.options
+        if getattr(options, "regions", None):
+            regions = list(options.regions) + regions
+
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        scan_proj = list(proj)
+        if regions:
+            for need in ("chrom", "pos"):
+                if need not in scan_proj:
+                    scan_proj.append(need)
+        scan_schema = schema.project(scan_proj)
+        files = self.files()
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                _stem, comp = infer_compression(meta.path)
+                if regions and comp in (Compression.BGZF, Compression.GZIP) \
+                        and store.exists(meta.path + ".tbi"):
+                    tbi = parse_tabix(store.get(meta.path + ".tbi"))
+                    for region in regions:
+                        for chunk in tbi.query(region):
+                            text = read_bgzf_chunk(store, meta.path, chunk,
+                                                   meta.size)
+                            yield from decode_host(text, options, scan_proj)
+                else:
+                    from .io.compression import decompress
+
+                    data = decompress(store.get(meta.path), comp)
+                    yield from decode_host(data, options, scan_proj)
+
+        plan: PhysicalPlan = ScanExec(scan_schema, source)
+        if regions:
+            exprs = [R.region_to_point_expr(r, "chrom", "pos") for r in regions]
+            pred = exprs[0]
+            for e in exprs[1:]:
+                from .plan.expressions import BinaryOp
+
+                pred = BinaryOp("or", pred, e)
+            plan = FilterExec(pred, plan)
+            if scan_proj != proj:
+                from .plan.expressions import col
+
+                plan = ProjectExec([col(n) for n in proj],
+                                   schema.project(proj), plan)
+        return plan
+
+
+def make_vcf_provider(url: str, options, config):
+    if config is not None:
+        options = dataclasses.replace(
+            options,
+            parse_info=getattr(config, "vcf_parse_info", False),
+            parse_formats=getattr(config, "vcf_parse_formats", False))
+    return VcfTable(url, options, config)
+
+
+def register_indexed_providers() -> None:
+    from .session import register_provider_factory
+
+    register_provider_factory("VCF", make_vcf_provider)

@@ -23,8 +23,11 @@ class ExonSession:
     def __init__(self, config: Optional[SessionConfig] = None):
         self.config = config or new_exon_config()
         self.tables: dict[str, object] = {}
-        # ensure UDFs are registered
+        # ensure UDFs and indexed providers are registered
         from . import udfs  # noqa: F401
+        from .providers import register_indexed_providers
+
+        register_indexed_providers()
 
     # -- constructors (parity names) ---------------------------------------
 

@@ -173,5 +173,15 @@ def _register_builtin_formats() -> None:
         extension=".bed",
     ))
 
+    from .formats import vcf as vcf_mod
+
+    register_format(FormatSpec(
+        name="VCF",
+        schema=vcf_mod.vcf_schema,
+        decode=vcf_mod.decode_host,
+        default_options=vcf_mod.VcfOptions,
+        extension=".vcf",
+    ))
+
 
 _register_builtin_formats()

@@ -216,5 +216,22 @@ def _register_all() -> None:
     register_function("is_mapped", is_mapped)
     register_function_type("is_mapped", _bool_type)
 
+    # region-filter markers: planned away by providers, never executed
+    # (udfs/vcf/vcf_region_filter.rs:42-67)
+    from .plan.regions import REGION_FILTER_UDFS
+
+    def _marker(name):
+        def fn(batch, *args):
+            raise PlanError(
+                f"{name} should not be called, check your query "
+                "(it must appear as a top-level WHERE conjunct on an "
+                "indexed table)")
+
+        return fn
+
+    for name in REGION_FILTER_UDFS:
+        register_function(name, _marker(name))
+        register_function_type(name, _bool_type)
+
 
 _register_all()
