@@ -1,0 +1,416 @@
+"""SQL statement binding + execution against an ExonSession.
+
+Mirrors ExonSession::sql (exon_context_ext.rs:297-311): parses with the
+extended parser, intercepts COPY/CREATE EXTERNAL TABLE/SET, and plans
+SELECT queries into the logical algebra. UDTFs (fasta_scan('path') …,
+exon_context_ext.rs:216-258) resolve to format scans.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .. import datatypes as dt
+from ..errors import PlanError, SqlError
+from ..plan import logical as L
+from ..plan.expressions import (AggregateCall, Alias, BinaryOp, ColumnRef,
+                                Expr, FunctionCall, Literal, split_conjunction)
+from . import ast as A
+from .parser import parse_sql
+
+# UDTF name → (format, indexed, extra-arg mapping)
+UDTFS = {
+    "fasta_scan": ("FASTA", False),
+    "fasta_indexed_scan": ("FASTA", True),
+    "fastq_scan": ("FASTQ", False),
+    "gff_scan": ("GFF", False),
+    "gff_indexed_scan": ("GFF", True),
+    "gtf_scan": ("GTF", False),
+    "bed_scan": ("BED", False),
+    "hmm_dom_tab_scan": ("HMMDOMTAB", False),
+    "genbank_scan": ("GENBANK", False),
+    "fcs_scan": ("FCS", False),
+    "mzml_scan": ("MZML", False),
+    "bam_scan": ("BAM", False),
+    "bam_indexed_scan": ("BAM", True),
+    "sam_scan": ("SAM", False),
+    "vcf_scan": ("VCF", False),
+    "vcf_indexed_scan": ("VCF", True),
+    "bcf_scan": ("BCF", False),
+    "sdf_scan": ("SDF", False),
+    "bigwig_scan": ("BIGWIG_VALUE", False),
+}
+
+
+def execute_sql(session, sql: str):
+    from ..dataframe import DataFrame
+
+    stmts = parse_sql(sql)
+    if not stmts:
+        raise SqlError("empty statement")
+    result = None
+    for stmt in stmts:
+        result = _execute_stmt(session, stmt)
+    return result
+
+
+def _result_df(session, schema: dt.Schema, rows: list):
+    from ..dataframe import DataFrame
+
+    return DataFrame(session, L.Values(schema, rows))
+
+
+def _execute_stmt(session, stmt):
+    from ..dataframe import DataFrame
+
+    if isinstance(stmt, A.SelectStmt):
+        return DataFrame(session, plan_select(session, stmt))
+    if isinstance(stmt, A.CreateExternalTable):
+        return _create_external_table(session, stmt)
+    if isinstance(stmt, A.CopyToStmt):
+        source = (plan_select(session, stmt.source)
+                  if isinstance(stmt.source, A.SelectStmt)
+                  else session.table(stmt.source.name).logical_plan())
+        fmt = stmt.file_format or _infer_copy_format(stmt.target)
+        return DataFrame(session, L.CopyTo(source, stmt.target, fmt, stmt.options))
+    if isinstance(stmt, A.SetStmt):
+        session.config.set_option(stmt.key, stmt.value)
+        return _result_df(session, dt.Schema.of(
+            dt.Field("status", dt.utf8, False)), [("ok",)])
+    if isinstance(stmt, A.DescribeStmt):
+        df = session.table(stmt.name)
+        schema = df.schema()
+        rows = [(f.name, str(f.dtype), "YES" if f.nullable else "NO")
+                for f in schema.all_fields]
+        return _result_df(session, dt.Schema.of(
+            dt.Field("column_name", dt.utf8, False),
+            dt.Field("data_type", dt.utf8, False),
+            dt.Field("is_nullable", dt.utf8, False)), rows)
+    if isinstance(stmt, A.ShowTablesStmt):
+        rows = [(name,) for name in sorted(session.tables)]
+        return _result_df(session, dt.Schema.of(
+            dt.Field("table_name", dt.utf8, False)), rows)
+    if isinstance(stmt, A.ExplainStmt):
+        inner = _execute_stmt(session, stmt.stmt)
+        text = inner.explain()
+        return _result_df(session, dt.Schema.of(
+            dt.Field("plan_type", dt.utf8, False),
+            dt.Field("plan", dt.utf8, False)),
+            [("logical_plan", text)])
+    if isinstance(stmt, A.DropTableStmt):
+        if stmt.name.lower() not in session.tables and not stmt.if_exists:
+            raise PlanError(f"table {stmt.name!r} not found")
+        session.deregister_table(stmt.name)
+        return _result_df(session, dt.Schema.of(
+            dt.Field("status", dt.utf8, False)), [("ok",)])
+    raise SqlError(f"unsupported statement {type(stmt).__name__}")
+
+
+def _infer_copy_format(target: str) -> str:
+    from ..io.compression import infer_compression
+
+    stem, _ = infer_compression(target)
+    ext = stem.rsplit(".", 1)[-1].lower()
+    return {"fasta": "FASTA", "fa": "FASTA", "fastq": "FASTQ", "fq": "FASTQ",
+            "csv": "CSV", "parquet": "PARQUET", "json": "JSON"}.get(ext, "CSV")
+
+
+def _create_external_table(session, stmt: A.CreateExternalTable):
+    from ..tables import get_format
+
+    spec = get_format(stmt.file_format.replace("INDEXED_", ""))
+    options = spec.default_options()
+    import dataclasses
+
+    kw = {}
+    for k, v in stmt.options.items():
+        key = k.split(".")[-1]
+        if hasattr(options, key):
+            cur = getattr(options, key)
+            kw[key] = type(cur)(v) if cur is not None and not isinstance(cur, (list, type(None))) else v
+    if stmt.file_format.startswith("INDEXED_"):
+        kw["indexed"] = True if hasattr(options, "indexed") else None
+        kw.pop("indexed", None)
+    if kw:
+        options = dataclasses.replace(options, **kw)
+    if hasattr(options, "batch_size"):
+        options = dataclasses.replace(
+            options, batch_size=session.config.device_batch_size)
+    provider = session._make_provider(spec, stmt.location, options)
+    if stmt.partition_cols and hasattr(provider, "partition_cols"):
+        provider.partition_cols = list(stmt.partition_cols)
+    if stmt.if_not_exists and stmt.name.lower() in session.tables:
+        pass
+    else:
+        session.register_table(stmt.name, provider)
+    return _result_df(session, dt.Schema.of(
+        dt.Field("status", dt.utf8, False)), [("ok",)])
+
+
+# ---------------------------------------------------------------------------
+# SELECT planning
+# ---------------------------------------------------------------------------
+
+
+def _is_star(e) -> bool:
+    return isinstance(e, str) and e == "*"
+
+
+def _contains_agg(e: Expr) -> bool:
+    if isinstance(e, AggregateCall):
+        return True
+    return any(_contains_agg(c) for c in e.children())
+
+
+def plan_select(session, stmt: A.SelectStmt) -> L.LogicalPlan:
+    plan = _plan_from(session, stmt)
+
+    if stmt.where is not None:
+        plan = L.Filter(stmt.where, plan)
+
+    has_agg = any(not _is_star(e) and _contains_agg(e) for e, _ in stmt.projections) \
+        or stmt.group_by or (stmt.having is not None)
+
+    if has_agg:
+        plan = _plan_aggregate(session, stmt, plan)
+    else:
+        proj_exprs = []
+        star = False
+        for e, alias in stmt.projections:
+            if _is_star(e):
+                star = True
+                continue
+            proj_exprs.append(Alias(e, alias) if alias else e)
+        if star:
+            in_names = plan.schema().names
+            proj_exprs = [ColumnRef(n) for n in in_names] + proj_exprs
+        if not (star and len(proj_exprs) == len(plan.schema().names)
+                and not any(isinstance(p, Alias) for p in proj_exprs)):
+            plan = L.Project(proj_exprs, plan)
+
+    if stmt.distinct:
+        out_names = plan.schema().names
+        plan = L.Aggregate([ColumnRef(n) for n in out_names], [], [], plan)
+
+    if stmt.union_all is not None:
+        other = plan_select(session, stmt.union_all)
+        plan = L.Union([plan, other])
+
+    if stmt.order_by:
+        keys = []
+        out_schema = plan.schema()
+        for e, asc in stmt.order_by:
+            if isinstance(e, Literal) and isinstance(e.value, int):
+                keys.append((ColumnRef(out_schema.names[e.value - 1]), asc))
+            else:
+                keys.append((e, asc))
+        plan = L.Sort(keys, plan)
+
+    if stmt.limit is not None or stmt.offset:
+        plan = L.Limit(stmt.offset, stmt.limit, plan)
+    return plan
+
+
+def _plan_from(session, stmt: A.SelectStmt) -> L.LogicalPlan:
+    if stmt.from_ is None:
+        return _values_row(stmt)
+    plan = _plan_table_ref(session, stmt.from_)
+    for j in stmt.joins:
+        right = _plan_table_ref(session, j.table)
+        if j.using:
+            pairs = [(ColumnRef(c), ColumnRef(c)) for c in j.using]
+            filt = None
+        else:
+            pairs, filt = _join_pairs(j.on, plan.schema(), right.schema())
+        how = j.how if j.how in ("inner", "left") else "inner"
+        plan = L.Join(plan, right, pairs, how, filt)
+    return plan
+
+
+def _values_row(stmt: A.SelectStmt) -> L.LogicalPlan:
+    # SELECT <literals/exprs> with no FROM: evaluate eagerly via a 1-row scan
+    fields, row = [], []
+    for e, alias in stmt.projections:
+        if _is_star(e):
+            raise SqlError("SELECT * requires FROM")
+        v = _const_eval(e)
+        name = alias or e.display_name()
+        if isinstance(v, bool):
+            fields.append(dt.Field(name, dt.bool_, False))
+        elif isinstance(v, int):
+            fields.append(dt.Field(name, dt.int64, False))
+        elif isinstance(v, float):
+            fields.append(dt.Field(name, dt.float64, False))
+        else:
+            fields.append(dt.Field(name, dt.utf8, True))
+        row.append(v)
+    return L.Values(dt.Schema(tuple(fields)), [tuple(row)])
+
+
+def _const_eval(e: Expr):
+    if isinstance(e, Literal):
+        return e.value
+    if isinstance(e, Alias):
+        return _const_eval(e.child)
+    if isinstance(e, BinaryOp):
+        a, b = _const_eval(e.left), _const_eval(e.right)
+        import operator as op
+
+        fns = {"+": op.add, "-": op.sub, "*": op.mul, "/": op.truediv,
+               "%": op.mod, "=": op.eq, "!=": op.ne, "<": op.lt,
+               "<=": op.le, ">": op.gt, ">=": op.ge,
+               "and": lambda x, y: x and y, "or": lambda x, y: x or y}
+        return fns[e.op](a, b)
+    raise SqlError(f"cannot evaluate constant expression {e!r}")
+
+
+def _plan_table_ref(session, ref) -> L.LogicalPlan:
+    if isinstance(ref, A.TableName):
+        return session.table(ref.name).logical_plan()
+    if isinstance(ref, A.SubqueryRef):
+        return plan_select(session, ref.query)
+    if isinstance(ref, A.TableFunc):
+        return _plan_udtf(session, ref)
+    raise SqlError(f"unsupported table reference {ref!r}")
+
+
+def _plan_udtf(session, ref: A.TableFunc) -> L.LogicalPlan:
+    name = ref.name.lower()
+    if name not in UDTFS:
+        raise SqlError(f"unknown table function {ref.name!r}")
+    fmt, indexed = UDTFS[name]
+    if not ref.args:
+        raise SqlError(f"{ref.name} requires a path argument")
+    path = str(ref.args[0])
+    kwargs = {}
+    if len(ref.args) > 1 and isinstance(ref.args[1], str):
+        # second arg: compression (scan UDTFs) or region (indexed UDTFs)
+        if indexed:
+            from ..io.indexes import Region
+
+            kwargs["regions"] = [Region.parse(ref.args[1])]
+        # compression is inferred from the extension otherwise
+    df = session._read(fmt, path)
+    plan = df.logical_plan()
+    if indexed and "regions" in kwargs:
+        from ..plan.expressions import FunctionCall, lit, col
+
+        marker_name = {"FASTA": "fasta_region_filter", "GFF": "gff_region_filter",
+                       "VCF": "vcf_region_filter", "BAM": "bam_region_filter"}.get(fmt)
+        region = str(kwargs["regions"][0])
+        if fmt == "VCF":
+            marker = FunctionCall("vcf_region_filter",
+                                  [lit(region), col("chrom"), col("pos")])
+        elif fmt in ("GFF", "BAM"):
+            cols = ("seqname", "start", "end") if fmt == "GFF" else \
+                ("reference", "start", "end")
+            marker = FunctionCall(marker_name,
+                                  [lit(region)] + [col(c) for c in cols])
+        else:
+            marker = FunctionCall("fasta_region_filter", [lit(region), col("id")])
+        plan = L.Filter(marker, plan)
+    return plan
+
+
+def _join_pairs(on: Optional[Expr], lschema, rschema):
+    if on is None:
+        raise SqlError("JOIN requires ON or USING")
+    pairs = []
+    residual = []
+    for c in split_conjunction(on):
+        if isinstance(c, BinaryOp) and c.op == "=" and \
+                isinstance(c.left, ColumnRef) and isinstance(c.right, ColumnRef):
+            l, r = c.left, c.right
+            if lschema.has_field(l.name) and rschema.has_field(r.name):
+                pairs.append((l, r))
+            elif lschema.has_field(r.name) and rschema.has_field(l.name):
+                pairs.append((r, l))
+            else:
+                residual.append(c)
+        else:
+            residual.append(c)
+    if not pairs:
+        raise SqlError("JOIN ON must contain at least one equality")
+    from ..plan.expressions import conjoin
+
+    return pairs, conjoin(residual)
+
+
+def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
+                    ) -> L.LogicalPlan:
+    group_exprs = list(stmt.group_by)
+    calls: list[AggregateCall] = []
+    names: list[str] = []
+    out_exprs: list[tuple] = []  # (kind, payload, alias) kind: group|agg
+
+    def group_index(e: Expr) -> Optional[int]:
+        for i, g in enumerate(group_exprs):
+            if repr(g) == repr(e):
+                return i
+        if isinstance(e, ColumnRef):
+            for i, g in enumerate(group_exprs):
+                if isinstance(g, ColumnRef) and g.name == e.name:
+                    return i
+        return None
+
+    for e, alias in stmt.projections:
+        if _is_star(e):
+            raise SqlError("SELECT * with GROUP BY not supported")
+        base = e.child if isinstance(e, Alias) else e
+        alias = alias or (e.name if isinstance(e, Alias) else None)
+        if isinstance(base, AggregateCall):
+            calls.append(base)
+            names.append(alias or base.display_name())
+            out_exprs.append(("agg", len(calls) - 1, alias))
+        else:
+            gi = group_index(base)
+            if gi is None:
+                if _contains_agg(base):
+                    raise SqlError(
+                        "expressions over aggregates not yet supported")
+                # implicit group expr (no GROUP BY: scalar agg context error)
+                if not stmt.group_by:
+                    raise SqlError(
+                        f"column {base!r} must appear in GROUP BY")
+                raise SqlError(
+                    f"projection {base!r} not in GROUP BY")
+            out_exprs.append(("group", gi, alias))
+
+    # HAVING: only over aggregate calls already present or new ones
+    having = stmt.having
+    if having is not None:
+        def rewrite_having(e: Expr) -> Expr:
+            if isinstance(e, AggregateCall):
+                for i, c in enumerate(calls):
+                    if repr(c) == repr(e):
+                        return ColumnRef(names[i])
+                calls.append(e)
+                names.append(e.display_name())
+                return ColumnRef(names[-1])
+            if isinstance(e, BinaryOp):
+                return BinaryOp(e.op, rewrite_having(e.left), rewrite_having(e.right))
+            return e
+
+        having = rewrite_having(having)
+
+    agg = L.Aggregate(group_exprs, calls, names, plan)
+    out: L.LogicalPlan = agg
+    if having is not None:
+        out = L.Filter(having, out)
+    # final projection to requested order/aliases
+    agg_schema = agg.schema()
+    n_group = len(group_exprs)
+    proj = []
+    for kind, payload, alias in out_exprs:
+        if kind == "group":
+            name = agg_schema.names[payload]
+        else:
+            name = agg_schema.names[n_group + payload]
+        proj.append(Alias(ColumnRef(name), alias) if alias else ColumnRef(name))
+    needs_proj = [p.name if isinstance(p, ColumnRef) else p.name for p in proj] \
+        != agg_schema.names
+    if needs_proj or having is not None:
+        out = L.Project(proj, out)
+    return out

@@ -1,0 +1,521 @@
+"""Recursive-descent SQL parser → statement AST.
+
+Covers the reference's SQL surface: DataFusion SELECT queries plus Exon's
+COPY/CREATE EXTERNAL TABLE extensions (exon-core/src/sql/parser.rs:26-72).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .. import datatypes as dt
+from ..errors import SqlError
+from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Cast,
+                                ColumnRef, Expr, FunctionCall, InList, IsNull,
+                                Like, Literal, Not)
+from . import ast as A
+from .lexer import Token, tokenize
+
+AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+
+_TYPE_NAMES = {
+    "int": dt.int64, "integer": dt.int64, "bigint": dt.int64,
+    "smallint": dt.int16, "tinyint": dt.int8,
+    "float": dt.float32, "real": dt.float32, "double": dt.float64,
+    "boolean": dt.bool_, "bool": dt.bool_,
+    "varchar": dt.utf8, "text": dt.utf8, "string": dt.utf8, "utf8": dt.utf8,
+}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.tokens = tokenize(sql)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> Token:
+        return self.tokens[min(self.i + ahead, len(self.tokens) - 1)]
+
+    def next(self) -> Token:
+        t = self.tokens[self.i]
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def accept_kw(self, *words: str) -> bool:
+        t = self.peek()
+        if t.kind == "kw" and t.value.lower() in words:
+            self.next()
+            return True
+        return False
+
+    def expect_kw(self, word: str) -> None:
+        if not self.accept_kw(word):
+            raise SqlError(f"expected {word.upper()} near {self.peek().value!r}")
+
+    def accept_op(self, op: str) -> bool:
+        t = self.peek()
+        if t.kind == "op" and t.value == op:
+            self.next()
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            raise SqlError(f"expected {op!r} near {self.peek().value!r}")
+
+    def ident(self) -> str:
+        t = self.next()
+        if t.kind not in ("ident", "kw"):
+            raise SqlError(f"expected identifier near {t.value!r}")
+        return t.value
+
+    # -- statements ---------------------------------------------------------
+
+    def parse_statements(self) -> list:
+        out = []
+        while self.peek().kind != "eof":
+            out.append(self.parse_statement())
+            while self.accept_op(";"):
+                pass
+        return out
+
+    def parse_statement(self):
+        t = self.peek()
+        word = t.value.lower() if t.kind == "kw" else ""
+        if word == "select" or (t.kind == "op" and t.value == "("):
+            return self.parse_select()
+        if word == "create":
+            return self.parse_create()
+        if word == "copy":
+            return self.parse_copy()
+        if word == "set":
+            return self.parse_set()
+        if word == "describe":
+            self.next()
+            return A.DescribeStmt(self.qualified_name())
+        if word == "show":
+            self.next()
+            self.expect_kw("tables")
+            return A.ShowTablesStmt()
+        if word == "explain":
+            self.next()
+            analyze = self.accept_kw("analyze")
+            return A.ExplainStmt(self.parse_statement(), analyze)
+        if word == "drop":
+            self.next()
+            self.expect_kw("table")
+            if_exists = False
+            if self.accept_kw("if"):
+                self.expect_kw("exists")
+                if_exists = True
+            return A.DropTableStmt(self.qualified_name(), if_exists)
+        raise SqlError(f"unsupported statement near {t.value!r}")
+
+    def qualified_name(self) -> str:
+        parts = [self.ident()]
+        while self.accept_op("."):
+            parts.append(self.ident())
+        return ".".join(parts)
+
+    # -- SELECT -------------------------------------------------------------
+
+    def parse_select(self) -> A.SelectStmt:
+        if self.accept_op("("):
+            inner = self.parse_select()
+            self.expect_op(")")
+            stmt = inner
+        else:
+            self.expect_kw("select")
+            stmt = A.SelectStmt(projections=[])
+            stmt.distinct = self.accept_kw("distinct")
+            stmt.projections = self.parse_projections()
+            if self.accept_kw("from"):
+                stmt.from_ = self.parse_table_ref()
+                while True:
+                    how = None
+                    if self.accept_kw("join") or self.accept_kw("inner"):
+                        if self.peek().value.lower() == "join":
+                            self.next()
+                        how = "inner"
+                    elif self.accept_kw("left"):
+                        self.accept_kw("outer")
+                        self.expect_kw("join")
+                        how = "left"
+                    elif self.accept_kw("right"):
+                        self.accept_kw("outer")
+                        self.expect_kw("join")
+                        how = "right"
+                    elif self.accept_kw("full"):
+                        self.accept_kw("outer")
+                        self.expect_kw("join")
+                        how = "full"
+                    else:
+                        break
+                    table = self.parse_table_ref()
+                    on = using = None
+                    if self.accept_kw("on"):
+                        on = self.parse_expr()
+                    elif self.accept_kw("using"):
+                        self.expect_op("(")
+                        using = [self.ident()]
+                        while self.accept_op(","):
+                            using.append(self.ident())
+                        self.expect_op(")")
+                    stmt.joins.append(A.JoinClause(how, table, on, using))
+            if self.accept_kw("where"):
+                stmt.where = self.parse_expr()
+            if self.accept_kw("group"):
+                self.expect_kw("by")
+                stmt.group_by = [self.parse_expr()]
+                while self.accept_op(","):
+                    stmt.group_by.append(self.parse_expr())
+            if self.accept_kw("having"):
+                stmt.having = self.parse_expr()
+        if self.accept_kw("union"):
+            self.expect_kw("all")
+            stmt.union_all = self.parse_select()
+            return stmt
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            stmt.order_by = [self.parse_order_key()]
+            while self.accept_op(","):
+                stmt.order_by.append(self.parse_order_key())
+        if self.accept_kw("limit"):
+            stmt.limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            stmt.offset = int(self.next().value)
+        return stmt
+
+    def parse_order_key(self):
+        e = self.parse_expr()
+        asc = True
+        if self.accept_kw("asc"):
+            asc = True
+        elif self.accept_kw("desc"):
+            asc = False
+        return (e, asc)
+
+    def parse_projections(self) -> list:
+        out = []
+        while True:
+            if self.accept_op("*"):
+                out.append(("*", None))
+            else:
+                e = self.parse_expr()
+                alias = None
+                if self.accept_kw("as"):
+                    alias = self.ident()
+                elif self.peek().kind == "ident" and self.peek(1).value not in ("(", "."):
+                    alias = self.ident()
+                out.append((e, alias))
+            if not self.accept_op(","):
+                break
+        return out
+
+    def parse_table_ref(self):
+        if self.accept_op("("):
+            inner = self.parse_select()
+            self.expect_op(")")
+            alias = self._maybe_alias()
+            return A.SubqueryRef(inner, alias)
+        name = self.qualified_name()
+        if self.accept_op("("):
+            args = []
+            if not self.accept_op(")"):
+                args.append(self._func_arg())
+                while self.accept_op(","):
+                    args.append(self._func_arg())
+                self.expect_op(")")
+            return A.TableFunc(name, args, self._maybe_alias())
+        return A.TableName(name, self._maybe_alias())
+
+    def _func_arg(self):
+        t = self.peek()
+        if t.kind == "str":
+            self.next()
+            return t.value
+        if t.kind == "num":
+            self.next()
+            return float(t.value) if "." in t.value else int(t.value)
+        if t.kind == "kw" and t.value.lower() in ("true", "false"):
+            self.next()
+            return t.value.lower() == "true"
+        return self.parse_expr()
+
+    def _maybe_alias(self) -> Optional[str]:
+        if self.accept_kw("as"):
+            return self.ident()
+        t = self.peek()
+        if t.kind == "ident":
+            return self.ident()
+        return None
+
+    # -- CREATE / COPY / SET ------------------------------------------------
+
+    def parse_create(self) -> A.CreateExternalTable:
+        self.expect_kw("create")
+        self.expect_kw("external")
+        self.expect_kw("table")
+        if_not_exists = False
+        if self.accept_kw("if"):
+            self.expect_kw("not")
+            self.expect_kw("exists")
+            if_not_exists = True
+        name = self.qualified_name()
+        partition_cols: list[str] = []
+        options: dict = {}
+        fmt = None
+        location = None
+        # clauses in flexible order (LOCATION may precede or follow OPTIONS)
+        while True:
+            if self.accept_kw("stored"):
+                self.expect_kw("as")
+                fmt = self.ident()
+            elif self.accept_kw("partitioned"):
+                self.expect_kw("by")
+                self.expect_op("(")
+                partition_cols.append(self.ident())
+                while self.accept_op(","):
+                    partition_cols.append(self.ident())
+                self.expect_op(")")
+            elif self.accept_kw("options"):
+                self.expect_op("(")
+                while True:
+                    k = self.next().value
+                    v = self.next().value
+                    options[k.strip("'")] = v
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            elif self.accept_kw("compression"):
+                self.expect_kw("type")
+                options["format.compression"] = self.ident()
+            elif self.accept_kw("location"):
+                location = self.next().value
+            else:
+                break
+        if location is None:
+            raise SqlError(f"expected LOCATION near {self.peek().value!r}")
+        if fmt is None:
+            raise SqlError("CREATE EXTERNAL TABLE requires STORED AS <format>")
+        return A.CreateExternalTable(name, fmt.upper(), location, options,
+                                     partition_cols, if_not_exists)
+
+    def parse_copy(self) -> A.CopyToStmt:
+        self.expect_kw("copy")
+        if self.accept_op("("):
+            src = self.parse_select()
+            self.expect_op(")")
+        else:
+            src = A.TableName(self.qualified_name())
+        self.expect_kw("to")
+        target = self.next().value
+        fmt = None
+        options: dict = {}
+        while True:
+            if self.accept_kw("stored"):
+                self.expect_kw("as")
+                fmt = self.ident().upper()
+            elif self.accept_kw("options"):
+                self.expect_op("(")
+                while True:
+                    k = self.next().value
+                    v = self.next().value
+                    options[k.strip("'")] = v
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+            else:
+                break
+        return A.CopyToStmt(src, target, fmt, options)
+
+    def parse_set(self) -> A.SetStmt:
+        self.expect_kw("set")
+        key = self.qualified_name()
+        self.expect_op("=")
+        t = self.next()
+        return A.SetStmt(key, t.value)
+
+    # -- expressions --------------------------------------------------------
+
+    def parse_expr(self) -> Expr:
+        return self.parse_or()
+
+    def parse_or(self) -> Expr:
+        e = self.parse_and()
+        while self.accept_kw("or"):
+            e = BinaryOp("or", e, self.parse_and())
+        return e
+
+    def parse_and(self) -> Expr:
+        e = self.parse_not()
+        while self.accept_kw("and"):
+            e = BinaryOp("and", e, self.parse_not())
+        return e
+
+    def parse_not(self) -> Expr:
+        if self.accept_kw("not"):
+            return Not(self.parse_not())
+        return self.parse_comparison()
+
+    def parse_comparison(self) -> Expr:
+        e = self.parse_additive()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("=", "<>", "!=", "<", "<=", ">", ">="):
+                self.next()
+                op = "!=" if t.value == "<>" else t.value
+                e = BinaryOp(op, e, self.parse_additive())
+            elif t.kind == "kw" and t.value.lower() in ("like", "ilike"):
+                self.next()
+                pat = self.next()
+                e = Like(e, pat.value, t.value.lower() == "ilike")
+            elif t.kind == "kw" and t.value.lower() == "not" and \
+                    self.peek(1).value.lower() in ("like", "ilike", "in", "between"):
+                self.next()
+                nxt = self.next().value.lower()
+                if nxt in ("like", "ilike"):
+                    pat = self.next()
+                    e = Like(e, pat.value, nxt == "ilike", negated=True)
+                elif nxt == "in":
+                    e = self._parse_in(e, negated=True)
+                else:
+                    e = self._parse_between(e, negated=True)
+            elif t.kind == "kw" and t.value.lower() == "between":
+                self.next()
+                e = self._parse_between(e, negated=False)
+            elif t.kind == "kw" and t.value.lower() == "in":
+                self.next()
+                e = self._parse_in(e, negated=False)
+            elif t.kind == "kw" and t.value.lower() == "is":
+                self.next()
+                negated = self.accept_kw("not")
+                self.expect_kw("null")
+                e = IsNull(e, negated)
+            else:
+                return e
+
+    def _parse_between(self, e: Expr, negated: bool) -> Expr:
+        lo = self.parse_additive()
+        self.expect_kw("and")
+        hi = self.parse_additive()
+        between = BinaryOp("and", BinaryOp(">=", e, lo), BinaryOp("<=", e, hi))
+        return Not(between) if negated else between
+
+    def _parse_in(self, e: Expr, negated: bool) -> Expr:
+        self.expect_op("(")
+        vals = [self.parse_expr()]
+        while self.accept_op(","):
+            vals.append(self.parse_expr())
+        self.expect_op(")")
+        return InList(e, vals, negated)
+
+    def parse_additive(self) -> Expr:
+        e = self.parse_multiplicative()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("+", "-"):
+                self.next()
+                e = BinaryOp(t.value, e, self.parse_multiplicative())
+            else:
+                return e
+
+    def parse_multiplicative(self) -> Expr:
+        e = self.parse_unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.value in ("*", "/", "%"):
+                self.next()
+                e = BinaryOp(t.value, e, self.parse_unary())
+            else:
+                return e
+
+    def parse_unary(self) -> Expr:
+        if self.accept_op("-"):
+            inner = self.parse_unary()
+            if isinstance(inner, Literal) and isinstance(inner.value, (int, float)):
+                return Literal(-inner.value)
+            return BinaryOp("-", Literal(0), inner)
+        if self.accept_op("+"):
+            return self.parse_unary()
+        return self.parse_postfix()
+
+    def parse_postfix(self) -> Expr:
+        e = self.parse_primary()
+        while self.accept_op("::"):
+            tname = self.ident().lower()
+            if tname not in _TYPE_NAMES:
+                raise SqlError(f"unknown type {tname!r}")
+            e = Cast(e, _TYPE_NAMES[tname])
+        return e
+
+    def parse_primary(self) -> Expr:
+        t = self.peek()
+        if t.kind == "op" and t.value == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind == "str":
+            self.next()
+            return Literal(t.value)
+        if t.kind == "num":
+            self.next()
+            if "." in t.value or "e" in t.value.lower():
+                return Literal(float(t.value))
+            return Literal(int(t.value))
+        if t.kind == "kw":
+            w = t.value.lower()
+            if w == "null":
+                self.next()
+                return Literal(None)
+            if w in ("true", "false"):
+                self.next()
+                return Literal(w == "true")
+            if w == "cast":
+                self.next()
+                self.expect_op("(")
+                inner = self.parse_expr()
+                self.expect_kw("as")
+                tname = self.ident().lower()
+                self.expect_op(")")
+                if tname not in _TYPE_NAMES:
+                    raise SqlError(f"unknown type {tname!r}")
+                return Cast(inner, _TYPE_NAMES[tname])
+            if w == "case":
+                raise SqlError("CASE expressions not yet supported")
+        if t.kind in ("ident", "kw"):
+            name = self.ident()
+            if self.accept_op("("):
+                return self._parse_call(name)
+            full = name
+            while self.accept_op("."):
+                full = self.ident()  # strip qualifier (single-table scope)
+            return ColumnRef(full)
+        raise SqlError(f"unexpected token {t.value!r} in expression")
+
+    def _parse_call(self, name: str) -> Expr:
+        lname = name.lower()
+        distinct = self.accept_kw("distinct")
+        if self.accept_op(")"):
+            args = []
+        elif self.accept_op("*"):
+            self.expect_op(")")
+            if lname == "count":
+                return AggregateCall("count", None, distinct)
+            raise SqlError(f"{name}(*) not supported")
+        else:
+            args = [self.parse_expr()]
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+        if lname in AGG_FUNCS:
+            child = args[0] if args else None
+            return AggregateCall(lname, child, distinct)
+        return FunctionCall(lname, args)
+
+
+def parse_sql(sql: str) -> list:
+    return Parser(sql).parse_statements()
