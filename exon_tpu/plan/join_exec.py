@@ -1,0 +1,179 @@
+"""Hash-equi-join, TPU style: sorted build side + searchsorted probe.
+
+The reference uses DataFusion's repartitioned hash join (config/mod.rs:31);
+scalar-probe hash tables are the wrong shape for a vector machine, so the
+device plan is:
+
+  build:  collect build side → pack join keys to int64 → one XLA sort
+  probe:  per streamed batch, two vectorized searchsorted passes give each
+          probe row its [lo, hi) match range; segment expansion materializes
+          the pairs; gathers assemble the output batch
+
+String keys join on a 64-bit structural hash and are re-verified with an
+exact byte-equality residual filter, so results are exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import (Batch, DictColumn, FixedColumn, Schema, VarColumn,
+                     bucket_capacity)
+from ..errors import PlanError
+from ..ops import layout as layout_ops
+from .expressions import Expr, eval_expr, as_bool_mask
+from .physical import (PhysicalPlan, _group_key_i64, concat_batches,
+                       sort_permutation)
+
+
+def join_schema(lschema: Schema, rschema: Schema) -> tuple[Schema, list[str]]:
+    """Left fields + right fields; right-side name collisions get a
+    ':right'-style suffix (DataFusion would qualify with the table name)."""
+    lnames = {f.name for f in lschema.all_fields}
+    fields = list(lschema.all_fields)
+    rnames = []
+    for f in rschema.all_fields:
+        name = f.name
+        if name in lnames:
+            name = name + "_right"
+        rnames.append(name)
+        fields.append(dataclasses.replace(f, name=name))
+    return Schema(tuple(fields)), rnames
+
+
+@dataclasses.dataclass
+class JoinExec(PhysicalPlan):
+    left: PhysicalPlan    # probe side (streamed)
+    right: PhysicalPlan   # build side (collected)
+    on: list              # [(left_expr, right_expr)]
+    how: str              # inner | left
+    filter: Optional[Expr]
+    out_schema: Schema
+
+    def children(self):
+        return [self.left, self.right]
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        rschema = self.right.schema()
+        build = concat_batches(rschema, list(self.right.batches()))
+        n_build = build.num_rows_host()
+        right_keys = tuple(r for _, r in self.on)
+        left_keys = tuple(l for l, _ in self.on)
+
+        sort_step = _jit_build_sort(right_keys)
+        sorted_build, sorted_keys = sort_step(build)
+
+        probe_step = _jit_probe_counts(left_keys)
+        for pb in self.left.batches():
+            lo, hi, counts, total = probe_step(pb, sorted_keys,
+                                               jnp.asarray(build.length, jnp.int32))
+            if self.how == "left":
+                out_counts = jnp.maximum(counts, pb.row_mask().astype(jnp.int32))
+            else:
+                out_counts = counts
+            tot = int(jax.device_get(jnp.sum(out_counts)))
+            if tot == 0:
+                continue
+            out_cap = bucket_capacity(tot)
+            emit = _jit_emit(self.out_schema, self.how, out_cap,
+                             tuple(self.on), self.filter)
+            yield emit(pb, sorted_build, lo, counts, out_counts)
+
+
+@functools.cache
+def _jit_build_sort(right_keys: tuple):
+    @jax.jit
+    def step(build: Batch):
+        keys = _group_key_i64(right_keys, build)
+        mask = build.row_mask()
+        big = jnp.int64((1 << 62))
+        k = jnp.where(mask, keys, big)
+        perm = jnp.argsort(k, stable=True).astype(jnp.int32)
+        sorted_build = layout_ops.take_batch(build, perm,
+                                             jnp.asarray(build.length, jnp.int32))
+        return sorted_build, k[perm]
+
+    return step
+
+
+@functools.cache
+def _jit_probe_counts(left_keys: tuple):
+    @jax.jit
+    def step(pb: Batch, sorted_keys, n_build):
+        keys = _group_key_i64(left_keys, pb)
+        mask = pb.row_mask()
+        lo = jnp.searchsorted(sorted_keys, keys, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(sorted_keys, keys, side="right").astype(jnp.int32)
+        lo = jnp.minimum(lo, n_build)
+        hi = jnp.minimum(hi, n_build)
+        counts = jnp.where(mask, hi - lo, 0).astype(jnp.int32)
+        return lo, hi, counts, jnp.sum(counts)
+
+    return step
+
+
+@functools.cache
+def _jit_emit(out_schema: Schema, how: str, out_cap: int, on: tuple,
+              filter_expr):
+    n_left_keys = len(on)
+
+    @jax.jit
+    def step(pb: Batch, build: Batch, lo, counts, out_counts):
+        rid, intra, total = layout_ops.expand_segments(out_counts, out_cap)
+        ocount = jnp.minimum(total, out_cap)
+        live_out = jnp.arange(out_cap, dtype=jnp.int32) < ocount
+        probe_idx = rid
+        has_match = counts[rid] > 0
+        build_idx = jnp.clip(lo[rid] + intra, 0, build.capacity - 1)
+
+        left_taken = layout_ops.take_batch(pb, probe_idx, ocount)
+        right_taken = layout_ops.take_batch(build, build_idx, ocount)
+        # left-join: unmatched rows keep left values, null right side
+        cols = list(left_taken.columns)
+        for c in right_taken.columns:
+            cols.append(_null_where(c, jnp.logical_not(has_match))
+                        if how == "left" else c)
+        out = Batch(out_schema, cols, ocount)
+        # exact-match verification for hashed (string) keys + residual filter
+        ok = jnp.ones(out_cap, dtype=bool)
+        for li, (le, re) in enumerate(on):
+            lv = eval_expr(le, pb)
+            if isinstance(lv, VarColumn):
+                lcol = layout_ops.take_column(lv, probe_idx, ocount)
+                rv = eval_expr(re, build)
+                rcol = layout_ops.take_column(rv, build_idx, ocount)
+                from .expressions import _string_col_eq
+
+                eq = _string_col_eq(lcol, rcol)
+                if how == "left":
+                    eq = jnp.logical_or(eq, jnp.logical_not(has_match))
+                ok = jnp.logical_and(ok, eq)
+        if filter_expr is not None:
+            ok = jnp.logical_and(ok, as_bool_mask(eval_expr(filter_expr, out), out))
+        ok = jnp.logical_and(ok, live_out)
+        return layout_ops.filter_batch(out, ok)
+
+    return step
+
+
+def _null_where(col, null_mask):
+    if isinstance(col, FixedColumn):
+        return FixedColumn(col.values, jnp.logical_and(col.validity,
+                                                       jnp.logical_not(null_mask)))
+    if isinstance(col, DictColumn):
+        return DictColumn(col.codes, jnp.logical_and(col.validity,
+                                                     jnp.logical_not(null_mask)),
+                          col.vocab)
+    if isinstance(col, VarColumn):
+        return VarColumn(col.values, col.offsets,
+                         jnp.logical_and(col.validity, jnp.logical_not(null_mask)))
+    return col

@@ -132,13 +132,10 @@ class Join(LogicalPlan):
         return [self.left, self.right]
 
     def schema(self) -> Schema:
-        lf = self.left.schema().all_fields
-        rf = self.right.schema().all_fields
-        lnames = {f.name for f in lf}
-        out = list(lf)
-        for f in rf:
-            out.append(f)
-        return Schema(tuple(out))
+        from .join_exec import join_schema
+
+        out, _ = join_schema(self.left.schema(), self.right.schema())
+        return out
 
 
 @dataclasses.dataclass

@@ -393,7 +393,11 @@ def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
     for e in group_exprs:
         v = eval_expr(e, batch)
         if isinstance(v, DictColumn):
-            parts.append(v.codes.astype(jnp.int64))
+            # map codes through the structural hash of their vocab strings so
+            # dict- and var-encoded sides of a join/group agree on keys
+            table = np.asarray([_hash_bytes_host(s.encode()) for s in v.vocab]
+                               or [0], dtype=np.int64)
+            parts.append(jnp.asarray(table)[jnp.clip(v.codes, 0, len(table) - 1)])
         elif isinstance(v, FixedColumn):
             parts.append(v.values.astype(jnp.int64))
         elif isinstance(v, VarColumn):
@@ -405,6 +409,23 @@ def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
     for p in parts[1:]:
         key = (key * jnp.int64(1000003) + p) & M
     return key
+
+
+def _hash_bytes_host(s: bytes) -> int:
+    """Host mirror of _hash_var's structural hash (len + 131-poly over
+    64-byte prefix and 16-byte suffix, mod 2^61-ish mask)."""
+    M = (1 << 61) - 1
+    pre = s[:64] + b"\x00" * max(0, 64 - len(s))
+    suf = bytearray(16)
+    for j in range(16):
+        p = len(s) - 16 + j
+        if p >= 0:
+            suf[j] = s[p]
+    h = len(s)
+    for arr in (pre, bytes(suf)):
+        for b in arr:
+            h = (h * 131 + b) & M
+    return h
 
 
 def _hash_var(v: VarColumn) -> jnp.ndarray:

@@ -1,0 +1,90 @@
+"""Join executor + COPY TO write-path tests."""
+
+import os
+
+import pytest
+
+from exon_tpu import ExonSession
+
+
+@pytest.fixture()
+def ctx(ref_data):
+    c = ExonSession.new_exon()
+    base = "/root/reference/exon/exon-core/test-data/datasources"
+    c.sql(f"CREATE EXTERNAL TABLE gff STORED AS GFF LOCATION '{base}/gff/test.gff'")
+    c.sql(f"CREATE EXTERNAL TABLE fa STORED AS FASTA LOCATION '{base}/fasta/test.fasta'")
+    return c
+
+
+def test_inner_join_string_keys(ctx):
+    # first 50 rows: 40 sq0 + 10 sq1; build: 20 sq0 rows → 800 pairs
+    n = ctx.sql("""
+      SELECT COUNT(*) FROM (SELECT seqname FROM gff LIMIT 50) a
+      JOIN (SELECT seqname AS s FROM gff LIMIT 20) b ON a.seqname = b.s
+    """).to_pandas().iloc[0, 0]
+    assert n == 800
+
+
+def test_inner_join_int_keys(ctx):
+    n = ctx.sql("""
+      SELECT COUNT(*) FROM (SELECT start FROM gff LIMIT 100) x
+      JOIN (SELECT start AS st FROM gff LIMIT 100) y ON x.start = y.st
+    """).to_pandas().iloc[0, 0]
+    assert n == 10000
+
+
+def test_left_join_unmatched(ctx):
+    n = ctx.sql("""
+      SELECT COUNT(*) FROM (SELECT seqname FROM gff) g
+      LEFT JOIN (SELECT seqname AS s, start FROM gff WHERE seqname = 'sq1' LIMIT 1) h
+        ON g.seqname = h.s
+    """).to_pandas().iloc[0, 0]
+    assert n == 5000  # sq1 rows match the 1 build row; sq0 rows pass through
+
+
+def test_join_projection_columns(ctx):
+    t = ctx.sql("""
+      SELECT a.seqname, s FROM (SELECT seqname FROM gff LIMIT 5) a
+      JOIN (SELECT seqname AS s FROM gff LIMIT 4) b ON a.seqname = b.s
+    """).to_pandas()
+    assert len(t) == 20
+    assert (t["seqname"] == t["s"]).all()
+
+
+def test_copy_fasta_roundtrip(ctx, tmp_path):
+    out = str(tmp_path / "out.fasta")
+    n = ctx.sql(f"COPY fa TO '{out}' STORED AS FASTA").to_pandas().iloc[0, 0]
+    assert n == 2
+    back = ctx.read_fasta(out).collect_arrow()
+    orig = ctx.sql("SELECT * FROM fa").collect_arrow()
+    assert back.equals(orig)
+
+
+def test_copy_fasta_gzip(ctx, tmp_path):
+    out = str(tmp_path / "out.fasta.gz")
+    ctx.sql(f"COPY fa TO '{out}' STORED AS FASTA").collect()
+    assert ctx.read_fasta(out).count() == 2
+    with open(out, "rb") as f:
+        assert f.read(2) == b"\x1f\x8b"
+
+
+def test_copy_csv_and_parquet(ctx, tmp_path):
+    out = str(tmp_path / "o.csv")
+    ctx.sql(f"COPY (SELECT id, sequence FROM fa) TO '{out}'").collect()
+    assert '"id","sequence"' in open(out).read()
+    pout = str(tmp_path / "o.parquet")
+    ctx.sql(f"COPY (SELECT id FROM fa) TO '{pout}' STORED AS PARQUET").collect()
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(pout).num_rows == 2
+
+
+def test_copy_fastq(ctx, ref_data, tmp_path):
+    base = "/root/reference/exon/exon-core/test-data/datasources"
+    ctx.sql(f"CREATE EXTERNAL TABLE fq STORED AS FASTQ LOCATION '{base}/fastq/test.fastq'")
+    out = str(tmp_path / "out.fastq")
+    n = ctx.sql(f"COPY fq TO '{out}' STORED AS FASTQ").to_pandas().iloc[0, 0]
+    assert n == 2
+    back = ctx.read_fastq(out).collect_arrow()
+    orig = ctx.sql("SELECT * FROM fq").collect_arrow()
+    assert back.equals(orig)
