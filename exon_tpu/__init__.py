@@ -7,12 +7,27 @@ as JAX/XLA/Pallas kernels; multi-host scaling uses jax.sharding meshes with
 all_to_all shuffles (see exon_tpu.parallel).
 """
 
+import os as _os
+
 import jax as _jax
 
 # Engine-wide requirement: schemas carry Int64 positions/counts (Arrow
 # parity); enable 64-bit types before any jnp use. Hot kernels still use
 # int32 internally where it matters for TPU speed.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: TPU kernel compiles are expensive
+# (10-40s each on some runtimes); caching makes every query shape pay that
+# once per machine, not once per process.
+_cache_dir = _os.environ.get(
+    "EXON_TPU_XLA_CACHE",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "exon_tpu_xla"))
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 from .batch import Batch, Schema, DEFAULT_BATCH_SIZE
 from .config import SessionConfig, new_exon_config

@@ -183,5 +183,23 @@ def _register_builtin_formats() -> None:
         extension=".vcf",
     ))
 
+    from .formats import hmmdomtab as hmm_mod
+    from .formats import sam as sam_mod
+
+    register_format(FormatSpec(
+        name="SAM",
+        schema=sam_mod.sam_schema,
+        decode=sam_mod.decode_host,
+        default_options=sam_mod.SamOptions,
+        extension=".sam",
+    ))
+    register_format(FormatSpec(
+        name="HMMDOMTAB",
+        schema=hmm_mod.hmmdomtab_schema,
+        decode=hmm_mod.decode_host,
+        default_options=hmm_mod.HmmDomTabOptions,
+        extension=".hmmdomtab",
+    ))
+
 
 _register_builtin_formats()
