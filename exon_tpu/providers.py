@@ -118,6 +118,110 @@ class VcfTable(TableProvider):
         return plan
 
 
+@dataclasses.dataclass
+class BamTable(TableProvider):
+    """BAM listing table with .bai region pruning
+    (exon-core/src/datasources/bam/table_provider.rs)."""
+
+    url: str
+    options: object
+    config: object = None
+
+    def schema(self) -> Schema:
+        from .formats.bam import bam_schema
+
+        return bam_schema(self.options)
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        return "exact" if R.is_region_filter(expr) else "none"
+
+    def files(self):
+        files = resolve_table_files(self.url, getattr(self.options, "file_extension", ".bam"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def scan(self, projection: Optional[list[str]] = None,
+             filters: Sequence[Expr] = (), limit: Optional[int] = None
+             ) -> PhysicalPlan:
+        from .formats.bam import (decode_records, parse_bam_header,
+                                  scan_record_offsets)
+        from .io.bgzf import decompress_all
+        from .io.indexes import parse_bai
+
+        regions = R.infer_regions_from_filters(filters)
+        options = self.options
+        if getattr(options, "regions", None):
+            regions = list(options.regions) + regions
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        scan_proj = list(proj)
+        if regions:
+            for need in ("reference", "start", "end"):
+                if need not in scan_proj:
+                    scan_proj.append(need)
+        scan_schema = schema.project(scan_proj)
+        files = self.files()
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                raw = store.get(meta.path)
+                if regions and store.exists(meta.path + ".bai"):
+                    bai = parse_bai(store.get(meta.path + ".bai"))
+                    # header from the start of the file
+                    from .io import bgzf as bgzf_mod
+
+                    head_data = decompress_all(raw)
+                    header = parse_bam_header(head_data)
+                    for region in regions:
+                        try:
+                            rid = header.ref_names.index(region.name)
+                        except ValueError:
+                            continue
+                        for chunk in bai.query(rid, region):
+                            vs = bgzf_mod.make_vpos(0, bgzf_mod.uoffset(chunk.vstart))
+                            ve = bgzf_mod.make_vpos(
+                                bgzf_mod.coffset(chunk.vend) - bgzf_mod.coffset(chunk.vstart),
+                                bgzf_mod.uoffset(chunk.vend))
+                            buf = raw[bgzf_mod.coffset(chunk.vstart):]
+                            data = bgzf_mod.decompress_range(buf, vs, ve)
+                            offsets = scan_record_offsets(data, 0)
+                            yield from decode_records(data, offsets, header,
+                                                      options, scan_proj)
+                else:
+                    data = decompress_all(raw)
+                    header = parse_bam_header(data)
+                    offsets = scan_record_offsets(data, header.header_end)
+                    yield from decode_records(data, offsets, header,
+                                              options, scan_proj)
+
+        plan: PhysicalPlan = ScanExec(scan_schema, source)
+        if regions:
+            exprs = [R.region_to_interval_expr(r, "reference", "start", "end")
+                     for r in regions]
+            pred = exprs[0]
+            for e in exprs[1:]:
+                from .plan.expressions import BinaryOp
+
+                pred = BinaryOp("or", pred, e)
+            plan = FilterExec(pred, plan)
+            if scan_proj != proj:
+                from .plan.expressions import col
+
+                plan = ProjectExec([col(n) for n in proj],
+                                   schema.project(proj), plan)
+        return plan
+
+
+def make_bam_provider(url: str, options, config):
+    if config is not None:
+        options = dataclasses.replace(
+            options, parse_tags=getattr(config, "bam_parse_tags", False))
+    return BamTable(url, options, config)
+
+
 def make_vcf_provider(url: str, options, config):
     if config is not None:
         options = dataclasses.replace(
@@ -131,3 +235,4 @@ def register_indexed_providers() -> None:
     from .session import register_provider_factory
 
     register_provider_factory("VCF", make_vcf_provider)
+    register_provider_factory("BAM", make_bam_provider)

@@ -193,6 +193,22 @@ def _register_builtin_formats() -> None:
         default_options=sam_mod.SamOptions,
         extension=".sam",
     ))
+    from .formats import bam as bam_fmt
+
+    def bam_decode(data: bytes, options, projection):
+        from .io.bgzf import decompress_all
+
+        raw = decompress_all(data) if data[:2] == b"\x1f\x8b" else data
+        yield from bam_fmt.decode_host(raw, options, projection)
+
+    register_format(FormatSpec(
+        name="BAM",
+        schema=bam_fmt.bam_schema,
+        decode=bam_decode,
+        default_options=bam_fmt.BamOptions,
+        extension=".bam",
+    ))
+
     register_format(FormatSpec(
         name="HMMDOMTAB",
         schema=hmm_mod.hmmdomtab_schema,
