@@ -231,8 +231,125 @@ def make_vcf_provider(url: str, options, config):
     return VcfTable(url, options, config)
 
 
+@dataclasses.dataclass
+class SdfTable(TableProvider):
+    """SDF table with data-struct schema inference (keys scanned from the
+    file, exon-sdf schema_builder.rs add_field usage)."""
+
+    url: str
+    options: object
+    config: object = None
+    _keys: Optional[tuple] = None
+
+    def _infer_keys(self) -> tuple:
+        if self._keys is None:
+            import re
+
+            from .io.compression import decompress, infer_compression
+
+            keys: list[str] = []
+            seen = set()
+            rx = re.compile(rb"^>\s*<(.*?)>", re.M)
+            for store, meta in self.files():
+                _stem, comp = infer_compression(meta.path)
+                data = decompress(store.get(meta.path), comp)
+                for m in rx.finditer(data):
+                    k = m.group(1).decode("utf-8", "replace")
+                    if k not in seen:
+                        seen.add(k)
+                        keys.append(k)
+            self._keys = tuple(keys) or ("canonical_smiles",)
+        return self._keys
+
+    def files(self):
+        files = resolve_table_files(self.url, getattr(self.options, "file_extension", ".sdf"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def schema(self) -> Schema:
+        from .formats.sdf import sdf_schema
+
+        return sdf_schema(self.options, self._infer_keys())
+
+    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        from .formats.sdf import decode_host
+        from .io.compression import decompress, infer_compression
+
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        scan_schema = schema.project(proj)
+        files = self.files()
+        options = self.options
+
+        options = dataclasses.replace(options, data_keys=self._infer_keys())
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                _stem, comp = infer_compression(meta.path)
+                data = decompress(store.get(meta.path), comp)
+                yield from decode_host(data, options, proj)
+
+        return ScanExec(scan_schema, source)
+
+
+def make_sdf_provider(url: str, options, config):
+    return SdfTable(url, options, config)
+
+
+@dataclasses.dataclass
+class FcsTable(TableProvider):
+    """FCS table: schema = one Float32 column per channel, from the file's
+    TEXT segment (exon-fcs/src/reader/mod.rs)."""
+
+    url: str
+    options: object
+    config: object = None
+
+    def files(self):
+        files = resolve_table_files(self.url, getattr(self.options, "file_extension", ".fcs"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def schema(self) -> Schema:
+        from .formats.fcs import fcs_schema_from_bytes
+        from .io.compression import decompress, infer_compression
+
+        store, meta = self.files()[0]
+        _stem, comp = infer_compression(meta.path)
+        return fcs_schema_from_bytes(decompress(store.get(meta.path), comp))
+
+    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        from .formats.fcs import decode_host
+        from .io.compression import decompress, infer_compression
+
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        files = self.files()
+        options = self.options
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                _stem, comp = infer_compression(meta.path)
+                data = decompress(store.get(meta.path), comp)
+                yield from decode_host(data, options, proj)
+
+        return ScanExec(schema.project(proj), source)
+
+
+def make_fcs_provider(url: str, options, config):
+    return FcsTable(url, options, config)
+
+
 def register_indexed_providers() -> None:
     from .session import register_provider_factory
 
     register_provider_factory("VCF", make_vcf_provider)
     register_provider_factory("BAM", make_bam_provider)
+    register_provider_factory("SDF", make_sdf_provider)
+    register_provider_factory("FCS", make_fcs_provider)

@@ -193,6 +193,42 @@ def _register_builtin_formats() -> None:
         default_options=sam_mod.SamOptions,
         extension=".sam",
     ))
+    from .formats import sdf as sdf_mod
+
+    register_format(FormatSpec(
+        name="SDF",
+        schema=lambda o: sdf_mod.sdf_schema(o, o.data_keys or ("canonical_smiles",)),
+        decode=sdf_mod.decode_host,
+        default_options=sdf_mod.SdfOptions,
+        extension=".sdf",
+    ))
+
+    from .formats import fcs as fcs_mod
+    from .formats import genbank as gb_mod
+    from .formats import mzml as mzml_mod
+
+    register_format(FormatSpec(
+        name="MZML",
+        schema=mzml_mod.mzml_schema,
+        decode=mzml_mod.decode_host,
+        default_options=mzml_mod.MzmlOptions,
+        extension=".mzML",
+    ))
+    register_format(FormatSpec(
+        name="GENBANK",
+        schema=gb_mod.genbank_schema,
+        decode=gb_mod.decode_host,
+        default_options=gb_mod.GenbankOptions,
+        extension=".gb",
+    ))
+    register_format(FormatSpec(
+        name="FCS",
+        schema=fcs_mod.fcs_schema,
+        decode=fcs_mod.decode_host,
+        default_options=fcs_mod.FcsOptions,
+        extension=".fcs",
+    ))
+
     from .formats import bam as bam_fmt
 
     def bam_decode(data: bytes, options, projection):

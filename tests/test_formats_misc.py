@@ -1,0 +1,92 @@
+"""mzML / GenBank / SDF / FCS decoder tests."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from exon_tpu import ExonSession
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return ExonSession.new_exon()
+
+
+def test_mzml_count_and_fields(ctx, ref_data):
+    t = ctx.read_mzml(ref_data("mzml", "test.mzML")).collect_arrow()
+    assert t.num_rows == 2
+    assert t.column("precursor_mz")[0].as_py() == pytest.approx(643.0343966)
+    # compressed variants decode identically
+    t_gz = ctx.read_mzml(ref_data("mzml", "test.mzML.gz")).collect_arrow()
+    assert t_gz.num_rows == 2
+
+
+def test_genbank_fields(ctx, ref_data):
+    t = ctx.read_genbank(ref_data("genbank", "test.gb")).collect_arrow()
+    assert t.num_rows == 1
+    assert t.column("name")[0].as_py() == "BGC0002746"
+    assert t.column("accession")[0].as_py() == "BGC0002746"
+    assert t.column("topology")[0].as_py() == "linear"
+    assert len(t.column("sequence")[0].as_py()) == 38658
+    feats = t.column("features")[0].as_py()
+    assert feats[0]["kind"] == "subregion"
+    quals = {q["keys"]: q["values"] for q in feats[0]["qualifiers"]}
+    assert quals["aStool"] == "mibig"
+
+
+def test_sdf_count_benchmark_parity(ctx, ref_data):
+    # reference asserts 6512 rows (exon_context_ext.rs:751)
+    n = ctx.read_sdf(ref_data("sdf", "tox_benchmark_N6512.sdf.gz")).count()
+    assert n == 6512
+
+
+def test_sdf_data_struct(ctx, ref_data):
+    t = ctx.read_sdf(ref_data("sdf", "tox_benchmark_N6512.sdf.gz")).limit(3).collect_arrow()
+    d = t.column("data")[0].as_py()
+    assert "CAS_NO" in d and d["CAS_NO"] == "2475-33-4"
+    assert t.column("atom_count")[0].as_py() == 50
+    assert t.column("bond_count")[0].as_py() == 60
+
+
+def _make_fcs(tmp_path, n_events=100, channels=("FSC-A", "SSC-A", "FL1-A")):
+    rng = np.random.default_rng(0)
+    mat = rng.random((n_events, len(channels))).astype("<f4")
+    text_parts = [f"$PAR/{len(channels)}", f"$TOT/{n_events}",
+                  "$DATATYPE/F", "$BYTEORD/1,2,3,4", "$MODE/L"]
+    for i, c in enumerate(channels):
+        text_parts.append(f"$P{i + 1}N/{c}")
+    text = "/" + "/".join(p.replace("/", "/", 1) for p in
+                          [p.replace("/", "/") for p in text_parts]) + "/"
+    # build TEXT segment with '/' delimiter: /key/value/key/value/
+    kvs = []
+    for p in text_parts:
+        k, v = p.split("/", 1)
+        kvs.extend([k, v])
+    text = "/" + "/".join(kvs) + "/"
+    header_len = 58
+    text_start = header_len
+    text_end = text_start + len(text) - 1
+    data_start = text_end + 1
+    data_end = data_start + mat.nbytes - 1
+    header = (b"FCS3.0    " +
+              f"{text_start:>8}{text_end:>8}{data_start:>8}{data_end:>8}".encode() +
+              b" " * (header_len - 42))
+    payload = header[:58] + text.encode() + mat.tobytes()
+    p = tmp_path / "test.fcs"
+    p.write_bytes(payload)
+    return str(p), mat
+
+
+def test_fcs_synthetic(ctx, tmp_path):
+    path, mat = _make_fcs(tmp_path)
+    t = ctx.read_fcs(path).collect_arrow()
+    assert t.column_names == ["FSC-A", "SSC-A", "FL1-A"]
+    assert t.num_rows == 100
+    np.testing.assert_allclose(np.asarray(t.column("FSC-A")), mat[:, 0],
+                               rtol=1e-6)
+
+
+def test_read_inferred(ctx, ref_data):
+    df = ctx.read_inferred_exon_table(ref_data("gff", "test.gff"))
+    assert df.count() == 5000
