@@ -219,6 +219,91 @@ def _parse_binindex(raw: bytes, off: int, pseudo_bin: Optional[int] = 37450
     return BinIndex(bins, intervals), off
 
 
+def reg2bins_csi(beg: int, end: int, min_shift: int, depth: int) -> list[int]:
+    """Generalized CSI binning (min_shift/depth parameterized)."""
+    max_pos = 1 << (min_shift + 3 * depth)
+    beg = min(beg, max_pos - 1)
+    end = min(end, max_pos)
+    end -= 1
+    bins = []
+    l, t, s = 0, 0, min_shift + depth * 3
+    while l <= depth:
+        bins.extend(range(t + (beg >> s), t + (end >> s) + 1))
+        s -= 3
+        t += 1 << (3 * l)
+        l += 1
+    return bins
+
+
+@dataclass
+class CsiIndex:
+    names: list[str]
+    refs: list[BinIndex]
+    min_shift: int
+    depth: int
+
+    def ref_id(self, name: str) -> Optional[int]:
+        try:
+            return self.names.index(name)
+        except ValueError:
+            return None
+
+    def query(self, region: Region) -> list[Chunk]:
+        rid = self.ref_id(region.name)
+        if rid is None or rid >= len(self.refs):
+            return []
+        ref = self.refs[rid]
+        out = []
+        for b in reg2bins_csi(region.zero_start, region.excl_end,
+                              self.min_shift, self.depth):
+            out.extend(ref.bins.get(b, ()))
+        out.sort(key=lambda c: c.vstart)
+        merged: list[Chunk] = []
+        for c in out:
+            if merged and c.vstart <= merged[-1].vend:
+                merged[-1] = Chunk(merged[-1].vstart, max(merged[-1].vend, c.vend))
+            else:
+                merged.append(Chunk(c.vstart, c.vend))
+        return merged
+
+
+def parse_csi(data: bytes, contig_names: Optional[list[str]] = None) -> CsiIndex:
+    """Parse a .csi file. Names come from the aux blob (tabix-style) or the
+    caller (BCF headers carry their own contig list)."""
+    raw = decompress_all(data)
+    if raw[:4] != b"CSI\x01":
+        raise ValueError("not a CSI index")
+    min_shift, depth, l_aux = struct.unpack_from("<3i", raw, 4)
+    off = 16
+    names: list[str] = []
+    if l_aux >= 28:
+        # tabix-format aux: 7 int32 config values + names blob
+        (l_nm,) = struct.unpack_from("<i", raw, off + 24)
+        blob = raw[off + 28: off + 28 + l_nm]
+        names = [n.decode() for n in blob.split(b"\x00") if n]
+    off += l_aux
+    (n_ref,) = struct.unpack_from("<i", raw, off)
+    off += 4
+    refs = []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        bins: dict[int, list[Chunk]] = {}
+        for _ in range(n_bin):
+            b, _loffset, n_chunk = struct.unpack_from("<IQi", raw, off)
+            off += 16
+            chunks = []
+            for _ in range(n_chunk):
+                vs, ve = struct.unpack_from("<QQ", raw, off)
+                off += 16
+                chunks.append(Chunk(vs, ve))
+            bins[b] = chunks
+        refs.append(BinIndex(bins, []))
+    if contig_names:
+        names = contig_names
+    return CsiIndex(names, refs, min_shift, depth)
+
+
 @dataclass
 class BaiIndex:
     refs: list[BinIndex]  # indexed by BAM reference id

@@ -245,14 +245,24 @@ class AggregateCall(Expr):
 
 ScalarFn = Callable[..., Any]
 _FUNCTIONS: dict[str, ScalarFn] = {}
+_HOST_FUNCTIONS: set[str] = set()
 
 
-def register_function(name: str, fn: ScalarFn) -> None:
+def register_function(name: str, fn: ScalarFn, host: bool = False) -> None:
     _FUNCTIONS[name.lower()] = fn
+    if host:
+        _HOST_FUNCTIONS.add(name.lower())
 
 
 def get_function(name: str) -> Optional[ScalarFn]:
     return _FUNCTIONS.get(name.lower())
+
+
+def contains_host_fn(expr: "Expr") -> bool:
+    """True if the tree calls a host-only UDF (cannot run under jit)."""
+    if isinstance(expr, FunctionCall) and expr.name.lower() in _HOST_FUNCTIONS:
+        return True
+    return any(contains_host_fn(c) for c in expr.children())
 
 
 def eval_expr(expr: Expr, batch: Batch):

@@ -112,12 +112,13 @@ class FilterExec(PhysicalPlan):
 
 @functools.cache
 def _jit_filter_step(predicate: Expr):
-    @jax.jit
+    from .expressions import contains_host_fn
+
     def step(batch: Batch) -> Batch:
         mask = as_bool_mask(eval_expr(predicate, batch), batch)
         return layout_ops.filter_batch(batch, mask)
 
-    return step
+    return step if contains_host_fn(predicate) else jax.jit(step)
 
 
 @dataclasses.dataclass
@@ -140,7 +141,8 @@ class ProjectExec(PhysicalPlan):
 
 @functools.cache
 def _jit_project_step(exprs: tuple, out_schema: Schema):
-    @jax.jit
+    from .expressions import contains_host_fn
+
     def step(batch: Batch) -> Batch:
         cols = []
         for e in exprs:
@@ -148,11 +150,16 @@ def _jit_project_step(exprs: tuple, out_schema: Schema):
             cols.append(_to_column(v, batch))
         return Batch(out_schema, cols, batch.length)
 
-    return step
+    if any(contains_host_fn(e) for e in exprs):
+        return step
+    return jax.jit(step)
 
 
 def _to_column(v, batch: Batch):
-    if isinstance(v, (FixedColumn, VarColumn, DictColumn)):
+    from ..batch import ListColumn, StructColumn
+
+    if isinstance(v, (FixedColumn, VarColumn, DictColumn, ListColumn,
+                      StructColumn)):
         return v
     if isinstance(v, (int, float, bool)):
         arr = jnp.full(batch.capacity, v)

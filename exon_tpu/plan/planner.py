@@ -135,8 +135,11 @@ def _push_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
                 for n in expr_columns(f):
                     if n not in cols and schema.has_field(n):
                         cols.append(n)
-            # preserve schema order
+            # preserve schema order; COUNT(*)-style plans still need one
+            # column so batches keep a row capacity
             cols = [n for n in schema.names if n in cols]
+            if not cols and schema.names:
+                cols = [_cheapest_column(schema)]
             return L.Scan(p.provider, p.table_name, cols, p.filters, p.fetch)
         if isinstance(p, L.Filter):
             need = None if needed is None else needed | expr_columns(p.predicate)
@@ -179,6 +182,13 @@ def _push_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
         return _with_children(p, kids)
 
     return required(plan, None)
+
+
+def _cheapest_column(schema: Schema) -> str:
+    for f in schema.all_fields:
+        if f.dtype.is_fixed_width or f.dtype.kind.value == "dictionary":
+            return f.name
+    return schema.names[0]
 
 
 def _with_children(plan: L.LogicalPlan, kids: list) -> L.LogicalPlan:

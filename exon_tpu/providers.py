@@ -110,7 +110,7 @@ class VcfTable(TableProvider):
 
                 pred = BinaryOp("or", pred, e)
             plan = FilterExec(pred, plan)
-            if scan_proj != proj:
+            if scan_proj != proj and proj:
                 from .plan.expressions import col
 
                 plan = ProjectExec([col(n) for n in proj],
@@ -207,7 +207,7 @@ class BamTable(TableProvider):
 
                 pred = BinaryOp("or", pred, e)
             plan = FilterExec(pred, plan)
-            if scan_proj != proj:
+            if scan_proj != proj and proj:
                 from .plan.expressions import col
 
                 plan = ProjectExec([col(n) for n in proj],
@@ -346,6 +346,93 @@ def make_fcs_provider(url: str, options, config):
     return FcsTable(url, options, config)
 
 
+@dataclasses.dataclass
+class BcfTable(TableProvider):
+    """BCF listing table with .csi region pruning."""
+
+    url: str
+    options: object
+    config: object = None
+
+    def schema(self) -> Schema:
+        from .formats.vcf import vcf_schema
+
+        return vcf_schema(self.options)
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        return "exact" if R.is_region_filter(expr) else "none"
+
+    def files(self):
+        files = resolve_table_files(self.url, getattr(self.options, "file_extension", ".bcf"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        from .formats.bcf import parse_bcf_header, parse_bcf_records
+        from .formats import bcf as bcf_mod
+        from .io import bgzf as bgzf_mod
+        from .io.indexes import parse_csi
+
+        regions = R.infer_regions_from_filters(filters)
+        options = self.options
+        if getattr(options, "regions", None):
+            regions = list(options.regions) + regions
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        scan_proj = list(proj)
+        if regions:
+            for need in ("chrom", "pos"):
+                if need not in scan_proj:
+                    scan_proj.append(need)
+        scan_schema = schema.project(scan_proj)
+        files = self.files()
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                raw = store.get(meta.path)
+                data = bgzf_mod.decompress_all(raw)
+                header, str_dict, contigs, start = parse_bcf_header(data)
+                if regions and store.exists(meta.path + ".csi"):
+                    csi = parse_csi(store.get(meta.path + ".csi"), contigs)
+                    for region in regions:
+                        for chunk in csi.query(region):
+                            text = bgzf_mod.decompress_range(
+                                raw[bgzf_mod.coffset(chunk.vstart):],
+                                bgzf_mod.make_vpos(0, bgzf_mod.uoffset(chunk.vstart)),
+                                bgzf_mod.make_vpos(
+                                    bgzf_mod.coffset(chunk.vend) - bgzf_mod.coffset(chunk.vstart),
+                                    bgzf_mod.uoffset(chunk.vend)))
+                            recs = parse_bcf_records(text, 0, str_dict, contigs)
+                            yield from bcf_mod.records_to_batches(
+                                recs, options, scan_proj)
+                else:
+                    recs = parse_bcf_records(data, start, str_dict, contigs)
+                    yield from bcf_mod.records_to_batches(recs, options, scan_proj)
+
+        plan: PhysicalPlan = ScanExec(scan_schema, source)
+        if regions:
+            exprs = [R.region_to_point_expr(r, "chrom", "pos") for r in regions]
+            pred = exprs[0]
+            for e in exprs[1:]:
+                from .plan.expressions import BinaryOp
+
+                pred = BinaryOp("or", pred, e)
+            plan = FilterExec(pred, plan)
+            if scan_proj != proj and proj:
+                from .plan.expressions import col
+
+                plan = ProjectExec([col(n) for n in proj],
+                                   schema.project(proj), plan)
+        return plan
+
+
+def make_bcf_provider(url: str, options, config):
+    return BcfTable(url, options, config)
+
+
 def register_indexed_providers() -> None:
     from .session import register_provider_factory
 
@@ -353,3 +440,4 @@ def register_indexed_providers() -> None:
     register_provider_factory("BAM", make_bam_provider)
     register_provider_factory("SDF", make_sdf_provider)
     register_provider_factory("FCS", make_fcs_provider)
+    register_provider_factory("BCF", make_bcf_provider)

@@ -183,6 +183,22 @@ def _register_builtin_formats() -> None:
         extension=".vcf",
     ))
 
+    from .formats import bcf as bcf_mod
+
+    def bcf_decode(data: bytes, options, projection):
+        from .io.bgzf import decompress_all
+
+        raw = decompress_all(data) if data[:2] == b"\x1f\x8b" else data
+        yield from bcf_mod.decode_host(raw, options, projection)
+
+    register_format(FormatSpec(
+        name="BCF",
+        schema=bcf_mod.vcf_schema,
+        decode=bcf_decode,
+        default_options=bcf_mod.BcfOptions,
+        extension=".bcf",
+    ))
+
     from .formats import hmmdomtab as hmm_mod
     from .formats import sam as sam_mod
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from . import datatypes as dt
+from . import datatypes as dt  # noqa: F401
 from .batch import Batch, DictColumn, FixedColumn, VarColumn
 from .errors import PlanError
 from .ops.layout import byte_row_ids, live_byte_mask, row_lengths
@@ -166,6 +166,102 @@ def is_mapped(batch: Batch, flags) -> jnp.ndarray:
     return (vals.astype(jnp.int32) & 0x4) == 0
 
 
+# -- alignment_score (udfs/sequence/alignment_score.rs:95-140;
+#    TPU kernel in ops/alignment.py) ----------------------------------------
+
+
+def alignment_score(batch: Batch, seq, other, band=None) -> jnp.ndarray:
+    from .ops.alignment import alignment_scores
+
+    if isinstance(seq, str) and isinstance(other, VarColumn):
+        seq, other = other, seq
+    if isinstance(seq, VarColumn) and isinstance(other, str):
+        return alignment_scores(seq, other.encode())
+    raise PlanError("alignment_score expects (sequence_column, 'QUERY')")
+
+
+# -- locate_regex (udfs/sequence/locate_regex.rs): host-evaluated regex ------
+
+
+def locate_regex(batch: Batch, seq, pattern) -> "object":
+    """Returns List<Struct{start,end,match}> (1-based inclusive-ish per
+    reference: start+1, end+1). Regex runs host-side (no device regex)."""
+    import re as _re
+
+    import jax as _jax
+    from .batch import ListColumn, StructColumn, utf8_column, fixed_column
+
+    if not isinstance(seq, VarColumn) or not isinstance(pattern, str):
+        raise PlanError("locate_regex expects (sequence_column, 'pattern')")
+    rx = _re.compile(pattern)
+    offs = np.asarray(_jax.device_get(seq.offsets))
+    vals = np.asarray(_jax.device_get(seq.values))
+    valid = np.asarray(_jax.device_get(seq.validity))
+    n = len(offs) - 1
+    starts, ends, matches, counts = [], [], [], []
+    for i in range(n):
+        if not valid[i]:
+            counts.append(0)
+            continue
+        s = bytes(vals[offs[i]:offs[i + 1]]).decode("utf-8", "replace")
+        ms = list(rx.finditer(s))
+        counts.append(len(ms))
+        for m in ms:
+            starts.append(m.start() + 1)
+            ends.append(m.end() + 1)
+            matches.append(m.group(0))
+    from .formats.textutil import cumsum_exclusive
+
+    loffs = cumsum_exclusive(np.asarray(counts, np.int64))
+    entry = StructColumn({
+        "start": fixed_column(np.asarray(starts, np.int32)),
+        "end": fixed_column(np.asarray(ends, np.int32)),
+        "match": utf8_column(matches),
+    }, np.ones(len(starts), bool))
+    return ListColumn(entry, loffs.astype(np.int32), valid)
+
+
+LOCATE_REGEX_T = dt.list_(dt.struct([
+    dt.Field("start", dt.int32, True),
+    dt.Field("end", dt.int32, True),
+    dt.Field("match", dt.utf8, True),
+]))
+
+
+# -- mass-spec UDFs (udfs/massspec/{bin_vectors,contains_peak}.rs) ----------
+
+
+def contains_peak(batch: Batch, mz, peak_mz, tolerance) -> jnp.ndarray:
+    """True if any mz value is within ±tolerance of peak_mz."""
+    if not isinstance(mz, VarColumn):
+        raise PlanError("contains_peak expects a List<Float64> column")
+    vcap = mz.value_capacity
+    rid = jnp.clip(byte_row_ids(mz.offsets, vcap), 0, mz.capacity - 1)
+    hit = jnp.abs(mz.values - peak_mz) <= tolerance
+    per_row = jnp.zeros(mz.capacity, jnp.int32).at[rid].add(
+        hit.astype(jnp.int32), indices_are_sorted=True)
+    return jnp.logical_and(per_row > 0, mz.validity)
+
+
+def bin_vectors(batch: Batch, mz, intensity, min_mz, num_bins, bin_width
+                ) -> VarColumn:
+    """Sum intensities into fixed-width mz bins → List<Float64>[num_bins]."""
+    if not (isinstance(mz, VarColumn) and isinstance(intensity, VarColumn)):
+        raise PlanError("bin_vectors expects two List<Float64> columns")
+    num_bins = int(num_bins)
+    cap = mz.capacity
+    vcap = mz.value_capacity
+    rid = jnp.clip(byte_row_ids(mz.offsets, vcap), 0, cap - 1)
+    b = jnp.floor((mz.values - min_mz) / bin_width).astype(jnp.int32)
+    ok = jnp.logical_and(b >= 0, b < num_bins)
+    flat_bin = rid * num_bins + jnp.clip(b, 0, num_bins - 1)
+    sums = jnp.zeros(cap * num_bins, jnp.float64).at[
+        jnp.where(ok, flat_bin, cap * num_bins - 1)
+    ].add(jnp.where(ok, intensity.values, 0.0))
+    offsets = (jnp.arange(cap + 1, dtype=jnp.int32) * num_bins)
+    return VarColumn(sums, offsets, mz.validity)
+
+
 # -- registration -----------------------------------------------------------
 
 
@@ -215,6 +311,17 @@ def _register_all() -> None:
         register_function_type(name, _bool_type)
     register_function("is_mapped", is_mapped)
     register_function_type("is_mapped", _bool_type)
+
+    # host=True: the SW kernel itself is a device jit, but the wrapper syncs
+    # the max row length to size the padded matrix
+    register_function("alignment_score", alignment_score, host=True)
+    register_function_type("alignment_score", lambda a: dt.int32)
+    register_function("locate_regex", locate_regex, host=True)
+    register_function_type("locate_regex", lambda a: LOCATE_REGEX_T)
+    register_function("contains_peak", contains_peak)
+    register_function_type("contains_peak", _bool_type)
+    register_function("bin_vectors", bin_vectors)
+    register_function_type("bin_vectors", lambda a: dt.list_(dt.float64))
 
     # region-filter markers: planned away by providers, never executed
     # (udfs/vcf/vcf_region_filter.rs:42-67)
