@@ -170,7 +170,38 @@ class StructColumn:
         return self.validity.shape[0]
 
 
-Column = Union[FixedColumn, VarColumn, DictColumn, ListColumn, StructColumn]
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PrefixColumn:
+    """Late-materialized string column: first-K bytes + true lengths.
+
+    Used when the planner proves a predicate only inspects bounded prefixes
+    (LIKE 'lit%', equality with short literals, length) — staging K bytes
+    per row instead of the full flat buffer slashes host→device transfer.
+    """
+
+    prefix: Any   # uint8 [cap, K]
+    lengths: Any  # int32 [cap] — TRUE row lengths
+    validity: Any
+
+    def tree_flatten(self):
+        return (self.prefix, self.lengths, self.validity), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def capacity(self) -> int:
+        return self.lengths.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.prefix.shape[1]
+
+
+Column = Union[FixedColumn, VarColumn, DictColumn, ListColumn, StructColumn,
+               PrefixColumn]
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +387,10 @@ def _pad_to_device(col: Column, dtype: DataType, n: int, cap: int,
             for f in dtype.children
         }
         return StructColumn(children, jnp.asarray(_pad1(col.validity, cap, False)))
+    if isinstance(col, PrefixColumn):
+        return PrefixColumn(jnp.asarray(_pad1(col.prefix, cap)),
+                            jnp.asarray(_pad1(col.lengths, cap)),
+                            jnp.asarray(_pad1(col.validity, cap, False)))
     raise TypeError(f"unknown column type {type(col)}")
 
 

@@ -1,0 +1,144 @@
+"""ctypes bindings to the native ingest library (native/libexon_native.so).
+
+The C++ scanner replaces the multi-pass numpy decode on the hot ingest path
+(the role noodles plays in the reference). Falls back cleanly when the
+library isn't built — every caller has a pure-numpy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+class _FastaIndex(ctypes.Structure):
+    _fields_ = [
+        ("n_records", ctypes.c_int64),
+        ("header_start", ctypes.POINTER(ctypes.c_int64)),
+        ("name_start", ctypes.POINTER(ctypes.c_int64)),
+        ("name_end", ctypes.POINTER(ctypes.c_int64)),
+        ("desc_start", ctypes.POINTER(ctypes.c_int64)),
+        ("desc_end", ctypes.POINTER(ctypes.c_int64)),
+        ("seq_length", ctypes.POINTER(ctypes.c_int64)),
+    ]
+
+
+def _so_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "native", "libexon_native.so")
+
+
+def get_lib():
+    """Load (building on first use if possible) the native library."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _so_path()
+    if not os.path.exists(path):
+        build = os.path.join(os.path.dirname(path), "build.sh")
+        try:
+            subprocess.run(["sh", build], capture_output=True, timeout=120,
+                           check=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.fasta_count_records.restype = ctypes.c_int64
+    lib.fasta_count_records.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.fasta_scan.restype = ctypes.c_int64
+    lib.fasta_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                               ctypes.POINTER(_FastaIndex),
+                               ctypes.c_char_p, ctypes.c_int64]
+    lib.fasta_fill_sequences.restype = ctypes.c_int64
+    lib.fasta_fill_sequences.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_char_p]
+    lib.encode_dna.restype = ctypes.c_int64
+    lib.encode_dna.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.scan_lines.restype = ctypes.c_int64
+    lib.scan_lines.argtypes = [ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint8,
+                               np.ctypeslib.ndpointer(np.int64),
+                               np.ctypeslib.ndpointer(np.int64),
+                               ctypes.c_int64]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def fasta_scan(data: bytes, prefix_k: int = 0):
+    """Native single-pass FASTA scan.
+
+    Returns dict with numpy arrays: header/name/desc offsets, seq lengths,
+    prefix matrix [n, prefix_k] — or None if the library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(data)
+    # capacity = count of '>' bytes (SIMD memchr; ≥ true record count)
+    cap = data.count(b">")
+    if cap == 0:
+        return {"n": 0}
+    arrs = {k: np.empty(cap, np.int64)
+            for k in ("header_start", "name_start", "name_end",
+                      "desc_start", "desc_end", "seq_length")}
+    idx = _FastaIndex()
+    idx.n_records = cap
+    for k, a in arrs.items():
+        setattr(idx, k, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    k_eff = max(prefix_k, 1)
+    prefix = np.zeros((cap, k_eff), np.uint8)
+    n_rec = lib.fasta_scan(data, n, ctypes.byref(idx),
+                           prefix.ctypes.data_as(ctypes.c_char_p),
+                           k_eff if prefix_k > 0 else 0)
+    if n_rec < 0:
+        from .errors import InvalidSequenceError
+
+        raise InvalidSequenceError("FASTA data before first header")
+    n_rec = int(n_rec)
+    out = {"n": n_rec,
+           "prefix": prefix[:n_rec] if prefix_k > 0 else None}
+    out.update({k: a[:n_rec] for k, a in arrs.items()})
+    return out
+
+
+def fasta_fill_sequences(data: bytes, header_start: np.ndarray,
+                         seq_offsets: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    total = int(seq_offsets[-1])
+    out = np.empty(total, np.uint8)
+    wrote = lib.fasta_fill_sequences(data, len(data), header_start,
+                                     len(header_start),
+                                     seq_offsets.astype(np.int64),
+                                     out.ctypes.data_as(ctypes.c_char_p))
+    if wrote != total:
+        return None
+    return out
+
+
+def scan_lines(data: bytes, comment: int = 0):
+    """Native line scan (skips comment-prefixed lines, strips CR)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    max_lines = data.count(b"\n") + 1
+    starts = np.empty(max_lines, np.int64)
+    ends = np.empty(max_lines, np.int64)
+    count = lib.scan_lines(data, len(data), comment, starts, ends, max_lines)
+    return starts[:count], ends[:count]

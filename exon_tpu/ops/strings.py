@@ -14,8 +14,21 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..batch import VarColumn, DictColumn
+from ..batch import DictColumn, PrefixColumn, VarColumn
 from .layout import byte_row_ids, gather_prefix, row_lengths
+
+
+def _prefix_of(col, k: int):
+    """(prefix[cap,k], valid_mask[cap,k], lengths[cap]) for Var/Prefix cols."""
+    if isinstance(col, PrefixColumn):
+        if k > col.k:
+            raise ValueError(
+                f"predicate needs {k}-byte prefix but column staged {col.k}")
+        pre = col.prefix[:, :k]
+        valid = jnp.arange(k, dtype=jnp.int32)[None, :] < col.lengths[:, None]
+        return jnp.where(valid, pre, 0), valid, col.lengths
+    pre, valid = gather_prefix(col, k)
+    return pre, valid, row_lengths(col.offsets)
 
 
 def _upper_u8(x: jnp.ndarray) -> jnp.ndarray:
@@ -40,16 +53,16 @@ def _prefix_arr(pattern: bytes):
     return jnp.asarray(np.frombuffer(pattern, dtype=np.uint8))
 
 
-def starts_with(col: VarColumn, prefix: bytes, case_insensitive: bool = False) -> jnp.ndarray:
+def starts_with(col, prefix: bytes, case_insensitive: bool = False) -> jnp.ndarray:
     k = len(prefix)
     if k == 0:
         return jnp.ones(col.capacity, dtype=bool)
-    pre, valid = gather_prefix(col, k)
+    pre, valid, lens = _prefix_of(col, k)
     pat = _prefix_arr(prefix)
     if case_insensitive:
         pre = _upper_u8(pre)
         pat = _upper_u8(pat)
-    long_enough = row_lengths(col.offsets) >= k
+    long_enough = lens >= k
     eq = jnp.all(jnp.where(valid, pre == pat[None, :], True), axis=1)
     return jnp.logical_and(eq, long_enough)
 
@@ -70,9 +83,15 @@ def ends_with(col: VarColumn, suffix: bytes, case_insensitive: bool = False) -> 
     return jnp.logical_and(eq, lens >= k)
 
 
-def equals_literal(col: VarColumn, lit: bytes, case_insensitive: bool = False) -> jnp.ndarray:
+def str_lengths(col) -> jnp.ndarray:
+    if isinstance(col, PrefixColumn):
+        return col.lengths
+    return row_lengths(col.offsets)
+
+
+def equals_literal(col, lit: bytes, case_insensitive: bool = False) -> jnp.ndarray:
     m = starts_with(col, lit, case_insensitive)
-    return jnp.logical_and(m, row_lengths(col.offsets) == len(lit))
+    return jnp.logical_and(m, str_lengths(col) == len(lit))
 
 
 def contains(col: VarColumn, needle: bytes, case_insensitive: bool = False) -> jnp.ndarray:
@@ -103,7 +122,7 @@ def contains(col: VarColumn, needle: bytes, case_insensitive: bool = False) -> j
     return out > 0
 
 
-def like(col: VarColumn, pattern: str, case_insensitive: bool = False) -> jnp.ndarray:
+def like(col, pattern: str, case_insensitive: bool = False) -> jnp.ndarray:
     """SQL LIKE subset compiled to kernel combos.
 
     Supports the patterns that appear in the reference's query surface:
@@ -124,7 +143,7 @@ def like(col: VarColumn, pattern: str, case_insensitive: bool = False) -> jnp.nd
         if suf:
             m = jnp.logical_and(m, ends_with(col, suf.encode(), case_insensitive))
         if pre and suf:
-            m = jnp.logical_and(m, row_lengths(col.offsets) >= len(pre) + len(suf))
+            m = jnp.logical_and(m, str_lengths(col) >= len(pre) + len(suf))
         return m
     if len(parts) == 3 and parts[0] == "" and parts[2] == "" and parts[1]:
         return contains(col, parts[1].encode(), case_insensitive)

@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import datatypes as dt
-from ..batch import (Batch, Column, DictColumn, FixedColumn, StructColumn,
-                     VarColumn)
+from ..batch import (Batch, Column, DictColumn, FixedColumn, PrefixColumn,
+                     StructColumn, VarColumn)
 from ..errors import PlanError
 from ..ops import strings as str_ops
 from ..ops.layout import row_lengths
@@ -290,7 +290,7 @@ def eval_expr(expr: Expr, batch: Batch):
         if isinstance(v, DictColumn):
             v = _dict_to_mask_like(v, expr)
             return jnp.logical_not(v) if expr.negated else v
-        if not isinstance(v, VarColumn):
+        if not isinstance(v, (VarColumn, PrefixColumn)):
             raise PlanError(f"LIKE over non-string value: {expr}")
         m = str_ops.like(v, expr.pattern, expr.case_insensitive)
         return jnp.logical_not(m) if expr.negated else m
@@ -390,8 +390,8 @@ def _eval_binary(expr: BinaryOp, batch: Batch):
 
     if op in _CMP:
         # string comparisons
-        lstr = isinstance(lv, (VarColumn, DictColumn)) or isinstance(lv, str)
-        rstr = isinstance(rv, (VarColumn, DictColumn)) or isinstance(rv, str)
+        lstr = isinstance(lv, (VarColumn, DictColumn, PrefixColumn)) or isinstance(lv, str)
+        rstr = isinstance(rv, (VarColumn, DictColumn, PrefixColumn)) or isinstance(rv, str)
         if lstr or rstr:
             return _eval_string_cmp(op, lv, rv, batch)
         a, b = _as_values(lv, batch), _as_values(rv, batch)
@@ -431,13 +431,15 @@ def _eval_string_cmp(op: str, lv, rv, batch: Batch):
         rv_rank = np.searchsorted(sorted(lv.vocab), rv)
         # approximate: exact for members; boundary semantics for non-members
         return _CMP[op](rank, rv_rank)
-    if isinstance(lv, VarColumn):
+    if isinstance(lv, (VarColumn, PrefixColumn)):
         if op == "=":
             return str_ops.equals_literal(lv, rv.encode())
         if op == "!=":
             return jnp.logical_and(
                 jnp.logical_not(str_ops.equals_literal(lv, rv.encode())),
                 jnp.asarray(lv.validity))
+        if isinstance(lv, PrefixColumn):
+            raise PlanError("ordered compare needs full strings, not prefixes")
         return _var_cmp_literal(lv, rv.encode(), op)
     raise PlanError(f"string compare over {type(lv)}")
 

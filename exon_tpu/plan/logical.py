@@ -30,6 +30,8 @@ class Scan(LogicalPlan):
     projection: Optional[list[str]] = None
     filters: tuple[Expr, ...] = ()
     fetch: Optional[int] = None
+    # column → K: stage only K-byte prefixes + lengths (late materialization)
+    prefix_hints: Optional[dict] = None
 
     def schema(self) -> Schema:
         s = self.provider.schema()

@@ -188,6 +188,7 @@ class AggregateExec(PhysicalPlan):
     agg_calls: list[AggregateCall]
     out_schema: Schema
     input: PhysicalPlan
+    pre_filter: Optional[Expr] = None  # fused Filter predicate (mask only)
 
     def children(self):
         return [self.input]
@@ -204,7 +205,7 @@ class AggregateExec(PhysicalPlan):
     # -- ungrouped ----------------------------------------------------------
 
     def _ungrouped(self) -> Batch:
-        step = _jit_ungrouped_partial(tuple(self.agg_calls))
+        step = _jit_ungrouped_partial(tuple(self.agg_calls), self.pre_filter)
         # accumulate per-batch partials as *device* values — dispatch stays
         # async, one host sync at the end (critical on tunneled TPUs where
         # every blocking round-trip costs ~10ms)
@@ -223,7 +224,8 @@ class AggregateExec(PhysicalPlan):
     # -- grouped ------------------------------------------------------------
 
     def _grouped(self) -> Batch:
-        step = _jit_grouped_partial(tuple(self.group_exprs), tuple(self.agg_calls))
+        step = _jit_grouped_partial(tuple(self.group_exprs),
+                                    tuple(self.agg_calls), self.pre_filter)
         # host merge state: key tuple -> list of partial accumulators
         state: dict[tuple, list] = {}
         for b in self.input.batches():
@@ -315,10 +317,13 @@ def _column_host_values(v, n: int) -> list:
 
 
 @functools.cache
-def _jit_ungrouped_partial(agg_calls: tuple):
+def _jit_ungrouped_partial(agg_calls: tuple, pre_filter=None):
     @jax.jit
     def step(batch: Batch):
         mask = batch.row_mask()
+        if pre_filter is not None:
+            mask = jnp.logical_and(
+                mask, as_bool_mask(eval_expr(pre_filter, batch), batch))
         out = []
         for call in agg_calls:
             out.append(_partial_for(call, batch, mask, None, 1))
@@ -371,10 +376,13 @@ def _partial_for(call: AggregateCall, batch: Batch, mask, gids, num_groups: int)
 
 
 @functools.cache
-def _jit_grouped_partial(group_exprs: tuple, agg_calls: tuple):
+def _jit_grouped_partial(group_exprs: tuple, agg_calls: tuple, pre_filter=None):
     @jax.jit
     def step(batch: Batch):
         mask = batch.row_mask()
+        if pre_filter is not None:
+            mask = jnp.logical_and(
+                mask, as_bool_mask(eval_expr(pre_filter, batch), batch))
         keys = _group_key_i64(group_exprs, batch)
         gids, _gkeys, num_groups = agg_ops.sort_group_ids(keys, mask)
         cap = batch.capacity

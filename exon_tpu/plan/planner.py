@@ -20,7 +20,7 @@ from . import logical as L
 from . import physical as P
 from .expressions import (AggregateCall, Alias, BinaryOp, Cast, ColumnRef,
                           Expr, FunctionCall, InList, IsNull, Like, Literal,
-                          Not, expr_columns, split_conjunction)
+                          Not, conjoin, expr_columns, split_conjunction)
 
 # return-dtype registry for scalar functions (populated by udfs module)
 _FUNCTION_RETURN_TYPES: dict[str, callable] = {}
@@ -93,7 +93,121 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
 def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
     plan = _push_filters(plan)
     plan = _push_projection(plan)
+    plan = _annotate_prefix_hints(plan)
     return plan
+
+
+# ---------------------------------------------------------------------------
+# Late materialization: prefix-bounded string staging
+# ---------------------------------------------------------------------------
+
+_PREFIX_CAP = 64
+
+
+def _expr_prefix_bound(e: Expr, colname: str) -> Optional[int]:
+    """Max prefix bytes this expression needs of ``colname``; None = full."""
+    if isinstance(e, ColumnRef):
+        return None if e.name == colname else 0
+    if isinstance(e, Like) and isinstance(e.child, ColumnRef) \
+            and e.child.name == colname:
+        pat = e.pattern
+        if "_" in pat:
+            return None
+        parts = pat.split("%")
+        if len(parts) == 1:
+            return len(parts[0]) if len(parts[0]) <= _PREFIX_CAP else None
+        if len(parts) == 2 and parts[1] == "":
+            return len(parts[0]) if len(parts[0]) <= _PREFIX_CAP else None
+        return None
+    if isinstance(e, BinaryOp) and e.op in ("=", "!="):
+        lit_side = col_side = None
+        if isinstance(e.left, ColumnRef) and e.left.name == colname and \
+                isinstance(e.right, Literal) and isinstance(e.right.value, str):
+            lit_side = e.right.value
+        elif isinstance(e.right, ColumnRef) and e.right.name == colname and \
+                isinstance(e.left, Literal) and isinstance(e.left.value, str):
+            lit_side = e.left.value
+        if lit_side is not None:
+            return len(lit_side) if len(lit_side) <= _PREFIX_CAP else None
+    if isinstance(e, FunctionCall) and e.name.lower() in ("length", "char_length"):
+        if len(e.args) == 1 and isinstance(e.args[0], ColumnRef) \
+                and e.args[0].name == colname:
+            return 0
+    # generic: combine over children; direct ref anywhere else → full
+    bound = 0
+    for c in e.children():
+        b = _expr_prefix_bound(c, colname)
+        if b is None:
+            return None
+        bound = max(bound, b)
+    return bound
+
+
+def _annotate_prefix_hints(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """If a scan's var-width column is consumed ONLY by prefix-bounded filter
+    predicates, tell the provider to stage prefixes instead of full values."""
+
+    def walk(p: L.LogicalPlan, filters_above: list) -> L.LogicalPlan:
+        if isinstance(p, L.Filter):
+            return L.Filter(p.predicate, walk(p.input, filters_above + [p.predicate]))
+        if isinstance(p, L.Scan):
+            schema = p.schema()
+            non_filter_cols: set[str] = set()
+            # any column in the scan's projection that later ops read comes
+            # through the schema; filter-only columns were added by pushdown
+            hints: dict[str, int] = {}
+            preds = list(filters_above) + [f for f in p.filters]
+            for f in schema.all_fields:
+                if not f.dtype.is_var_width:
+                    continue
+                bounds = [_expr_prefix_bound(e, f.name) for e in preds]
+                if any(b is None for b in bounds):
+                    continue
+                used_in_filters = any(f.name in expr_columns(e) for e in preds)
+                if not used_in_filters:
+                    continue
+                if _used_outside_filters(plan, p, f.name):
+                    continue
+                hints[f.name] = max([b for b in bounds] + [1])
+            if hints:
+                return L.Scan(p.provider, p.table_name, p.projection,
+                              p.filters, p.fetch, prefix_hints=hints)
+            return p
+        kids = [walk(c, []) for c in p.children()]
+        return _with_children(p, kids)
+
+    return walk(plan, [])
+
+
+def _used_outside_filters(root: L.LogicalPlan, scan: L.LogicalPlan,
+                          colname: str) -> bool:
+    """Does ``colname`` from this scan feed anything but Filter predicates?"""
+    out = [False]
+
+    def exprs_of(p) -> list:
+        if isinstance(p, L.Project):
+            return list(p.exprs)
+        if isinstance(p, L.Aggregate):
+            return list(p.group_exprs) + [c for a in p.agg_exprs
+                                          for c in a.children()]
+        if isinstance(p, L.Sort):
+            return [e for e, _ in p.keys]
+        if isinstance(p, L.Join):
+            es = [x for pair in p.on for x in pair]
+            if p.filter is not None:
+                es.append(p.filter)
+            return es
+        return []
+
+    def walk(p):
+        for e in exprs_of(p):
+            if colname in expr_columns(e):
+                out[0] = True
+        for c in p.children():
+            walk(c)
+
+    walk(root)
+    return out[0]
 
 
 def _push_filters(plan: L.LogicalPlan) -> L.LogicalPlan:
@@ -224,15 +338,31 @@ def _with_children(plan: L.LogicalPlan, kids: list) -> L.LogicalPlan:
 
 def create_physical_plan(plan: L.LogicalPlan) -> P.PhysicalPlan:
     if isinstance(plan, L.Scan):
-        return plan.provider.scan(plan.projection, list(plan.filters), plan.fetch)
+        kwargs = {}
+        if getattr(plan, "prefix_hints", None):
+            kwargs["prefix_hints"] = plan.prefix_hints
+        try:
+            return plan.provider.scan(plan.projection, list(plan.filters),
+                                      plan.fetch, **kwargs)
+        except TypeError:
+            return plan.provider.scan(plan.projection, list(plan.filters),
+                                      plan.fetch)
     if isinstance(plan, L.Filter):
         return P.FilterExec(plan.predicate, create_physical_plan(plan.input))
     if isinstance(plan, L.Project):
         child = create_physical_plan(plan.input)
         return P.ProjectExec(plan.exprs, plan.schema(), child)
     if isinstance(plan, L.Aggregate):
-        child = create_physical_plan(plan.input)
-        return P.AggregateExec(plan.group_exprs, plan.agg_exprs, plan.schema(), child)
+        # fuse a directly-underlying Filter into the aggregate: the mask
+        # feeds the segment reductions, skipping row materialization
+        pre_filter = None
+        inner = plan.input
+        if isinstance(inner, L.Filter):
+            pre_filter = inner.predicate
+            inner = inner.input
+        child = create_physical_plan(inner)
+        return P.AggregateExec(plan.group_exprs, plan.agg_exprs, plan.schema(),
+                               child, pre_filter=pre_filter)
     if isinstance(plan, L.Sort):
         return P.SortExec(plan.keys, create_physical_plan(plan.input), plan.fetch)
     if isinstance(plan, L.Limit):

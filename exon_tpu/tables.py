@@ -59,16 +59,20 @@ class FileTable(TableProvider):
             raise FileNotFoundError(f"no files for table at {self.url}")
         return files
 
-    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+    def scan(self, projection=None, filters=(), limit=None,
+             prefix_hints=None) -> PhysicalPlan:
         schema = self.schema()
         if projection is not None:
             schema = schema.project(projection)
         files = self.files()
         fmt, options = self.fmt, self.options
+        if prefix_hints and hasattr(options, "prefix_hints"):
+            options = dataclasses.replace(options, prefix_hints=dict(prefix_hints))
 
         import os as _os
 
         use_device = (fmt.device_decode is not None
+                      and not prefix_hints
                       and not _os.environ.get("EXON_TPU_HOST_DECODE"))
         decode = fmt.device_decode if use_device else fmt.decode
 

@@ -1,0 +1,6 @@
+#!/bin/sh
+# Build the native ingest library.
+set -e
+cd "$(dirname "$0")"
+g++ -O3 -march=native -fPIC -shared -o libexon_native.so fasta_scan.cpp
+echo "built $(pwd)/libexon_native.so"
