@@ -433,6 +433,70 @@ def make_bcf_provider(url: str, options, config):
     return BcfTable(url, options, config)
 
 
+@dataclasses.dataclass
+class BigWigTable(TableProvider):
+    """BigWig value/zoom listing table with R-tree block pruning
+    (exon-core/src/datasources/bigwig/ + exon-bigwig crate).
+
+    The region filter marker (`bigwig_region_filter('10', name)`) is Exact:
+    the R-tree index query *is* the filter (bigtools get_interval /
+    get_zoom_interval semantics), so no residual device predicate is added.
+    """
+
+    url: str
+    options: object
+    config: object = None
+    zoom: bool = False
+
+    def schema(self) -> Schema:
+        from .formats.bigwig import bigwig_value_schema, bigwig_zoom_schema
+
+        return (bigwig_zoom_schema(self.options) if self.zoom
+                else bigwig_value_schema(self.options))
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        return "exact" if R.is_region_filter(expr) else "none"
+
+    def files(self):
+        files = resolve_table_files(
+            self.url, getattr(self.options, "file_extension", ".bw"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def scan(self, projection: Optional[list[str]] = None,
+             filters: Sequence[Expr] = (), limit: Optional[int] = None
+             ) -> PhysicalPlan:
+        from .formats.bigwig import decode_value_host, decode_zoom_host
+
+        regions = R.infer_regions_from_filters(filters)
+        options = self.options
+        if getattr(options, "regions", None):
+            regions = list(options.regions) + regions
+        if regions:
+            options = dataclasses.replace(options, regions=regions)
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        files = self.files()
+        decode = decode_zoom_host if self.zoom else decode_value_host
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                yield from decode(store.get(meta.path), options, proj)
+
+        return ScanExec(schema.project(proj), source)
+
+
+def make_bigwig_value_provider(url: str, options, config):
+    return BigWigTable(url, options, config, zoom=False)
+
+
+def make_bigwig_zoom_provider(url: str, options, config):
+    return BigWigTable(url, options, config, zoom=True)
+
+
 def register_indexed_providers() -> None:
     from .session import register_provider_factory
 
@@ -441,3 +505,5 @@ def register_indexed_providers() -> None:
     register_provider_factory("SDF", make_sdf_provider)
     register_provider_factory("FCS", make_fcs_provider)
     register_provider_factory("BCF", make_bcf_provider)
+    register_provider_factory("BIGWIG_VALUE", make_bigwig_value_provider)
+    register_provider_factory("BIGWIG_ZOOM", make_bigwig_zoom_provider)

@@ -273,5 +273,22 @@ def _register_builtin_formats() -> None:
         extension=".hmmdomtab",
     ))
 
+    from .formats import bigwig as bw_mod
+
+    register_format(FormatSpec(
+        name="BIGWIG_VALUE",
+        schema=bw_mod.bigwig_value_schema,
+        decode=bw_mod.decode_value_host,
+        default_options=bw_mod.BigWigValueOptions,
+        extension=".bw",
+    ))
+    register_format(FormatSpec(
+        name="BIGWIG_ZOOM",
+        schema=bw_mod.bigwig_zoom_schema,
+        decode=bw_mod.decode_zoom_host,
+        default_options=bw_mod.BigWigZoomOptions,
+        extension=".bw",
+    ))
+
 
 _register_builtin_formats()
