@@ -489,6 +489,155 @@ class BigWigTable(TableProvider):
         return ScanExec(schema.project(proj), source)
 
 
+@dataclasses.dataclass
+class CramTable(TableProvider):
+    """CRAM listing table with reference-FASTA resolution and .crai region
+    pruning (exon-core/src/datasources/cram/table_provider.rs).
+
+    With ``parse_tags`` (exon.cram_parse_tags), the tags column becomes a
+    per-tag Struct inferred from the first record
+    (with_tags_data_type_from_data)."""
+
+    url: str
+    options: object
+    config: object = None
+    _schema: object = None
+
+    def schema(self) -> Schema:
+        from .formats import cram as cram_mod
+
+        if self._schema is not None:
+            return self._schema
+        if not getattr(self.options, "parse_tags", False):
+            self._schema = cram_mod.cram_schema(self.options)
+            return self._schema
+        # infer per-tag struct fields from the first container's records
+        store, meta = self.files()[0]
+        data = store.get(meta.path)
+        cf = cram_mod.parse_file_header(data)
+        records = []
+        for _off, ch, r in cram_mod.iter_containers(data,
+                                                    cf.containers_start):
+            records = cram_mod.decode_container(ch, r, None, cf.ref_names)
+            if records:
+                break
+        self._schema = cram_mod.cram_schema(
+            self.options, cram_mod.infer_tag_fields(records))
+        return self._schema
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        return "exact" if R.is_region_filter(expr) else "none"
+
+    def files(self):
+        files = resolve_table_files(
+            self.url, getattr(self.options, "file_extension", ".cram"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def scan(self, projection: Optional[list[str]] = None,
+             filters: Sequence[Expr] = (), limit: Optional[int] = None
+             ) -> PhysicalPlan:
+        from .formats import cram as cram_mod
+
+        regions = R.infer_regions_from_filters(filters)
+        options = self.options
+        if getattr(options, "regions", None):
+            regions = list(options.regions) + regions
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        scan_proj = list(proj)
+        if regions:
+            for need in ("reference", "start", "end"):
+                if need not in scan_proj:
+                    scan_proj.append(need)
+        scan_schema = schema.project(scan_proj)
+        files = self.files()
+        tag_fields = None
+        if getattr(options, "parse_tags", False):
+            f = next(f for f in schema.fields if f.name == "tags")
+            tag_fields = list(f.dtype.children)
+
+        def decode_file(store, meta, container_offsets=None):
+            data = store.get(meta.path)
+            cf = cram_mod.parse_file_header(data)
+            ref_getter = None
+            if getattr(options, "fasta_reference", None):
+                from .io.object_store import get_store as _gs
+
+                rstore, rpath = _gs(options.fasta_reference)
+                ref_getter = cram_mod.FastaRepository(rstore, rpath).get
+            records = []
+            for off, ch, r in cram_mod.iter_containers(
+                    data, cf.containers_start):
+                if container_offsets is not None and \
+                        off not in container_offsets:
+                    continue
+                records.extend(cram_mod.decode_container(
+                    ch, r, ref_getter, cf.ref_names))
+            bs = getattr(options, "batch_size", 8192)
+            for lo in range(0, len(records), bs):
+                yield cram_mod.records_to_batch(
+                    records[lo:lo + bs], cf.ref_names, schema, scan_proj,
+                    getattr(options, "parse_tags", False))
+            if not records:
+                yield cram_mod.records_to_batch(
+                    [], cf.ref_names, schema, scan_proj,
+                    getattr(options, "parse_tags", False))
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                offsets = None
+                if regions and getattr(options, "indexed", False) and \
+                        store.exists(meta.path + ".crai"):
+                    # map region names → ids via the file's SAM header
+                    data_head = store.get(meta.path)
+                    cf = cram_mod.parse_file_header(data_head)
+                    entries = cram_mod.parse_crai(
+                        store.get(meta.path + ".crai"))
+                    offsets = set()
+                    for region in regions:
+                        try:
+                            rid = cf.ref_names.index(region.name)
+                        except ValueError:
+                            continue
+                        lo = region.start or 1
+                        hi = region.end or (1 << 60)
+                        for e in entries:
+                            if e.seq_id != rid:
+                                continue
+                            e_end = e.align_start + e.align_span - 1
+                            if e.align_start <= hi and e_end >= lo:
+                                offsets.add(e.container_offset)
+                yield from decode_file(store, meta, offsets)
+
+        plan: PhysicalPlan = ScanExec(scan_schema, source)
+        if regions:
+            exprs = [R.region_to_interval_expr(r, "reference", "start", "end")
+                     for r in regions]
+            pred = exprs[0]
+            for e in exprs[1:]:
+                from .plan.expressions import BinaryOp
+
+                pred = BinaryOp("or", pred, e)
+            plan = FilterExec(pred, plan)
+            if scan_proj != proj and proj:
+                from .plan.expressions import col
+
+                plan = ProjectExec([col(n) for n in proj],
+                                   schema.project(proj), plan)
+        return plan
+
+
+def make_cram_provider(url: str, options, config):
+    if config is not None:
+        options = dataclasses.replace(
+            options, parse_tags=getattr(config, "cram_parse_tags", False))
+    return CramTable(url, options, config)
+
+
 def make_bigwig_value_provider(url: str, options, config):
     return BigWigTable(url, options, config, zoom=False)
 
@@ -507,3 +656,4 @@ def register_indexed_providers() -> None:
     register_provider_factory("BCF", make_bcf_provider)
     register_provider_factory("BIGWIG_VALUE", make_bigwig_value_provider)
     register_provider_factory("BIGWIG_ZOOM", make_bigwig_zoom_provider)
+    register_provider_factory("CRAM", make_cram_provider)

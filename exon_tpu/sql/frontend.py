@@ -129,7 +129,12 @@ def _create_external_table(session, stmt: A.CreateExternalTable):
         key = k.split(".")[-1]
         if hasattr(options, key):
             cur = getattr(options, key)
-            kw[key] = type(cur)(v) if cur is not None and not isinstance(cur, (list, type(None))) else v
+            if isinstance(cur, bool):
+                kw[key] = str(v).strip().lower() in ("true", "1", "yes")
+            elif cur is not None and not isinstance(cur, (list, type(None))):
+                kw[key] = type(cur)(v)
+            else:
+                kw[key] = v
     if stmt.file_format.startswith("INDEXED_"):
         kw["indexed"] = True if hasattr(options, "indexed") else None
         kw.pop("indexed", None)

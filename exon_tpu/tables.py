@@ -273,6 +273,16 @@ def _register_builtin_formats() -> None:
         extension=".hmmdomtab",
     ))
 
+    from .formats import cram as cram_mod
+
+    register_format(FormatSpec(
+        name="CRAM",
+        schema=cram_mod.cram_schema,
+        decode=cram_mod.decode_host,
+        default_options=cram_mod.CramOptions,
+        extension=".cram",
+    ))
+
     from .formats import bigwig as bw_mod
 
     register_format(FormatSpec(
