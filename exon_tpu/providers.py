@@ -14,6 +14,7 @@ from typing import Iterator, Optional, Sequence
 
 import numpy as np
 
+from . import datatypes as dt
 from .batch import Batch, Schema
 from .errors import InvalidRegionError
 from .io import bgzf
@@ -629,6 +630,178 @@ class CramTable(TableProvider):
                 plan = ProjectExec([col(n) for n in proj],
                                    schema.project(proj), plan)
         return plan
+
+
+@dataclasses.dataclass
+class HivePartitionedTable(TableProvider):
+    """Hive-style ``key=value`` partitioned listing table.
+
+    The analog of the reference's partition machinery: partition columns
+    ride the table schema after the file fields
+    (exon-common/src/table_schema.rs:22-115), equality predicates on them
+    prune the object listing before any file is opened
+    (pruned_partition_list, physical_plan/object_store/hive_partition.rs:72),
+    and surviving scans emit the partition value as a per-partition constant
+    dictionary column.
+    """
+
+    url: str
+    partition_cols: list[str]
+    inner_factory: object  # (sub_url) -> TableProvider
+    file_extension: Optional[str] = None
+    _partitions: Optional[list] = None   # [(values dict, sub_url)]
+    _inner_schema: Optional[Schema] = None
+
+    def _list_partitions(self) -> list[tuple[dict, str]]:
+        if self._partitions is not None:
+            return self._partitions
+        from .io.object_store import get_store as _gs
+
+        store, path = _gs(self.url)
+        metas = store.list(path)
+        seen: dict[tuple, str] = {}
+        for m in metas:
+            vals = {}
+            last_seg_end = None
+            # parse key=value path segments below the table root
+            rel = m.path
+            for seg in rel.split("/"):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    if k in self.partition_cols:
+                        vals[k] = v
+                        last_seg_end = rel.index(seg) + len(seg)
+            if len(vals) != len(self.partition_cols) or last_seg_end is None:
+                continue
+            key = tuple(vals[c] for c in self.partition_cols)
+            seen.setdefault(key, rel[:last_seg_end])
+        self._partitions = [
+            (dict(zip(self.partition_cols, key)), sub)
+            for key, sub in sorted(seen.items())]
+        if not self._partitions:
+            raise FileNotFoundError(
+                f"no hive partitions ({'/'.join(self.partition_cols)}=*) "
+                f"under {self.url}")
+        return self._partitions
+
+    def _inner(self, sub_url: str) -> TableProvider:
+        return self.inner_factory(sub_url)
+
+    def schema(self) -> Schema:
+        if self._inner_schema is None:
+            _vals, sub = self._list_partitions()[0]
+            self._inner_schema = self._inner(sub).schema()
+        fields = list(self._inner_schema.all_fields)
+        fields += [dt.Field(c, dt.dictionary, nullable=False)
+                   for c in self.partition_cols]
+        return Schema.of(*fields)
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        if self._partition_eq(expr) is not None:
+            return "exact"
+        _vals, sub = self._list_partitions()[0]
+        return self._inner(sub).supports_filter_pushdown(expr)
+
+    def _partition_eq(self, expr: Expr) -> Optional[tuple[str, str]]:
+        from .plan.expressions import BinaryOp, ColumnRef, Literal
+
+        if isinstance(expr, BinaryOp) and expr.op == "=":
+            left, right = expr.left, expr.right
+            if isinstance(right, ColumnRef) and isinstance(left, Literal):
+                left, right = right, left
+            if isinstance(left, ColumnRef) and isinstance(right, Literal) \
+                    and left.name in self.partition_cols:
+                return left.name, str(right.value)
+        return None
+
+    def scan(self, projection: Optional[list[str]] = None,
+             filters: Sequence[Expr] = (), limit: Optional[int] = None
+             ) -> PhysicalPlan:
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        inner_names = [f.name for f in self._inner_schema.all_fields]
+        inner_proj = [p for p in proj if p in inner_names]
+        if not inner_proj:
+            inner_proj = [inner_names[0]]
+        # split filters: partition equalities prune; the rest go inside
+        bounds: dict[str, set] = {}
+        inner_filters = []
+        from .plan.expressions import split_conjunction
+
+        for f in filters:
+            parts = list(split_conjunction(f))
+            eqs = [self._partition_eq(p) for p in parts]
+            if all(e is not None for e in eqs):
+                for c, v in eqs:
+                    bounds.setdefault(c, set()).add(v)
+            elif len(parts) == 1:
+                inner_filters.append(f)
+            else:
+                kept = [p for p, e in zip(parts, eqs) if e is None]
+                for c, v in (e for e in eqs if e is not None):
+                    bounds.setdefault(c, set()).add(v)
+                inner_filters.extend(kept)
+        partitions = [
+            (vals, sub) for vals, sub in self._list_partitions()
+            if all(vals[c] in vs for c, vs in bounds.items())]
+
+        out_schema = schema.project(proj)
+        plans = []
+        for vals, sub in partitions:
+            inner_plan = self._inner(sub).scan(list(inner_proj),
+                                               inner_filters)
+            plans.append(_PartitionConstExec(out_schema, inner_plan,
+                                             inner_proj, vals))
+        if not plans:
+            def empty():
+                return iter(())
+
+            return ScanExec(out_schema, empty)
+        from .plan.physical import UnionExec
+
+        return plans[0] if len(plans) == 1 else UnionExec(plans)
+
+
+@dataclasses.dataclass
+class _PartitionConstExec(PhysicalPlan):
+    """Appends per-partition constant dictionary columns to child batches,
+    reordering to the projected schema."""
+
+    _schema: Schema
+    child: PhysicalPlan
+    inner_proj: list[str]
+    values: dict[str, str]
+
+    def children(self):
+        return [self.child]
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def batches(self) -> Iterator[Batch]:
+        from .batch import Batch as _Batch, DictColumn
+
+        names = self._schema.names
+        for b in self.child.batches():
+            cap = b.capacity if b.columns else 1
+            host = isinstance(b.length, (int, np.integer)) or \
+                type(b.length).__module__.startswith("numpy")
+            if host:
+                codes = np.zeros(cap, np.int32)
+                valid = np.ones(cap, bool)
+            else:
+                import jax.numpy as jnp
+
+                codes = jnp.zeros(cap, jnp.int32)
+                valid = jnp.ones(cap, bool)
+            cols = []
+            for name in names:
+                if name in self.values:
+                    cols.append(DictColumn(codes, valid,
+                                           (self.values[name],)))
+                else:
+                    cols.append(b.column(name))
+            yield _Batch(self._schema, cols, b.length)
 
 
 def make_cram_provider(url: str, options, config):

@@ -143,9 +143,16 @@ def _create_external_table(session, stmt: A.CreateExternalTable):
     if hasattr(options, "batch_size"):
         options = dataclasses.replace(
             options, batch_size=session.config.device_batch_size)
-    provider = session._make_provider(spec, stmt.location, options)
-    if stmt.partition_cols and hasattr(provider, "partition_cols"):
-        provider.partition_cols = list(stmt.partition_cols)
+    if stmt.partition_cols:
+        from ..providers import HivePartitionedTable
+
+        opts = options
+        provider = HivePartitionedTable(
+            stmt.location, list(stmt.partition_cols),
+            lambda sub_url: session._make_provider(spec, sub_url, opts),
+            file_extension=getattr(options, "file_extension", None))
+    else:
+        provider = session._make_provider(spec, stmt.location, options)
     if stmt.if_not_exists and stmt.name.lower() in session.tables:
         pass
     else:
