@@ -40,8 +40,28 @@ class BamOptions:
     regions: list = field(default_factory=list)
 
 
-def bam_schema(options=None) -> Schema:
-    return sam_schema(options)
+def bam_schema(options=None, tag_fields=None) -> Schema:
+    return sam_schema(options, tag_fields)
+
+
+def first_record_tags(data: bytes, header: "BamHeader") -> list[tuple]:
+    """Aux tags of the first alignment record (schema inference for
+    parse_tags mode, exon-sam schema_builder.rs:70-349)."""
+    from .samtags import parse_bam_aux
+
+    offsets = scan_record_offsets(data, header.header_end)
+    if len(offsets) == 0:
+        return []
+    arr = np.frombuffer(data, np.uint8)
+    off = int(offsets[0])
+    (block_size,) = struct.unpack_from("<i", data, off)
+    body = off + 4
+    l_read_name = data[body + 8]
+    (n_cigar,) = struct.unpack_from("<H", data, body + 12)
+    (l_seq,) = struct.unpack_from("<i", data, body + 16)
+    aux_start = body + 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 \
+        + l_seq
+    return parse_bam_aux(data, aux_start, off + 4 + block_size)
 
 
 @dataclass
@@ -101,7 +121,15 @@ def decode_records(data: bytes, offsets: np.ndarray, header: BamHeader,
                    options, projection: Optional[list[str]] = None
                    ) -> Iterator[Batch]:
     """Vectorized decode of alignment records at the given offsets."""
-    schema = bam_schema(options)
+    tag_fields = None
+    if getattr(options, "parse_tags", False) and len(offsets):
+        from .samtags import infer_tag_fields, parse_bam_aux
+
+        first_off = int(offsets[0])
+        schema_probe = BamHeader(header.text, header.ref_names,
+                                 header.ref_lengths, first_off)
+        tag_fields = infer_tag_fields(first_record_tags(data, schema_probe))
+    schema = bam_schema(options, tag_fields)
     proj = projection or schema.names
     out_schema = schema.project(proj)
     n_total = len(offsets)
@@ -189,6 +217,20 @@ def decode_records(data: bytes, offsets: np.ndarray, header: BamHeader,
                 # 0xFF means missing quality ('*')
                 cols.append(VarColumn(v.astype(np.int64), o.astype(np.int32),
                                       np.ones(n, bool)))
+            elif name == "tags":
+                from .samtags import (parse_bam_aux, tags_list_column,
+                                      tags_struct_column)
+
+                aux_start = qual_start + l_seq
+                block_size = _i32(arr, offs)
+                rec_end = offs + 4 + block_size
+                per_row = [parse_bam_aux(data, int(aux_start[i]),
+                                         int(rec_end[i]))
+                           for i in range(n)]
+                if tag_fields is not None:
+                    cols.append(tags_struct_column(per_row, tag_fields))
+                else:
+                    cols.append(tags_list_column(per_row))
             else:
                 raise KeyError(name)
         yield batch_from_host(out_schema, cols, n)

@@ -61,13 +61,18 @@ def gff_schema(options=None) -> Schema:
 
 
 def gtf_schema(options=None) -> Schema:
-    return gff_schema(options)
+    """GTF names the 9th column ``frame`` (exon-gtf/src/config.rs:40),
+    where GFF3 calls it ``phase``."""
+    fields = [f if f.name != "phase" else
+              dt.Field("frame", f.dtype, f.nullable)
+              for f in gff_schema(options).all_fields]
+    return Schema.of(*fields)
 
 
 def decode_host(data: bytes, options, projection: Optional[list[str]] = None
                 ) -> Iterator[Batch]:
     style = getattr(options, "style", "gff")
-    schema = gff_schema()
+    schema = gtf_schema() if style == "gtf" else gff_schema()
     proj = projection or schema.names
     out_schema = schema.project(proj)
     arr = to_u8(data)
@@ -108,12 +113,13 @@ def _is_dot(arr, s, e):
 
 def _decode_col(name, arr, fs, fe, present, lo, hi, style):
     idx = {"seqname": 0, "source": 1, "type": 2, "start": 3, "end": 4,
-           "score": 5, "strand": 6, "phase": 7, "attributes": 8}[name]
+           "score": 5, "strand": 6, "phase": 7, "frame": 7,
+           "attributes": 8}[name]
     s, e = fs[lo:hi, idx], fe[lo:hi, idx]
     pres = present[lo:hi, idx]
-    if name in ("seqname", "source", "type", "strand", "phase"):
+    if name in ("seqname", "source", "type", "strand", "phase", "frame"):
         validity = pres.copy()
-        if name in ("source", "phase"):
+        if name in ("source", "phase", "frame"):
             validity &= ~_is_dot(arr, s, e)
         return dict_encode_slices(arr, s, e, validity)
     if name in ("start", "end"):

@@ -34,7 +34,10 @@ class SamOptions:
     projection: Optional[list[str]] = None
 
 
-def sam_schema(options=None) -> Schema:
+def sam_schema(options=None, tag_fields=None) -> Schema:
+    from .samtags import tags_field
+
+    parse_tags = getattr(options, "parse_tags", False) if options else False
     return Schema.of(
         dt.Field("name", dt.utf8, nullable=False),
         dt.Field("flag", dt.int32, nullable=False),
@@ -46,7 +49,24 @@ def sam_schema(options=None) -> Schema:
         dt.Field("mate_reference", dt.dictionary, nullable=True),
         dt.Field("sequence", dt.utf8, nullable=False),
         dt.Field("quality_score", dt.list_(dt.int64), nullable=False),
+        tags_field(parse_tags, tag_fields),
     )
+
+
+def parse_text_tags(arr: np.ndarray, s: int, e: int) -> list[tuple]:
+    """One line's tag region (``TT:T:value`` tab-joined) → [(tag,typ,val)]."""
+    from .samtags import parse_sam_text_value
+
+    out = []
+    if e <= s:
+        return out
+    for piece in arr[s:e].tobytes().split(b"\t"):
+        if len(piece) < 5 or piece[2] != ord(":") or piece[4] != ord(":"):
+            continue
+        tag = piece[:2].decode("ascii", "replace")
+        typ = chr(piece[3])
+        out.append((tag, typ, parse_sam_text_value(typ, piece[5:])))
+    return out
 
 
 def cigar_ref_spans(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray
@@ -75,9 +95,6 @@ def cigar_ref_spans(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray
 
 def decode_host(data: bytes, options: SamOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
-    schema = sam_schema(options)
-    proj = projection or schema.names
-    out_schema = schema.project(proj)
     arr = to_u8(data)
     if len(arr) == 0:
         return
@@ -88,6 +105,16 @@ def decode_host(data: bytes, options: SamOptions,
     if n == 0:
         return
     fs, fe, present = split_fields(arr, li.starts, li.ends, 12)
+    tag_fields = None
+    if getattr(options, "parse_tags", False) and n:
+        from .samtags import infer_tag_fields
+
+        first = parse_text_tags(arr, int(fs[0, 11]), int(fe[0, 11])) \
+            if present[0, 11] else []
+        tag_fields = infer_tag_fields(first)
+    schema = sam_schema(options, tag_fields)
+    proj = projection or schema.names
+    out_schema = schema.project(proj)
 
     def is_star(s, e):
         return (e - s == 1) & (arr[np.clip(s, 0, len(arr) - 1)] == ord("*"))
@@ -147,6 +174,17 @@ def decode_host(data: bytes, options: SamOptions,
                 scores = v.astype(np.int64) - 33
                 cols.append(VarColumn(scores, o.astype(np.int32),
                                       np.ones(hi - lo, bool)))
+            elif name == "tags":
+                from .samtags import tags_list_column, tags_struct_column
+
+                per_row = [
+                    parse_text_tags(arr, int(fs[i, 11]), int(fe[i, 11]))
+                    if present[i, 11] else []
+                    for i in range(lo, hi)]
+                if tag_fields is not None:
+                    cols.append(tags_struct_column(per_row, tag_fields))
+                else:
+                    cols.append(tags_list_column(per_row))
             else:
                 raise KeyError(name)
         yield batch_from_host(out_schema, cols, hi - lo)

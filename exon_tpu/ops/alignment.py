@@ -76,6 +76,52 @@ def sw_scores_vs_query(seq_mat: jnp.ndarray, seq_valid: jnp.ndarray,
     return jnp.max(bests, axis=0).astype(jnp.int32)
 
 
+def sw_scores_pairwise(seq_mat: jnp.ndarray, seq_valid: jnp.ndarray,
+                       q_mat: jnp.ndarray, q_valid: jnp.ndarray,
+                       match_score: int = 1) -> jnp.ndarray:
+    """Row-wise local alignment: row i of ``seq_mat`` against row i of
+    ``q_mat`` (alignment_score(s1_col, s2_col) form)."""
+    n, L = seq_mat.shape
+    jpos = jnp.arange(L, dtype=jnp.int32)
+
+    def step(carry, q_col):
+        q_char, q_ok = q_col
+        H_prev, colmax = carry
+        s = jnp.where(seq_mat == q_char[:, None], match_score, -1)
+        s = jnp.where(seq_valid & q_ok[:, None], s, NEG).astype(jnp.int32)
+        diag = jnp.concatenate(
+            [jnp.zeros((n, 1), jnp.int32), H_prev[:, :-1]], axis=1) + s
+        E = colmax - 2
+        H0 = jnp.maximum(jnp.maximum(diag, E), 0)
+        run = jax.lax.cummax(H0 + jpos[None, :], axis=1)
+        F = jnp.concatenate([jnp.full((n, 1), NEG),
+                             run[:, :-1] - jpos[None, 1:] - 1], axis=1)
+        H = jnp.maximum(H0, jnp.maximum(F, 0))
+        H = jnp.where(seq_valid & q_ok[:, None], H, 0)
+        new_colmax = jnp.maximum(colmax - 1, H)
+        best = jnp.max(H, axis=1)
+        return (H, new_colmax), best
+
+    init = (jnp.zeros((n, L), jnp.int32), jnp.full((n, L), NEG))
+    (_, _), bests = jax.lax.scan(
+        step, init, (q_mat.T.astype(jnp.uint8), q_valid.T))
+    return jnp.max(bests, axis=0).astype(jnp.int32)
+
+
+def alignment_scores_pairwise(a: VarColumn, b: VarColumn,
+                              cap_len: int = 2048) -> jnp.ndarray:
+    """alignment_score(s1_col, s2_col) → int32 per-row local SW scores."""
+    la = np.asarray(jax.device_get(row_lengths(a.offsets)))
+    lb = np.asarray(jax.device_get(row_lengths(b.offsets)))
+    La = max(128, ((int(min(cap_len, max(la.max() if la.size else 1, 1)))
+                    + 127) // 128) * 128)
+    Lb = max(128, ((int(min(cap_len, max(lb.max() if lb.size else 1, 1)))
+                    + 127) // 128) * 128)
+    a_mat, a_valid = to_padded_matrix(a, La)
+    b_mat, b_valid = to_padded_matrix(b, Lb)
+    return sw_scores_pairwise(a_mat, a_valid, b_mat, b_valid)
+
+
 def alignment_scores(col: VarColumn, query: bytes, cap_len: int = 2048
                      ) -> jnp.ndarray:
     """alignment_score(seq_col, 'QUERY') → int32 scores per row."""

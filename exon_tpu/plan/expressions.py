@@ -126,6 +126,22 @@ class ColumnRef(Expr):
 
 
 @dataclasses.dataclass(eq=False)
+class FieldAccess(Expr):
+    """Struct-field extraction: ``tags."PG"``. Parsed for every dotted
+    identifier; the planner's resolve pass turns table-qualifier dots back
+    into plain ColumnRefs against the input schema."""
+
+    child: Expr
+    field: str
+
+    def children(self):
+        return [self.child]
+
+    def display_name(self) -> str:
+        return self.field
+
+
+@dataclasses.dataclass(eq=False)
 class Literal(Expr):
     value: Any
 
@@ -318,6 +334,15 @@ def eval_expr(expr: Expr, batch: Batch):
             raise PlanError(f"unknown function {expr.name!r}")
         args = [eval_expr(a, batch) for a in expr.args]
         return fn(batch, *args)
+    if isinstance(expr, FieldAccess):
+        v = eval_expr(expr.child, batch)
+        if isinstance(v, StructColumn):
+            child = v.children.get(expr.field)
+            if child is None:
+                raise PlanError(f"no struct field {expr.field!r}; have "
+                                f"{sorted(v.children)}")
+            return child
+        raise PlanError(f"field access on non-struct value: {expr!r}")
     raise PlanError(f"cannot evaluate {expr!r}")
 
 

@@ -165,7 +165,12 @@ def _to_column(v, batch: Batch):
         arr = jnp.full(batch.capacity, v)
         return FixedColumn(arr, batch.row_mask())
     if isinstance(v, str):
-        raise PlanError("string literal projection handled in planner")
+        # constant string column: same bytes in every row
+        b = v.encode()
+        cap = batch.capacity
+        vals = jnp.asarray(np.tile(np.frombuffer(b, np.uint8), max(cap, 1)))
+        offs = jnp.asarray((np.arange(cap + 1) * len(b)).astype(np.int32))
+        return VarColumn(vals, offs, batch.row_mask())
     arr = jnp.asarray(v)
     return FixedColumn(arr, batch.row_mask())
 
@@ -704,8 +709,12 @@ class UnionExec(PhysicalPlan):
         return self.inputs[0].schema()
 
     def batches(self) -> Iterator[Batch]:
+        # union is positional: rebind every child batch to the first
+        # input's field names (DataFusion UNION ALL semantics)
+        schema = self.schema()
         for p in self.inputs:
-            yield from p.batches()
+            for b in p.batches():
+                yield Batch(schema, b.columns, b.length)
 
 
 @dataclasses.dataclass

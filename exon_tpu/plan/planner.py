@@ -75,6 +75,17 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
         args = [infer_expr_field(a, schema) for a in expr.args
                 if not isinstance(a, Literal)]
         return Field(expr.display_name(), fn(args), True)
+    from .expressions import FieldAccess
+
+    if isinstance(expr, FieldAccess):
+        child = infer_expr_field(expr.child, schema)
+        if child.dtype.kind == dt.TypeKind.STRUCT:
+            for f in child.dtype.children:
+                if f.name == expr.field:
+                    return Field(expr.field, f.dtype, True)
+            raise PlanError(f"no field named {expr.field!r} in struct "
+                            f"{child.name!r}")
+        raise PlanError(f"field access on non-struct column {child.name!r}")
     if isinstance(expr, AggregateCall):
         if expr.fn == "count":
             return Field(expr.display_name(), dt.int64, False)
@@ -91,10 +102,85 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
 
 
 def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
+    plan = _resolve_field_access(plan)
     plan = _push_filters(plan)
     plan = _push_projection(plan)
     plan = _annotate_prefix_hints(plan)
     return plan
+
+
+def _map_plan_exprs(plan: L.LogicalPlan, fn) -> L.LogicalPlan:
+    """Rebuild a plan with every embedded expression mapped through fn
+    (fn receives the expr and the node's input schema)."""
+    import dataclasses as _dc
+
+    kids = [_map_plan_exprs(c, fn) for c in plan.children()]
+    if isinstance(plan, L.Scan):
+        return plan
+    in_schema = kids[0].schema() if kids else None
+
+    def m(e):
+        return fn(e, in_schema)
+
+    if isinstance(plan, L.Filter):
+        return L.Filter(m(plan.predicate), kids[0])
+    if isinstance(plan, L.Project):
+        return _dc.replace(plan, exprs=[m(e) for e in plan.exprs],
+                           input=kids[0])
+    if isinstance(plan, L.Aggregate):
+        return _dc.replace(plan, group_exprs=[m(e) for e in plan.group_exprs],
+                           agg_exprs=[m(e) for e in plan.agg_exprs],
+                           input=kids[0])
+    if isinstance(plan, L.Sort):
+        keys = [(m(k[0]),) + tuple(k[1:]) for k in plan.keys]
+        return _dc.replace(plan, keys=keys, input=kids[0])
+    if kids:
+        names = [f.name for f in _dc.fields(plan)]
+        updates = {}
+        ki = 0
+        for name in names:
+            v = getattr(plan, name)
+            if isinstance(v, L.LogicalPlan):
+                updates[name] = kids[ki]
+                ki += 1
+        return _dc.replace(plan, **updates)
+    return plan
+
+
+def _resolve_field_access(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Turn parse-time dotted refs into either struct FieldAccess (child is
+    a struct column of the input schema) or a plain ColumnRef (the dot was
+    a table qualifier)."""
+    from .expressions import FieldAccess
+
+    def resolve(e: Expr, schema) -> Expr:
+        if isinstance(e, FieldAccess):
+            child = resolve(e.child, schema)
+            if isinstance(child, ColumnRef) and schema is not None:
+                try:
+                    f = schema.field(child.name)
+                except Exception:
+                    f = None
+                if f is not None and f.dtype.kind.value == "struct":
+                    return FieldAccess(child, e.field)
+                # table-qualified column: strip the qualifier
+                return ColumnRef(e.field)
+            return FieldAccess(child, e.field)
+        kids = e.children()
+        if not kids:
+            return e
+        import dataclasses as _dc
+
+        updates = {}
+        for fld in _dc.fields(e):
+            v = getattr(e, fld.name)
+            if isinstance(v, Expr):
+                updates[fld.name] = resolve(v, schema)
+            elif isinstance(v, list) and v and isinstance(v[0], Expr):
+                updates[fld.name] = [resolve(x, schema) for x in v]
+        return _dc.replace(e, **updates)
+
+    return _map_plan_exprs(plan, resolve)
 
 
 # ---------------------------------------------------------------------------

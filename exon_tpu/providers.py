@@ -131,6 +131,17 @@ class BamTable(TableProvider):
     def schema(self) -> Schema:
         from .formats.bam import bam_schema
 
+        if getattr(self.options, "parse_tags", False):
+            from .formats.bam import first_record_tags, parse_bam_header
+            from .formats.samtags import infer_tag_fields
+            from .io.bgzf import decompress_all
+
+            store, meta = self.files()[0]
+            data = decompress_all(store.get(meta.path))
+            header = parse_bam_header(data)
+            return bam_schema(self.options,
+                              infer_tag_fields(first_record_tags(data,
+                                                                 header)))
         return bam_schema(self.options)
 
     def supports_filter_pushdown(self, expr: Expr) -> str:
@@ -221,6 +232,74 @@ def make_bam_provider(url: str, options, config):
         options = dataclasses.replace(
             options, parse_tags=getattr(config, "bam_parse_tags", False))
     return BamTable(url, options, config)
+
+
+@dataclasses.dataclass
+class SamTable(TableProvider):
+    """SAM listing table; in parse_tags mode the tags struct schema is
+    inferred from the first record (exon-sam schema_builder.rs:70-349)."""
+
+    url: str
+    options: object
+    config: object = None
+    _schema: object = None
+
+    def files(self):
+        files = resolve_table_files(
+            self.url, getattr(self.options, "file_extension", ".sam"))
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def schema(self) -> Schema:
+        from .formats.sam import sam_schema
+
+        if not getattr(self.options, "parse_tags", False):
+            return sam_schema(self.options)
+        if self._schema is None:
+            from .formats.sam import parse_text_tags
+            from .formats.samtags import infer_tag_fields
+            from .io.compression import decompress, infer_compression
+
+            store, meta = self.files()[0]
+            _stem, comp = infer_compression(meta.path)
+            data = decompress(store.get(meta.path), comp)
+            first = []
+            for line in data.split(b"\n"):
+                if line and not line.startswith(b"@"):
+                    parts = line.split(b"\t", 11)
+                    if len(parts) == 12:
+                        arr = np.frombuffer(parts[11], np.uint8)
+                        first = parse_text_tags(arr, 0, len(arr))
+                    break
+            self._schema = sam_schema(self.options, infer_tag_fields(first))
+        return self._schema
+
+    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        from .formats.sam import decode_host
+        from .io.compression import decompress, infer_compression
+
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        files = self.files()
+        options = self.options
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                _stem, comp = infer_compression(meta.path)
+                data = decompress(store.get(meta.path), comp)
+                yield from decode_host(data, options, proj)
+
+        return ScanExec(schema.project(proj), source)
+
+
+def make_sam_provider(url: str, options, config):
+    if config is not None:
+        options = dataclasses.replace(
+            options, parse_tags=getattr(config, "sam_parse_tags", False))
+    return SamTable(url, options, config)
 
 
 def make_vcf_provider(url: str, options, config):
@@ -830,3 +909,4 @@ def register_indexed_providers() -> None:
     register_provider_factory("BIGWIG_VALUE", make_bigwig_value_provider)
     register_provider_factory("BIGWIG_ZOOM", make_bigwig_zoom_provider)
     register_provider_factory("CRAM", make_cram_provider)
+    register_provider_factory("SAM", make_sam_provider)

@@ -51,6 +51,26 @@ class SelectStmt:
 
 
 @dataclasses.dataclass
+class ValuesQuery:
+    rows: list  # list[list[Expr]]
+
+
+@dataclasses.dataclass
+class CreateMemoryTable:
+    name: str
+    columns: list  # [(name, type_name)] — may be empty when AS given
+    query: Optional[Any] = None  # SelectStmt | ValuesQuery
+    if_not_exists: bool = False
+
+
+@dataclasses.dataclass
+class InsertStmt:
+    table: str
+    columns: list  # may be empty
+    rows: list     # list[list[Expr]]
+
+
+@dataclasses.dataclass
 class CreateExternalTable:
     name: str
     file_format: str

@@ -105,7 +105,131 @@ def _execute_stmt(session, stmt):
         session.deregister_table(stmt.name)
         return _result_df(session, dt.Schema.of(
             dt.Field("status", dt.utf8, False)), [("ok",)])
+    if isinstance(stmt, A.CreateMemoryTable):
+        return _create_memory_table(session, stmt)
+    if isinstance(stmt, A.InsertStmt):
+        return _insert_into(session, stmt)
+    if isinstance(stmt, A.ValuesQuery):
+        return _values_query_df(session, stmt)
     raise SqlError(f"unsupported statement {type(stmt).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# in-memory tables (stock-DataFusion MemTable analog)
+# ---------------------------------------------------------------------------
+
+_MEM_TYPE_NAMES = {
+    "int": dt.int64, "integer": dt.int64, "bigint": dt.int64,
+    "smallint": dt.int64, "tinyint": dt.int64,
+    "text": dt.utf8, "varchar": dt.utf8, "char": dt.utf8, "string": dt.utf8,
+    "float": dt.float64, "double": dt.float64, "real": dt.float32,
+    "boolean": dt.bool_, "bool": dt.bool_,
+}
+
+
+class MemTable:
+    """In-memory table provider over a pyarrow Table (the reference relies
+    on DataFusion's MemTable for CREATE TABLE / INSERT INTO)."""
+
+    def __init__(self, table):
+        self.arrow = table
+
+    def schema(self):
+        from ..batch import schema_from_arrow
+
+        return schema_from_arrow(self.arrow.schema)
+
+    def supports_filter_pushdown(self, expr):
+        return "none"
+
+    def scan(self, projection=None, filters=(), limit=None):
+        from ..batch import Batch
+        from ..plan.physical import ScanExec
+
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        tbl = self.arrow.select(proj) if proj else self.arrow
+        out_schema = schema.project(proj)
+
+        def source():
+            for rb in tbl.to_batches(max_chunksize=8192):
+                yield Batch.from_arrow(rb, out_schema)
+
+        return ScanExec(out_schema, source, to_device=True)
+
+    def insert(self, rows_table):
+        import pyarrow as pa
+
+        self.arrow = pa.concat_tables(
+            [self.arrow, rows_table.cast(self.arrow.schema)])
+
+
+def _rows_to_arrow(rows, declared_cols=None):
+    import pyarrow as pa
+
+    n_cols = len(rows[0]) if rows else len(declared_cols or [])
+    cols = []
+    names = []
+    for j in range(n_cols):
+        vals = [_const_eval(r[j]) for r in rows]
+        if declared_cols and j < len(declared_cols):
+            name, tname = declared_cols[j]
+            names.append(name)
+        else:
+            names.append(f"column{j + 1}")
+        cols.append(pa.array(vals))
+    return pa.table(dict(zip(names, cols)))
+
+
+def _create_memory_table(session, stmt: A.CreateMemoryTable):
+    import pyarrow as pa
+
+    from ..batch import arrow_type
+
+    if stmt.if_not_exists and stmt.name.lower() in session.tables:
+        return _result_df(session, dt.Schema.of(
+            dt.Field("status", dt.utf8, False)), [("ok",)])
+    if stmt.query is None:
+        fields = []
+        for name, tname in stmt.columns:
+            dtype = _MEM_TYPE_NAMES.get(tname)
+            if dtype is None:
+                raise SqlError(f"unknown column type {tname!r}")
+            fields.append(pa.field(name, arrow_type(dtype), True))
+        table = pa.table({f.name: pa.array([], f.type) for f in fields})
+    elif isinstance(stmt.query, A.ValuesQuery):
+        table = _rows_to_arrow(stmt.query.rows, stmt.columns or None)
+    else:
+        from ..dataframe import DataFrame
+
+        table = DataFrame(session,
+                          plan_select(session, stmt.query)).collect_arrow()
+        if stmt.columns:
+            table = table.rename_columns([c for c, _t in stmt.columns])
+    session.register_table(stmt.name, MemTable(table))
+    return _result_df(session, dt.Schema.of(
+        dt.Field("status", dt.utf8, False)), [("ok",)])
+
+
+def _insert_into(session, stmt: A.InsertStmt):
+    provider = session.tables.get(stmt.table.lower())
+    if provider is None:
+        raise PlanError(f"table {stmt.table!r} not found")
+    if not isinstance(provider, MemTable):
+        raise PlanError(f"INSERT INTO requires an in-memory table")
+    cols = stmt.columns or [f.name for f in provider.schema().all_fields]
+    rows = _rows_to_arrow(stmt.rows, [(c, None) for c in cols])
+    provider.insert(rows)
+    return _result_df(session, dt.Schema.of(
+        dt.Field("count", dt.int64, False)), [(len(stmt.rows),)])
+
+
+def _values_query_df(session, stmt: A.ValuesQuery):
+    from ..batch import schema_from_arrow
+    from ..dataframe import DataFrame
+
+    table = _rows_to_arrow(stmt.rows)
+    return DataFrame(session, L.Scan(MemTable(table), "values"))
 
 
 def _infer_copy_format(target: str) -> str:
@@ -247,7 +371,12 @@ def _values_row(stmt: A.SelectStmt) -> L.LogicalPlan:
     for e, alias in stmt.projections:
         if _is_star(e):
             raise SqlError("SELECT * requires FROM")
-        v = _const_eval(e)
+        try:
+            v = _const_eval(e)
+        except SqlError:
+            # non-constant (UDF call): run the expressions through the
+            # normal device evaluator over a one-row dummy batch
+            return _projected_dummy_row(stmt)
         name = alias or e.display_name()
         if isinstance(v, bool):
             fields.append(dt.Field(name, dt.bool_, False))
@@ -255,10 +384,25 @@ def _values_row(stmt: A.SelectStmt) -> L.LogicalPlan:
             fields.append(dt.Field(name, dt.int64, False))
         elif isinstance(v, float):
             fields.append(dt.Field(name, dt.float64, False))
+        elif isinstance(v, list):
+            elem = dt.float64 if any(isinstance(x, float) for x in v) \
+                else dt.int64
+            fields.append(dt.Field(name, dt.list_(elem), True))
         else:
             fields.append(dt.Field(name, dt.utf8, True))
         row.append(v)
     return L.Values(dt.Schema(tuple(fields)), [tuple(row)])
+
+
+def _projected_dummy_row(stmt: A.SelectStmt) -> L.LogicalPlan:
+    from ..plan.expressions import Alias as _Alias
+
+    dummy = L.Values(dt.Schema((dt.Field("__dummy", dt.int64, False),)),
+                     [(0,)])
+    exprs = []
+    for e, alias in stmt.projections:
+        exprs.append(_Alias(e, alias) if alias else e)
+    return L.Project(exprs, dummy)
 
 
 def _const_eval(e: Expr):
@@ -266,6 +410,8 @@ def _const_eval(e: Expr):
         return e.value
     if isinstance(e, Alias):
         return _const_eval(e.child)
+    if isinstance(e, FunctionCall) and e.name == "make_array":
+        return [_const_eval(a) for a in e.args]
     if isinstance(e, BinaryOp):
         a, b = _const_eval(e.left), _const_eval(e.right)
         import operator as op
@@ -326,9 +472,37 @@ def _plan_udtf(session, ref: A.TableFunc) -> L.LogicalPlan:
     return plan
 
 
+def _unqualify(e: Expr, *schemas) -> Expr:
+    """Strip table qualifiers parsed as FieldAccess when the base name is
+    not a struct column of any input schema."""
+    from ..plan.expressions import FieldAccess
+
+    if isinstance(e, FieldAccess) and isinstance(e.child, ColumnRef):
+        base = e.child.name
+        for s in schemas:
+            if s.has_field(base) and \
+                    s.field(base).dtype.kind.value == "struct":
+                return e
+        return ColumnRef(e.field)
+    import dataclasses as _dc
+
+    kids = e.children()
+    if not kids:
+        return e
+    updates = {}
+    for fld in _dc.fields(e):
+        v = getattr(e, fld.name)
+        if isinstance(v, Expr):
+            updates[fld.name] = _unqualify(v, *schemas)
+        elif isinstance(v, list) and v and isinstance(v[0], Expr):
+            updates[fld.name] = [_unqualify(x, *schemas) for x in v]
+    return _dc.replace(e, **updates)
+
+
 def _join_pairs(on: Optional[Expr], lschema, rschema):
     if on is None:
         raise SqlError("JOIN requires ON or USING")
+    on = _unqualify(on, lschema, rschema)
     pairs = []
     residual = []
     for c in split_conjunction(on):

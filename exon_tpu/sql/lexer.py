@@ -16,6 +16,7 @@ KEYWORDS = {
     "describe", "show", "tables", "explain", "analyze", "drop", "if",
     "exists", "distinct", "cast", "union", "all", "case", "when", "then",
     "else", "end", "with", "compression", "type",
+    "insert", "into", "values",
 }
 
 

@@ -11,7 +11,8 @@ from typing import Optional
 from .. import datatypes as dt
 from ..errors import SqlError
 from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Cast,
-                                ColumnRef, Expr, FunctionCall, InList, IsNull,
+                                ColumnRef, Expr, FieldAccess, FunctionCall,
+                                InList, IsNull,
                                 Like, Literal, Not)
 from . import ast as A
 from .lexer import Token, tokenize
@@ -103,6 +104,10 @@ class Parser:
             self.next()
             analyze = self.accept_kw("analyze")
             return A.ExplainStmt(self.parse_statement(), analyze)
+        if word == "insert":
+            return self.parse_insert()
+        if word == "values":
+            return self.parse_values()
         if word == "drop":
             self.next()
             self.expect_kw("table")
@@ -254,9 +259,10 @@ class Parser:
 
     # -- CREATE / COPY / SET ------------------------------------------------
 
-    def parse_create(self) -> A.CreateExternalTable:
+    def parse_create(self):
         self.expect_kw("create")
-        self.expect_kw("external")
+        if not self.accept_kw("external"):
+            return self._parse_create_memory()
         self.expect_kw("table")
         if_not_exists = False
         if self.accept_kw("if"):
@@ -302,6 +308,65 @@ class Parser:
             raise SqlError("CREATE EXTERNAL TABLE requires STORED AS <format>")
         return A.CreateExternalTable(name, fmt.upper(), location, options,
                                      partition_cols, if_not_exists)
+
+    def _parse_create_memory(self) -> "A.CreateMemoryTable":
+        """CREATE TABLE name [(col type, …)] [AS SELECT…|AS VALUES …] — the
+        in-memory table surface the reference gets from stock DataFusion
+        (used by sequence-udfs.slt / quality-score-udfs.slt)."""
+        self.expect_kw("table")
+        if_not_exists = False
+        if self.accept_kw("if"):
+            self.expect_kw("not")
+            self.expect_kw("exists")
+            if_not_exists = True
+        name = self.qualified_name()
+        columns: list[tuple[str, str]] = []
+        if self.accept_op("("):
+            while True:
+                cname = self.ident()
+                ctype = self.ident()
+                # swallow compound types like VARCHAR(10)
+                if self.accept_op("("):
+                    while not self.accept_op(")"):
+                        self.next()
+                columns.append((cname, ctype.lower()))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+        query = None
+        if self.accept_kw("as"):
+            if self.peek().value.lower() == "values":
+                query = self.parse_values()
+            else:
+                query = self.parse_select()
+        return A.CreateMemoryTable(name, columns, query, if_not_exists)
+
+    def parse_values(self) -> "A.ValuesQuery":
+        self.expect_kw("values")
+        rows = []
+        while True:
+            self.expect_op("(")
+            row = [self.parse_expr()]
+            while self.accept_op(","):
+                row.append(self.parse_expr())
+            self.expect_op(")")
+            rows.append(row)
+            if not self.accept_op(","):
+                break
+        return A.ValuesQuery(rows)
+
+    def parse_insert(self) -> "A.InsertStmt":
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        name = self.qualified_name()
+        cols = []
+        if self.accept_op("("):
+            cols.append(self.ident())
+            while self.accept_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+        vq = self.parse_values()
+        return A.InsertStmt(name, cols, vq.rows)
 
     def parse_copy(self) -> A.CopyToStmt:
         self.expect_kw("copy")
@@ -486,14 +551,26 @@ class Parser:
                 return Cast(inner, _TYPE_NAMES[tname])
             if w == "case":
                 raise SqlError("CASE expressions not yet supported")
+        if t.kind == "op" and t.value == "[":
+            # array literal → make_array call (DataFusion sugar)
+            self.next()
+            elems = []
+            if not self.accept_op("]"):
+                elems.append(self.parse_expr())
+                while self.accept_op(","):
+                    elems.append(self.parse_expr())
+                self.expect_op("]")
+            return FunctionCall("make_array", elems)
         if t.kind in ("ident", "kw"):
             name = self.ident()
             if self.accept_op("("):
                 return self._parse_call(name)
-            full = name
+            # dotted chains parse as struct field access; the planner's
+            # resolve pass turns table-qualifier dots back into ColumnRefs
+            expr: Expr = ColumnRef(name)
             while self.accept_op("."):
-                full = self.ident()  # strip qualifier (single-table scope)
-            return ColumnRef(full)
+                expr = FieldAccess(expr, self.ident())
+            return expr
         raise SqlError(f"unexpected token {t.value!r} in expression")
 
     def _parse_call(self, name: str) -> Expr:

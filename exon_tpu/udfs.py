@@ -24,9 +24,32 @@ from .plan.planner import register_function_type
 
 
 def _require_var(v, fn: str) -> VarColumn:
+    if isinstance(v, (str, bytes)):
+        # literal argument: broadcast to a 1-row column (constant-folded
+        # SELECT f('...') form)
+        b = v.encode() if isinstance(v, str) else v
+        vals = jnp.asarray(np.frombuffer(b, np.uint8))
+        offs = jnp.asarray(np.array([0, len(b)], np.int32))
+        return VarColumn(vals, offs, jnp.ones(1, bool))
     if not isinstance(v, VarColumn):
+        from .batch import FixedColumn as _FC, ListColumn as _LC
+
+        if isinstance(v, _LC) and isinstance(v.child, _FC):
+            return VarColumn(v.child.values, v.offsets, v.validity)
         raise PlanError(f"{fn} expects a string/sequence column")
     return v
+
+
+def make_array(batch: Batch, *args) -> VarColumn:
+    """DataFusion make_array: scalars → one list per row (constant across
+    the batch)."""
+    cap = batch.capacity if batch is not None and batch.columns else 1
+    vals = np.asarray(list(args))
+    n = len(args)
+    flat = np.tile(vals, cap)
+    offs = (np.arange(cap + 1, dtype=np.int32) * n).astype(np.int32)
+    return VarColumn(jnp.asarray(flat), jnp.asarray(offs),
+                     jnp.ones(cap, bool))
 
 
 def _per_row_count(col: VarColumn, byte_mask: jnp.ndarray) -> jnp.ndarray:
@@ -93,8 +116,7 @@ def quality_score_string_to_list(batch: Batch, q) -> VarColumn:
 
 
 def quality_score_list_to_string(batch: Batch, q) -> VarColumn:
-    if not isinstance(q, VarColumn):
-        raise PlanError("quality_score_list_to_string expects a list column")
+    q = _require_var(q, "quality_score_list_to_string")
     vals = (q.values.astype(jnp.int32) + 33).astype(jnp.uint8)
     return VarColumn(vals, q.offsets, q.validity)
 
@@ -171,12 +193,21 @@ def is_mapped(batch: Batch, flags) -> jnp.ndarray:
 
 
 def alignment_score(batch: Batch, seq, other, band=None) -> jnp.ndarray:
-    from .ops.alignment import alignment_scores
+    from .ops.alignment import alignment_scores, alignment_scores_pairwise
 
+    if band is not None and not isinstance(band, (int, np.integer)):
+        raise PlanError("alignment_score takes an optional third argument "
+                        "of type int32")
     if isinstance(seq, str) and isinstance(other, VarColumn):
         seq, other = other, seq
     if isinstance(seq, VarColumn) and isinstance(other, str):
         return alignment_scores(seq, other.encode())
+    if isinstance(seq, str) and isinstance(other, str):
+        return alignment_scores_pairwise(_require_var(seq, "alignment_score"),
+                                         _require_var(other,
+                                                      "alignment_score"))
+    if isinstance(seq, VarColumn) and isinstance(other, VarColumn):
+        return alignment_scores_pairwise(seq, other)
     raise PlanError("alignment_score expects (sequence_column, 'QUERY')")
 
 
@@ -191,8 +222,10 @@ def locate_regex(batch: Batch, seq, pattern) -> "object":
     import jax as _jax
     from .batch import ListColumn, StructColumn, utf8_column, fixed_column
 
-    if not isinstance(seq, VarColumn) or not isinstance(pattern, str):
-        raise PlanError("locate_regex expects (sequence_column, 'pattern')")
+    if not isinstance(pattern, str):
+        raise PlanError("Execution error: locate_regex takes different "
+                        "types of arguments, the a sequence and a pattern")
+    seq = _require_var(seq, "locate_regex")
     rx = _re.compile(pattern)
     offs = np.asarray(_jax.device_get(seq.offsets))
     vals = np.asarray(_jax.device_get(seq.values))
@@ -231,8 +264,110 @@ LOCATE_REGEX_T = dt.list_(dt.struct([
 # -- mass-spec UDFs (udfs/massspec/{bin_vectors,contains_peak}.rs) ----------
 
 
+def _as_var(col) -> VarColumn:
+    """Normalize a ListColumn-of-fixed (e.g. struct field extraction) to the
+    flat VarColumn layout kernels consume."""
+    from .batch import FixedColumn, ListColumn
+
+    if isinstance(col, ListColumn) and isinstance(col.child, FixedColumn):
+        return VarColumn(col.child.values, col.offsets, col.validity)
+    return col
+
+
+def array_element(batch: Batch, arr, index) -> "object":
+    """1-based list element (DataFusion array_element semantics: OOB →
+    null)."""
+    from .batch import FixedColumn
+
+    arr = _as_var(arr)
+    if not isinstance(arr, VarColumn):
+        raise PlanError("array_element expects a list column")
+    idx = jnp.asarray(index, jnp.int32)
+    lens = row_lengths_i32(arr.offsets)
+    pos = arr.offsets[:-1] + idx - 1
+    ok = jnp.logical_and(idx >= 1, idx <= lens)
+    pos = jnp.clip(pos, 0, max(arr.value_capacity - 1, 0))
+    return FixedColumn(arr.values[pos], jnp.logical_and(ok, arr.validity))
+
+
+def array_length(batch: Batch, arr) -> "object":
+    from .batch import FixedColumn
+
+    arr = _as_var(arr)
+    if not isinstance(arr, VarColumn):
+        raise PlanError("array_length expects a list column")
+    return FixedColumn(row_lengths_i32(arr.offsets).astype(jnp.int64),
+                       arr.validity)
+
+
+def row_lengths_i32(offsets):
+    return (offsets[1:] - offsets[:-1]).astype(jnp.int32)
+
+
+def _chrom_eq_mask(batch: Batch, chrom, name: str) -> jnp.ndarray:
+    from .ops import strings as str_ops
+
+    if isinstance(chrom, DictColumn):
+        codes = np.array([v == name for v in chrom.vocab], bool)
+        m = jnp.asarray(codes)[jnp.clip(chrom.codes, 0,
+                                        max(len(chrom.vocab) - 1, 0))]
+        return jnp.logical_and(m, chrom.validity)
+    chrom = _require_var(chrom, "chrom_match")
+    return jnp.logical_and(
+        str_ops.equals_literal(chrom, name.encode()), chrom.validity)
+
+
+def _interval_mask(batch: Batch, pos, lo, hi) -> jnp.ndarray:
+    vals = pos.values if isinstance(pos, FixedColumn) else jnp.asarray(pos)
+    m = jnp.ones(vals.shape[0], bool)
+    if lo is not None:
+        m = jnp.logical_and(m, vals >= lo)
+    if hi is not None:
+        m = jnp.logical_and(m, vals <= hi)
+    if isinstance(pos, FixedColumn):
+        m = jnp.logical_and(m, pos.validity)
+    return m
+
+
+def integer_encoding(batch: Batch, seq, alphabet) -> VarColumn:
+    """Map each byte to its index in ``alphabet``
+    (udfs/sequence/integer_encoding.rs); unknown bytes encode 0."""
+    col = _require_var(seq, "integer_encoding")
+    alpha = str(alphabet).encode()
+    lut = np.zeros(256, np.int64)
+    for i, b in enumerate(alpha):
+        lut[b] = i
+    vals = jnp.asarray(lut)[col.values.astype(jnp.int32)]
+    return VarColumn(vals, col.offsets, col.validity)
+
+
+def chrom_match(batch: Batch, chrom, name) -> jnp.ndarray:
+    """Executable chrom predicate (udfs/vcf/mod.rs:156)."""
+    return _chrom_eq_mask(batch, chrom, str(name))
+
+
+def interval_match(batch: Batch, pos, interval) -> jnp.ndarray:
+    """pos within '<start>-<end>' (1-based inclusive,
+    udfs/vcf/mod.rs:221)."""
+    s = str(interval)
+    lo_s, _, hi_s = s.partition("-")
+    lo = int(lo_s.replace(",", "")) if lo_s else None
+    hi = int(hi_s.replace(",", "")) if hi_s else None
+    return _interval_mask(batch, pos, lo, hi)
+
+
+def region_match(batch: Batch, chrom, pos, region) -> jnp.ndarray:
+    """chrom:interval overlap predicate (udfs/vcf/mod.rs:54)."""
+    from .io.indexes import Region
+
+    r = Region.parse(str(region))
+    m = _chrom_eq_mask(batch, chrom, r.name)
+    return jnp.logical_and(m, _interval_mask(batch, pos, r.start, r.end))
+
+
 def contains_peak(batch: Batch, mz, peak_mz, tolerance) -> jnp.ndarray:
     """True if any mz value is within ±tolerance of peak_mz."""
+    mz = _as_var(mz)
     if not isinstance(mz, VarColumn):
         raise PlanError("contains_peak expects a List<Float64> column")
     vcap = mz.value_capacity
@@ -246,6 +381,7 @@ def contains_peak(batch: Batch, mz, peak_mz, tolerance) -> jnp.ndarray:
 def bin_vectors(batch: Batch, mz, intensity, min_mz, num_bins, bin_width
                 ) -> VarColumn:
     """Sum intensities into fixed-width mz bins → List<Float64>[num_bins]."""
+    mz, intensity = _as_var(mz), _as_var(intensity)
     if not (isinstance(mz, VarColumn) and isinstance(intensity, VarColumn)):
         raise PlanError("bin_vectors expects two List<Float64> columns")
     num_bins = int(num_bins)
@@ -300,6 +436,13 @@ def _register_all() -> None:
     register_function_type("quality_score_string_to_list", _list_i64_type)
     register_function("quality_score_list_to_string", quality_score_list_to_string)
     register_function_type("quality_score_list_to_string", _utf8_type)
+    # names as registered in the reference session (udfs/sequence/mod.rs)
+    register_function("quality_scores_to_list", quality_score_string_to_list)
+    register_function_type("quality_scores_to_list", _list_i64_type)
+    register_function("quality_scores_to_string", quality_score_list_to_string)
+    register_function_type("quality_scores_to_string", _utf8_type)
+    register_function("make_array", make_array)
+    register_function_type("make_array", lambda a: dt.list_(dt.int64))
     register_function("trim_polya", trim_polya)
     register_function_type("trim_polya", _utf8_type)
     register_function("length", length_fn)
@@ -318,6 +461,20 @@ def _register_all() -> None:
     register_function_type("alignment_score", lambda a: dt.int32)
     register_function("locate_regex", locate_regex, host=True)
     register_function_type("locate_regex", lambda a: LOCATE_REGEX_T)
+    register_function("integer_encoding", integer_encoding)
+    register_function_type("integer_encoding", _list_i64_type)
+    register_function("chrom_match", chrom_match)
+    register_function_type("chrom_match", _bool_type)
+    register_function("interval_match", interval_match)
+    register_function_type("interval_match", _bool_type)
+    register_function("region_match", region_match)
+    register_function_type("region_match", _bool_type)
+    register_function("array_element", array_element)
+    register_function_type("array_element", lambda a: (
+        a[0].dtype.value_type if a and a[0].dtype.kind == dt.TypeKind.LIST
+        else dt.int64))
+    register_function("array_length", array_length)
+    register_function_type("array_length", _i64_type)
     register_function("contains_peak", contains_peak)
     register_function_type("contains_peak", _bool_type)
     register_function("bin_vectors", bin_vectors)
