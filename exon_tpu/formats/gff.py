@@ -34,6 +34,8 @@ ATTR_DTYPE = dt.DataType(
 class GffOptions:
     file_extension: str = ".gff"
     batch_size: int = 8192
+    indexed: bool = False
+    regions: list = None
     projection: Optional[list[str]] = None
     style: str = "gff"
 

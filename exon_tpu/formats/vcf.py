@@ -74,15 +74,42 @@ class VcfOptions:
     batch_size: int = 8192
     parse_info: bool = False
     parse_formats: bool = False
+    indexed: bool = False
     projection: Optional[list[str]] = None
     # region filter applied at decode time (host row filter matching
     # IndexedAsyncBatchStream.intersects semantics, 1-based inclusive)
     regions: list = field(default_factory=list)
 
 
-def vcf_schema(options: VcfOptions = None) -> Schema:
-    # typed info/formats schemas are computed per-file (need the header);
-    # the static schema covers the untyped default
+_VCF_BASE_TYPES = {"Integer": dt.int32, "Float": dt.float32,
+                   "Flag": dt.bool_, "String": dt.utf8,
+                   "Character": dt.utf8}
+
+
+def _decl_dtype(number: str, typ: str) -> dt.DataType:
+    base = _VCF_BASE_TYPES.get(typ, dt.utf8)
+    if typ == "Flag":
+        return base
+    if number != "1":
+        return dt.list_(base)
+    return base
+
+
+def vcf_schema(options: VcfOptions = None, header: "VcfHeader" = None
+               ) -> Schema:
+    # typed info/formats need the file header (vcf_parse_info /
+    # vcf_parse_formats, exon-core vcf/table_provider.rs:637-674); the
+    # static schema covers the untyped default
+    info_t: dt.DataType = dt.utf8
+    formats_t: dt.DataType = dt.utf8
+    if options is not None and header is not None:
+        if getattr(options, "parse_info", False) and header.infos:
+            info_t = dt.struct([dt.Field(k, _decl_dtype(*decl), True)
+                                for k, decl in header.infos.items()])
+        if getattr(options, "parse_formats", False) and header.formats:
+            formats_t = dt.list_(dt.struct(
+                [dt.Field(k, _decl_dtype(*decl), True)
+                 for k, decl in header.formats.items()]))
     return Schema.of(
         dt.Field("chrom", dt.dictionary, nullable=False),
         dt.Field("pos", dt.int64, nullable=False),
@@ -91,9 +118,22 @@ def vcf_schema(options: VcfOptions = None) -> Schema:
         dt.Field("alt", dt.list_(dt.utf8), nullable=True),
         dt.Field("qual", dt.float32, nullable=True),
         dt.Field("filter", dt.list_(dt.utf8), nullable=True),
-        dt.Field("info", dt.utf8, nullable=True),
-        dt.Field("formats", dt.utf8, nullable=True),
+        dt.Field("info", info_t, nullable=True),
+        dt.Field("formats", formats_t, nullable=True),
     )
+
+
+def parse_header_only(data: bytes) -> VcfHeader:
+    """Parse just the ## header lines (schema inference for typed mode)."""
+    lines = []
+    for line in data.split(b"\n"):
+        if line.startswith(b"#"):
+            lines.append(line)
+            if line.startswith(b"#CHROM"):
+                break
+        else:
+            break
+    return VcfHeader.parse(lines)
 
 
 def _split_list_field(arr, s, e, sep: int) -> ListColumn:
@@ -124,9 +164,6 @@ def _split_list_field(arr, s, e, sep: int) -> ListColumn:
 def decode_host(data: bytes, options: VcfOptions,
                 projection: Optional[list[str]] = None,
                 with_header: Optional[VcfHeader] = None) -> Iterator[Batch]:
-    schema = vcf_schema(options)
-    proj = projection or schema.names
-    out_schema = schema.project(proj)
     arr = to_u8(data)
     if len(arr) == 0:
         return
@@ -136,11 +173,18 @@ def decode_host(data: bytes, options: VcfOptions,
     header_lines = [bytes(arr[li.starts[k]:li.ends[k]])
                     for k in np.flatnonzero(hdr_mask)]
     header = with_header or VcfHeader.parse(header_lines)
+    schema = vcf_schema(options, header)
+    proj = projection or schema.names
+    out_schema = schema.project(proj)
     li = li.select(~hdr_mask & (li.ends > li.starts))
     n = len(li)
     if n == 0:
         return
+    typed_formats = getattr(options, "parse_formats", False) and \
+        header.formats
     n_fields = 9 if (header.samples or "formats" in proj) else 8
+    if typed_formats:
+        n_fields = 9 + max(len(header.samples), 1)
     fs, fe, present = split_fields(arr, li.starts, li.ends, max(n_fields, 8))
 
     bs = options.batch_size
@@ -149,14 +193,125 @@ def decode_host(data: bytes, options: VcfOptions,
         cols = []
         for name in proj:
             cols.append(_decode_vcf_col(name, arr, fs, fe, present, lo, hi,
-                                        li, header))
+                                        li, header, options))
         yield batch_from_host(out_schema, cols, hi - lo)
 
 
-def _decode_vcf_col(name, arr, fs, fe, present, lo, hi, li, header: VcfHeader):
+def _typed_value_column(vals: list, number: str, typ: str):
+    """Typed column from raw text values (None = absent)."""
+    from ..batch import StructColumn, utf8_column
+
+    n = len(vals)
+    if typ == "Flag":
+        present = np.array([v is not None for v in vals], bool)
+        return FixedColumn(np.array([v is True or v == "" or bool(v)
+                                     if v is not None else False
+                                     for v in vals], bool), present)
+    is_list = number != "1"
+
+    def parse_one(v: str):
+        if v is None or v == ".":
+            return None
+        if typ == "Integer":
+            return int(v)
+        if typ == "Float":
+            return float(np.float32(float(v)))
+        return v
+
+    if not is_list:
+        parsed = [parse_one(v) for v in vals]
+        valid = np.array([p is not None for p in parsed], bool)
+        if typ == "Integer":
+            return FixedColumn(np.array([p or 0 for p in parsed], np.int32),
+                               valid)
+        if typ == "Float":
+            return FixedColumn(
+                np.array([0.0 if p is None else p for p in parsed],
+                         np.float32), valid)
+        return utf8_column(parsed)
+    lists = [[parse_one(x) for x in v.split(",")] if v not in (None, ".")
+             else None for v in vals]
+    counts = np.array([len(x) if x else 0 for x in lists], np.int64)
+    offs = cumsum_exclusive(counts).astype(np.int32)
+    flat = [x for lst in lists if lst for x in lst]
+    valid = np.array([x is not None for x in lists], bool)
+    if typ == "Integer":
+        child = FixedColumn(np.array([0 if x is None else x for x in flat],
+                                     np.int32),
+                            np.array([x is not None for x in flat], bool))
+    elif typ == "Float":
+        child = FixedColumn(
+            np.array([0.0 if x is None else x for x in flat], np.float32),
+            np.array([x is not None for x in flat], bool))
+    else:
+        from ..batch import utf8_column as _u
+
+        child = _u(flat)
+    return ListColumn(child, offs, valid)
+
+
+def _typed_info_column(arr, s, e, pres, header: VcfHeader):
+    from ..batch import StructColumn
+
+    n = len(s)
+    rows = []
+    for i in range(n):
+        d = {}
+        if pres[i]:
+            txt = bytes(arr[s[i]:e[i]])
+            if txt and txt != b".":
+                for part in txt.split(b";"):
+                    if b"=" in part:
+                        k, _, v = part.partition(b"=")
+                        d[k.decode()] = v.decode()
+                    elif part:
+                        d[part.decode()] = True
+        rows.append(d)
+    children = {}
+    for k, (number, typ) in header.infos.items():
+        children[k] = _typed_value_column([r.get(k) for r in rows],
+                                          number, typ)
+    return StructColumn(children, pres.copy())
+
+
+def _typed_formats_column(arr, fs, fe, present, lo, hi, header: VcfHeader):
+    from ..batch import StructColumn
+
+    n = hi - lo
+    n_samples = max(len(header.samples), 1)
+    # per row: FORMAT keys + per-sample values; one struct entry per sample
+    flat: list[dict] = []
+    for i in range(lo, hi):
+        keys = []
+        if present[i, 8]:
+            keys = bytes(arr[fs[i, 8]:fe[i, 8]]).decode().split(":")
+        for j in range(n_samples):
+            col_idx = 9 + j
+            d = {}
+            if col_idx < fs.shape[1] and present[i, col_idx]:
+                parts = bytes(arr[fs[i, col_idx]:fe[i, col_idx]]
+                              ).decode().split(":")
+                for k, v in zip(keys, parts):
+                    d[k] = v
+            flat.append(d)
+    children = {}
+    for k, (number, typ) in header.formats.items():
+        children[k] = _typed_value_column([d.get(k) for d in flat],
+                                          number, typ)
+    child = StructColumn(children, np.ones(len(flat), bool))
+    offs = (np.arange(n + 1) * n_samples).astype(np.int32)
+    return ListColumn(child, offs, np.ones(n, bool))
+
+
+def _decode_vcf_col(name, arr, fs, fe, present, lo, hi, li,
+                    header: VcfHeader, options=None):
     idx = {"chrom": 0, "pos": 1, "id": 2, "ref": 3, "alt": 4, "qual": 5,
            "filter": 6, "info": 7, "formats": 8}[name]
     if name == "formats":
+        if options is not None and getattr(options, "parse_formats", False) \
+                and header.formats:
+            return _typed_formats_column(arr, fs, fe, present, lo, hi,
+                                         header)
         s = fs[lo:hi, 8]
         e = li.ends[lo:hi]
         pres = present[lo:hi, 8]
@@ -178,6 +333,9 @@ def _decode_vcf_col(name, arr, fs, fe, present, lo, hi, li, header: VcfHeader):
         return FixedColumn(np.where(ok, vals, 0.0).astype(np.float32),
                            ok & ~dot & pres)
     if name == "info":
+        if options is not None and getattr(options, "parse_info", False) \
+                and header.infos:
+            return _typed_info_column(arr, s, e, pres & ~dot, header)
         v, o = gather_slices(arr, np.where(dot, 0, s), np.where(dot, 0, e))
         return VarColumn(v, o.astype(np.int32), pres & ~dot)
     if name in ("id", "filter"):

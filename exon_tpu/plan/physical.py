@@ -241,6 +241,13 @@ class AggregateExec(PhysicalPlan):
             first_idx = np.asarray(jax.device_get(first_idx))[:ng]
             partials = jax.device_get(partials)  # tuples stay tuples
             keys = self._group_key_tuples(b, first_idx)
+            # first-occurrence order within the batch (DataFusion hash
+            # aggregate emission order, which the slt goldens encode)
+            order = np.argsort(first_idx, kind="stable")
+            keys = [keys[int(g)] for g in order]
+            partials = [tuple(np.asarray(x)[order] for x in p)
+                        if isinstance(p, tuple) else np.asarray(p)[order]
+                        for p in partials]
             for g, key in enumerate(keys):
                 row = [tuple(x[g] for x in p) if isinstance(p, tuple)
                        else p[g] for p in partials]

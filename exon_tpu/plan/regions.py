@@ -54,17 +54,31 @@ def infer_region_from_expr(expr: Expr) -> Optional[Region]:
 
 def is_region_filter(expr: Expr) -> bool:
     try:
-        return infer_region_from_expr(expr) is not None
+        if infer_region_from_expr(expr) is not None:
+            return True
     except InvalidRegionError:
         return True  # it *is* one, just malformed — let scan raise
+    if isinstance(expr, BinaryOp) and expr.op == "or":
+        return is_region_filter(expr.left) and is_region_filter(expr.right)
+    return False
 
 
 def infer_regions_from_filters(filters) -> list[Region]:
     out = []
-    for f in filters:
+
+    def visit(f) -> bool:
         r = infer_region_from_expr(f)
         if r is not None:
             out.append(r)
+            return True
+        # OR of region markers (region-file expansion) extracts every branch
+        if isinstance(f, BinaryOp) and f.op == "or":
+            left = visit(f.left)
+            return visit(f.right) and left
+        return False
+
+    for f in filters:
+        visit(f)
     return out
 
 

@@ -48,8 +48,17 @@ class VcfTable(TableProvider):
     config: object = None
 
     def schema(self) -> Schema:
-        from .formats.vcf import vcf_schema
+        from .formats.vcf import parse_header_only, vcf_schema
 
+        if getattr(self.options, "parse_info", False) or \
+                getattr(self.options, "parse_formats", False):
+            from .io.compression import decompress, infer_compression
+
+            store, meta = self.files()[0]
+            _stem, comp = infer_compression(meta.path)
+            header = parse_header_only(decompress(store.get(meta.path),
+                                                  comp))
+            return vcf_schema(self.options, header)
         return vcf_schema(self.options)
 
     def supports_filter_pushdown(self, expr: Expr) -> str:
@@ -74,6 +83,10 @@ class VcfTable(TableProvider):
         options = self.options
         if getattr(options, "regions", None):
             regions = list(options.regions) + regions
+        if getattr(options, "indexed", False) and not regions:
+            raise InvalidRegionError(
+                "An indexed VCF table type requires a region filter. "
+                "See the 'vcf_region_filter' function.")
 
         schema = self.schema()
         proj = list(projection) if projection is not None else schema.names
@@ -598,12 +611,22 @@ class CramTable(TableProvider):
         records = []
         for _off, ch, r in cram_mod.iter_containers(data,
                                                     cf.containers_start):
-            records = cram_mod.decode_container(ch, r, None, cf.ref_names)
+            records = cram_mod.decode_container(ch, r, self._ref_getter(),
+                                                cf.ref_names)
             if records:
                 break
         self._schema = cram_mod.cram_schema(
             self.options, cram_mod.infer_tag_fields(records))
         return self._schema
+
+    def _ref_getter(self):
+        if not getattr(self.options, "fasta_reference", None):
+            return None
+        from .formats import cram as cram_mod
+        from .io.object_store import get_store as _gs
+
+        rstore, rpath = _gs(self.options.fasta_reference)
+        return cram_mod.FastaRepository(rstore, rpath).get
 
     def supports_filter_pushdown(self, expr: Expr) -> str:
         return "exact" if R.is_region_filter(expr) else "none"
@@ -643,12 +666,7 @@ class CramTable(TableProvider):
         def decode_file(store, meta, container_offsets=None):
             data = store.get(meta.path)
             cf = cram_mod.parse_file_header(data)
-            ref_getter = None
-            if getattr(options, "fasta_reference", None):
-                from .io.object_store import get_store as _gs
-
-                rstore, rpath = _gs(options.fasta_reference)
-                ref_getter = cram_mod.FastaRepository(rstore, rpath).get
+            ref_getter = self._ref_getter()
             records = []
             for off, ch, r in cram_mod.iter_containers(
                     data, cf.containers_start):
@@ -688,19 +706,25 @@ class CramTable(TableProvider):
                         for e in entries:
                             if e.seq_id != rid:
                                 continue
-                            e_end = e.align_start + e.align_span - 1
-                            if e.align_start <= hi and e_end >= lo:
+                            # parity quirk: a crai entry matches only when
+                            # the region CONTAINS the slice alignment start
+                            # (cram/index.rs:45-60), not on overlap
+                            if lo <= e.align_start <= hi:
                                 offsets.add(e.container_offset)
                 yield from decode_file(store, meta, offsets)
 
         plan: PhysicalPlan = ScanExec(scan_schema, source)
         if regions:
-            exprs = [R.region_to_interval_expr(r, "reference", "start", "end")
+            # row-level residual checks the reference name only: after crai
+            # pruning the reference keeps every record of the selected
+            # slices (the COITree filter compares against the crai entry
+            # ranges themselves, indexed_async_batch_stream.rs:76-133)
+            from .plan.expressions import BinaryOp, col, lit
+
+            exprs = [BinaryOp("=", col("reference"), lit(r.name))
                      for r in regions]
             pred = exprs[0]
             for e in exprs[1:]:
-                from .plan.expressions import BinaryOp
-
                 pred = BinaryOp("or", pred, e)
             plan = FilterExec(pred, plan)
             if scan_proj != proj and proj:
@@ -883,6 +907,332 @@ class _PartitionConstExec(PhysicalPlan):
             yield _Batch(self._schema, cols, b.length)
 
 
+@dataclasses.dataclass
+class ParquetTable(TableProvider):
+    """Parquet listing table (the reference gets this from stock DataFusion;
+    exercised by parquet-copy-test.slt)."""
+
+    url: str
+    options: object = None
+    config: object = None
+
+    def files(self):
+        files = resolve_table_files(self.url, ".parquet")
+        if not files:
+            files = resolve_table_files(self.url, None)
+        if not files:
+            raise FileNotFoundError(f"no files for table at {self.url}")
+        return files
+
+    def _read(self, store, meta):
+        import io
+
+        import pyarrow.parquet as pq
+
+        return pq.read_table(io.BytesIO(store.get(meta.path)))
+
+    def schema(self) -> Schema:
+        from .batch import schema_from_arrow
+
+        store, meta = self.files()[0]
+        return schema_from_arrow(self._read(store, meta).schema)
+
+    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        from .batch import Batch as _Batch
+
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        out_schema = schema.project(proj)
+        files = self.files()
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                tbl = self._read(store, meta).select(proj)
+                for rb in tbl.to_batches(max_chunksize=8192):
+                    yield _Batch.from_arrow(rb, out_schema)
+
+        return ScanExec(out_schema, source, to_device=True)
+
+
+@dataclasses.dataclass
+class DeltaTable(TableProvider):
+    """Minimal Delta Lake reader: replays _delta_log JSON actions to the
+    current add-file set, then reads the parquet data files
+    (exon_context_ext.rs:579-588, feature `deltalake`)."""
+
+    url: str
+    options: object = None
+    config: object = None
+
+    def _snapshot(self):
+        import json
+
+        store, root = get_store(self.url)
+        root = root.rstrip("/")
+        log_metas = [m for m in store.list(f"{root}/_delta_log")
+                     if m.path.endswith(".json")]
+        adds: dict[str, dict] = {}
+        for m in sorted(log_metas, key=lambda m: m.path):
+            for line in store.get(m.path).splitlines():
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    adds.pop(action["remove"]["path"], None)
+        return store, root, list(adds.values())
+
+    def _read_all(self):
+        import io
+        import urllib.parse
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        store, root, adds = self._snapshot()
+        tables = []
+        for add in adds:
+            rel = urllib.parse.unquote(add["path"])
+            tables.append(pq.read_table(io.BytesIO(
+                store.get(f"{root}/{rel}"))))
+        if not tables:
+            raise FileNotFoundError(f"empty delta table at {self.url}")
+        return pa.concat_tables(tables)
+
+    def schema(self) -> Schema:
+        from .batch import schema_from_arrow
+
+        return schema_from_arrow(self._read_all().schema)
+
+    def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        from .batch import Batch as _Batch
+
+        tbl = self._read_all()
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        out_schema = schema.project(proj)
+        sel = tbl.select(proj)
+
+        def source() -> Iterator[Batch]:
+            for rb in sel.to_batches(max_chunksize=8192):
+                yield _Batch.from_arrow(rb, out_schema)
+
+        return ScanExec(out_schema, source, to_device=True)
+
+
+from .tables import FileTable
+
+
+@dataclasses.dataclass
+class GffTable(FileTable):
+    """GFF/GTF listing table with tabix (.tbi) region pruning
+    (exon-core/src/datasources/gff/, INDEXED_GFF + gff_indexed_scan)."""
+
+    config: object = None
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        return "exact" if R.is_region_filter(expr) else "none"
+
+    def scan(self, projection=None, filters=(), limit=None,
+             prefix_hints=None) -> PhysicalPlan:
+        regions = R.infer_regions_from_filters(filters)
+        options = self.options
+        if getattr(options, "regions", None):
+            regions = list(options.regions) + regions
+        if not regions:
+            if getattr(options, "indexed", False):
+                raise InvalidRegionError(
+                    "An indexed GFF table type requires a region filter. "
+                    "See the 'gff_region_filter' function.")
+            return super().scan(projection, filters, limit, prefix_hints)
+        from .formats.gff import decode_host
+
+        schema = self.schema()
+        proj = list(projection) if projection is not None else schema.names
+        scan_proj = list(proj)
+        for need in ("seqname", "start", "end"):
+            if need not in scan_proj:
+                scan_proj.append(need)
+        scan_schema = schema.project(scan_proj)
+        files = self.files()
+
+        def read_chunk(store, path, chunk, file_size) -> bytes:
+            # parity quirk: the reference reads the compressed range
+            # [vstart.compressed, vend.compressed) — the trailing partial
+            # block that contains vend is NOT read, so its records drop
+            # (gff/indexed_file_opener.rs:77-82); same-block chunks read to
+            # EOF instead
+            lo = bgzf.coffset(chunk.vstart)
+            hi = bgzf.coffset(chunk.vend)
+            if lo == hi:
+                hi = file_size
+            buf = store.get_range(path, lo, hi)
+            data = bgzf.decompress_all(buf)
+            return data[bgzf.uoffset(chunk.vstart):]
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                _stem, comp = infer_compression(meta.path)
+                if comp in (Compression.BGZF, Compression.GZIP) and \
+                        store.exists(meta.path + ".tbi"):
+                    tbi = parse_tabix(store.get(meta.path + ".tbi"))
+                    for region in regions:
+                        for chunk in tbi.query(region):
+                            text = read_chunk(store, meta.path, chunk,
+                                              meta.size)
+                            yield from decode_host(text, options, scan_proj)
+                else:
+                    from .io.compression import decompress
+
+                    data = decompress(store.get(meta.path), comp)
+                    yield from decode_host(data, options, scan_proj)
+
+        plan: PhysicalPlan = ScanExec(scan_schema, source)
+        # row filter matches the reference: name equality + interval
+        # CONTAINS the record start (exon-gff/src/batch_reader.rs:76-96)
+        exprs = [R.region_to_point_expr(r, "seqname", "start")
+                 for r in regions]
+        pred = exprs[0]
+        for e in exprs[1:]:
+            from .plan.expressions import BinaryOp
+
+            pred = BinaryOp("or", pred, e)
+        plan = FilterExec(pred, plan)
+        if scan_proj != proj and proj:
+            from .plan.expressions import col
+
+            plan = ProjectExec([col(n) for n in proj],
+                               schema.project(proj), plan)
+        return plan
+
+
+def make_gff_provider(url: str, options, config):
+    from .tables import get_format
+
+    return GffTable(url, get_format("GFF"), options, config)
+
+
+@dataclasses.dataclass
+class FastaTable(FileTable):
+    """FASTA listing table; region filters turn into .fai-driven
+    subsequence reads (ListingFASTATable::scan,
+    fasta/table_provider.rs:344-456 + indexed_file/fai.rs:29-47)."""
+
+    config: object = None
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        return "exact" if R.is_region_filter(expr) else "none"
+
+    def scan(self, projection=None, filters=(), limit=None,
+             prefix_hints=None) -> PhysicalPlan:
+        regions = R.infer_regions_from_filters(filters)
+        options = self.options
+        if getattr(options, "regions", None):
+            regions = list(options.regions) + regions
+        if not regions:
+            return super().scan(projection, filters, limit, prefix_hints)
+        from urllib.parse import urlparse
+
+        from .batch import batch_from_host, utf8_column
+        from .formats.fasta import fasta_schema
+        from .io.indexes import compute_fai_range, parse_fai
+
+        schema = fasta_schema(options)
+        proj = list(projection) if projection is not None else schema.names
+        out_schema = schema.project(proj)
+        files = self.files()
+        remote = urlparse(self.url).scheme not in ("", "file")
+
+        def region_rows(store, meta):
+            _stem, comp = infer_compression(meta.path)
+            if comp != Compression.NONE and remote:
+                raise ExonIndexedFastaError(
+                    "Indexed FASTA from remote storage only supports "
+                    "uncompressed files.")
+            if comp == Compression.NONE and store.exists(meta.path + ".fai"):
+                fai = parse_fai(store.get(meta.path + ".fai"))
+                for region in regions:
+                    rec = fai.get(region.name)
+                    if rec is None:
+                        continue
+                    lo, hi = compute_fai_range(rec, region)
+                    raw = store.get_range(meta.path, lo, hi)
+                    seq = raw.replace(b"\n", b"").replace(b"\r", b"")
+                    yield _region_id(region), seq.decode("ascii", "replace")
+            else:
+                from .formats.cram import FastaRepository
+                from .io.compression import decompress
+
+                # in-memory fallback (local compressed / missing .fai):
+                # parse the whole file, slice per region
+                data = decompress(store.get(meta.path), comp)
+                seqs: dict[str, bytes] = {}
+                cur, parts = None, []
+                for line in data.split(b"\n"):
+                    if line.startswith(b">"):
+                        if cur is not None:
+                            seqs[cur] = b"".join(parts)
+                        cur = line[1:].split()[0].decode()
+                        parts = []
+                    else:
+                        parts.append(line.strip())
+                if cur is not None:
+                    seqs[cur] = b"".join(parts)
+                for region in regions:
+                    if region.name not in seqs:
+                        continue
+                    s = seqs[region.name]
+                    lo = (region.start or 1) - 1
+                    hi = region.end if region.end is not None else len(s)
+                    yield _region_id(region), \
+                        s[lo:hi].decode("ascii", "replace")
+
+        def source() -> Iterator[Batch]:
+            for store, meta in files:
+                rows = list(region_rows(store, meta))
+                if not rows:
+                    continue
+                n = len(rows)
+                cols = []
+                for name in proj:
+                    if name == "id":
+                        cols.append(utf8_column([r[0] for r in rows]))
+                    elif name == "description":
+                        cols.append(utf8_column([None] * n))
+                    elif name == "sequence":
+                        cols.append(utf8_column([r[1] for r in rows]))
+                    else:
+                        raise KeyError(name)
+                yield batch_from_host(out_schema, cols, n)
+
+        return ScanExec(out_schema, source)
+
+
+class ExonIndexedFastaError(Exception):
+    pass
+
+
+def _region_id(region) -> str:
+    if region.start is None and region.end is None:
+        return region.name
+    return f"{region.name}:{region.start}-{region.end}"
+
+
+def make_fasta_provider(url: str, options, config):
+    from .tables import get_format
+
+    return FastaTable(url, get_format("FASTA"), options, config)
+
+
+def make_parquet_provider(url: str, options, config):
+    return ParquetTable(url, options, config)
+
+
+def make_delta_provider(url: str, options, config):
+    return DeltaTable(url, options, config)
+
+
 def make_cram_provider(url: str, options, config):
     if config is not None:
         options = dataclasses.replace(
@@ -910,3 +1260,5 @@ def register_indexed_providers() -> None:
     register_provider_factory("BIGWIG_ZOOM", make_bigwig_zoom_provider)
     register_provider_factory("CRAM", make_cram_provider)
     register_provider_factory("SAM", make_sam_provider)
+    register_provider_factory("GFF", make_gff_provider)
+    register_provider_factory("FASTA", make_fasta_provider)

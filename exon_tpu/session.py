@@ -134,6 +134,20 @@ class ExonSession:
     def read_hmm_dom_tab(self, url: str, options=None, **kw) -> DataFrame:
         return self._read("HMMDOMTAB", url, options, **kw)
 
+    def read_parquet(self, url: str) -> DataFrame:
+        from .plan import logical as _L
+        from .providers import make_parquet_provider
+
+        return DataFrame(self, L.Scan(
+            make_parquet_provider(url, None, self.config), f"parquet:{url}"))
+
+    def read_delta(self, url: str) -> DataFrame:
+        """Delta Lake table read (exon_context_ext.rs:579-588)."""
+        from .providers import make_delta_provider
+
+        return DataFrame(self, L.Scan(
+            make_delta_provider(url, None, self.config), f"delta:{url}"))
+
     def read_inferred_exon_table(self, url: str) -> DataFrame:
         """Infer format + compression from the extension
         (reference: exon_file_type.rs:217-237, ffi/mod.rs:40)."""

@@ -244,6 +244,17 @@ def _infer_copy_format(target: str) -> str:
 def _create_external_table(session, stmt: A.CreateExternalTable):
     from ..tables import get_format
 
+    fmt_name = stmt.file_format.upper()
+    if fmt_name in ("PARQUET", "DELTATABLE"):
+        from ..providers import make_delta_provider, make_parquet_provider
+
+        factory = (make_parquet_provider if fmt_name == "PARQUET"
+                   else make_delta_provider)
+        provider = factory(stmt.location, None, session.config)
+        if not (stmt.if_not_exists and stmt.name.lower() in session.tables):
+            session.register_table(stmt.name, provider)
+        return _result_df(session, dt.Schema.of(
+            dt.Field("status", dt.utf8, False)), [("ok",)])
     spec = get_format(stmt.file_format.replace("INDEXED_", ""))
     options = spec.default_options()
     import dataclasses
@@ -260,8 +271,8 @@ def _create_external_table(session, stmt: A.CreateExternalTable):
             else:
                 kw[key] = v
     if stmt.file_format.startswith("INDEXED_"):
-        kw["indexed"] = True if hasattr(options, "indexed") else None
-        kw.pop("indexed", None)
+        if hasattr(options, "indexed"):
+            kw["indexed"] = True
     if kw:
         options = dataclasses.replace(options, **kw)
     if hasattr(options, "batch_size"):
@@ -444,30 +455,52 @@ def _plan_udtf(session, ref: A.TableFunc) -> L.LogicalPlan:
     path = str(ref.args[0])
     kwargs = {}
     if len(ref.args) > 1 and isinstance(ref.args[1], str):
-        # second arg: compression (scan UDTFs) or region (indexed UDTFs)
+        # second arg: compression (scan UDTFs) or region / region-file
+        # (indexed UDTFs — ExonFileIndexedListingOptions region file)
         if indexed:
             from ..io.indexes import Region
+            from ..io.object_store import get_store
 
-            kwargs["regions"] = [Region.parse(ref.args[1])]
+            arg = ref.args[1]
+            region_strs = None
+            if "/" in arg or arg.endswith(".txt"):
+                try:
+                    store, rpath = get_store(arg)
+                    if store.exists(rpath):
+                        region_strs = [
+                            ln.strip() for ln in
+                            store.get(rpath).decode().splitlines()
+                            if ln.strip()]
+                except (ValueError, FileNotFoundError):
+                    region_strs = None
+            if region_strs is None:
+                region_strs = [arg]
+            kwargs["regions"] = [Region.parse(r) for r in region_strs]
         # compression is inferred from the extension otherwise
     df = session._read(fmt, path)
     plan = df.logical_plan()
     if indexed and "regions" in kwargs:
-        from ..plan.expressions import FunctionCall, lit, col
+        from ..plan.expressions import BinaryOp, FunctionCall, lit, col
 
         marker_name = {"FASTA": "fasta_region_filter", "GFF": "gff_region_filter",
                        "VCF": "vcf_region_filter", "BAM": "bam_region_filter"}.get(fmt)
-        region = str(kwargs["regions"][0])
-        if fmt == "VCF":
-            marker = FunctionCall("vcf_region_filter",
-                                  [lit(region), col("chrom"), col("pos")])
-        elif fmt in ("GFF", "BAM"):
-            cols = ("seqname", "start", "end") if fmt == "GFF" else \
-                ("reference", "start", "end")
-            marker = FunctionCall(marker_name,
-                                  [lit(region)] + [col(c) for c in cols])
-        else:
-            marker = FunctionCall("fasta_region_filter", [lit(region), col("id")])
+
+        def mk(region: str):
+            if fmt == "VCF":
+                return FunctionCall("vcf_region_filter",
+                                    [lit(region), col("chrom"), col("pos")])
+            if fmt in ("GFF", "BAM"):
+                cols = ("seqname", "start", "end") if fmt == "GFF" else \
+                    ("reference", "start", "end")
+                return FunctionCall(marker_name,
+                                    [lit(region)] + [col(c) for c in cols])
+            return FunctionCall("fasta_region_filter",
+                                [lit(region), col("id")])
+
+        regs = kwargs["regions"]
+        marker = mk(str(regs[0]))
+        for r in regs[1:]:
+            marker = BinaryOp("or", marker, mk(str(r)))
         plan = L.Filter(marker, plan)
     return plan
 

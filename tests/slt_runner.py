@@ -130,8 +130,16 @@ def fmt_value(v, dtype=None, nested=False) -> str:
         if dtype is not None and pa.types.is_struct(dtype):
             fields = {dtype.field(i).name: dtype.field(i).type
                       for i in range(dtype.num_fields)}
-        inner = ", ".join(f"{k}: {fmt_value(x, fields.get(k), nested=True)}"
-                          for k, x in v.items())
+        # DataFusion renders top-level struct cells as k:v joined by ","
+        # but structs nested in lists as {k: v, ...}
+        if nested:
+            inner = ", ".join(
+                f"{k}: {fmt_value(x, fields.get(k), nested=True)}"
+                for k, x in v.items())
+        else:
+            inner = ",".join(
+                f"{k}:{fmt_value(x, fields.get(k), nested=True)}"
+                for k, x in v.items())
         return "{" + inner + "}"
     if isinstance(v, (list, tuple)):
         child = dtype.value_type if dtype is not None and (
