@@ -135,6 +135,8 @@ def decode_fasta_device(data: bytes, options: FastaOptions,
     encode = options.sequence_data_type if options.sequence_data_type.startswith(
         "integer") else "utf8"
 
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()  # split_chunks / frombuffer want bytes
     for lo, hi in split_chunks(data):
         chunk = np.frombuffer(data, np.uint8, count=hi - lo, offset=lo)
         vcap = bucket_capacity(max(len(chunk), 1), minimum=1024)

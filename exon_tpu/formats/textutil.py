@@ -20,7 +20,9 @@ TAB = 9
 SPACE = 32
 
 
-def to_u8(data: bytes) -> np.ndarray:
+def to_u8(data) -> np.ndarray:
+    if isinstance(data, np.ndarray):
+        return data if data.dtype == np.uint8 else data.view(np.uint8)
     return np.frombuffer(data, dtype=np.uint8)
 
 

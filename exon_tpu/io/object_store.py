@@ -96,6 +96,14 @@ class LocalStore(ObjectStore):
         with open(p, "wb") as f:
             f.write(data)
 
+    def get_view(self, path: str):
+        """Zero-copy uint8 view of the file (mmap) — the hot ingest path
+        reads straight out of the page cache instead of copying into a
+        Python bytes object."""
+        import numpy as np
+
+        return np.memmap(self._abs(path), dtype=np.uint8, mode="r")
+
 
 class InMemoryStore(ObjectStore):
     """Fake remote store for tests (the LocalStack analog)."""

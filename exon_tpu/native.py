@@ -59,6 +59,18 @@ def get_lib():
     lib.fasta_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64,
                                ctypes.POINTER(_FastaIndex),
                                ctypes.c_char_p, ctypes.c_int64]
+    try:
+        lib.fasta_scan_mt.restype = ctypes.c_int64
+        lib.fasta_scan_mt.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.POINTER(_FastaIndex),
+                                      ctypes.c_char_p, ctypes.c_int64,
+                                      ctypes.c_int64]
+        lib.fasta_count_records_mt.restype = ctypes.c_int64
+        lib.fasta_count_records_mt.argtypes = [ctypes.c_char_p,
+                                               ctypes.c_int64,
+                                               ctypes.c_int64]
+    except AttributeError:
+        pass
     lib.fasta_fill_sequences.restype = ctypes.c_int64
     lib.fasta_fill_sequences.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -79,20 +91,33 @@ def available() -> bool:
     return get_lib() is not None
 
 
-def fasta_scan(data: bytes, prefix_k: int = 0):
+def _as_ptr(data) -> tuple:
+    """(c_char_p pointer, length) from bytes or a uint8 array (mmap view)."""
+    if isinstance(data, np.ndarray):
+        return data.ctypes.data_as(ctypes.c_char_p), data.size
+    return data, len(data)
+
+
+def fasta_scan(data, prefix_k: int = 0):
     """Native single-pass FASTA scan.
 
     Returns dict with numpy arrays: header/name/desc offsets, seq lengths,
     prefix matrix [n, prefix_k] — or None if the library is unavailable.
+    ``data`` may be bytes or a uint8 numpy view (mmap — zero-copy ingest).
     """
     lib = get_lib()
     if lib is None:
         return None
-    n = len(data)
-    # capacity = count of '>' bytes (SIMD memchr; ≥ true record count)
-    cap = data.count(b">")
+    ptr, n = _as_ptr(data)
+    # capacity from the native record counter (memchr-speed, ≥ true count)
+    nt = os.cpu_count() or 1
+    if hasattr(lib, "fasta_count_records_mt"):
+        cap = int(lib.fasta_count_records_mt(ptr, n, nt))
+    else:
+        cap = int(lib.fasta_count_records(ptr, n))
     if cap == 0:
         return {"n": 0}
+    data = ptr
     arrs = {k: np.empty(cap, np.int64)
             for k in ("header_start", "name_start", "name_end",
                       "desc_start", "desc_end", "seq_length")}
@@ -102,9 +127,15 @@ def fasta_scan(data: bytes, prefix_k: int = 0):
         setattr(idx, k, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     k_eff = max(prefix_k, 1)
     prefix = np.zeros((cap, k_eff), np.uint8)
-    n_rec = lib.fasta_scan(data, n, ctypes.byref(idx),
-                           prefix.ctypes.data_as(ctypes.c_char_p),
-                           k_eff if prefix_k > 0 else 0)
+    n_threads = os.cpu_count() or 1
+    if hasattr(lib, "fasta_scan_mt"):
+        n_rec = lib.fasta_scan_mt(data, n, ctypes.byref(idx),
+                                  prefix.ctypes.data_as(ctypes.c_char_p),
+                                  k_eff if prefix_k > 0 else 0, n_threads)
+    else:
+        n_rec = lib.fasta_scan(data, n, ctypes.byref(idx),
+                               prefix.ctypes.data_as(ctypes.c_char_p),
+                               k_eff if prefix_k > 0 else 0)
     if n_rec < 0:
         from .errors import InvalidSequenceError
 
@@ -121,9 +152,10 @@ def fasta_fill_sequences(data: bytes, header_start: np.ndarray,
     lib = get_lib()
     if lib is None:
         return None
+    ptr, n = _as_ptr(data)
     total = int(seq_offsets[-1])
     out = np.empty(total, np.uint8)
-    wrote = lib.fasta_fill_sequences(data, len(data), header_start,
+    wrote = lib.fasta_fill_sequences(ptr, n, header_start,
                                      len(header_start),
                                      seq_offsets.astype(np.int64),
                                      out.ctypes.data_as(ctypes.c_char_p))
@@ -132,13 +164,17 @@ def fasta_fill_sequences(data: bytes, header_start: np.ndarray,
     return out
 
 
-def scan_lines(data: bytes, comment: int = 0):
+def scan_lines(data, comment: int = 0):
     """Native line scan (skips comment-prefixed lines, strips CR)."""
     lib = get_lib()
     if lib is None:
         return None
-    max_lines = data.count(b"\n") + 1
+    ptr, n = _as_ptr(data)
+    if isinstance(data, np.ndarray):
+        max_lines = int(np.count_nonzero(data == 10)) + 1
+    else:
+        max_lines = data.count(b"\n") + 1
     starts = np.empty(max_lines, np.int64)
     ends = np.empty(max_lines, np.int64)
-    count = lib.scan_lines(data, len(data), comment, starts, ends, max_lines)
+    count = lib.scan_lines(ptr, n, comment, starts, ends, max_lines)
     return starts[:count], ends[:count]

@@ -77,11 +77,16 @@ class FileTable(TableProvider):
         decode = fmt.device_decode if use_device else fmt.decode
 
         def source() -> Iterator[Batch]:
+            from .io.compression import Compression
+
             produced = 0
             for store, meta in files:
                 _stem, comp = infer_compression(meta.path)
-                raw = store.get(meta.path)
-                data = decompress(raw, comp)
+                if comp == Compression.NONE and fmt.supports_view and \
+                        hasattr(store, "get_view"):
+                    data = store.get_view(meta.path)
+                else:
+                    data = decompress(store.get(meta.path), comp)
                 for b in decode(data, options, projection):
                     yield b
                     if limit is not None:
@@ -104,6 +109,8 @@ class FormatSpec:
     # optional on-device decode: (bytes, options, projection) -> Iterator of
     # *device* Batches (see formats/fasta_device.py). Preferred when present.
     device_decode: Optional[callable] = None
+    # decode accepts a zero-copy uint8 mmap view instead of bytes
+    supports_view: bool = False
 
 
 _FORMATS: dict[str, FormatSpec] = {}
@@ -139,6 +146,7 @@ def _register_builtin_formats() -> None:
         default_options=fasta_mod.FastaOptions,
         extension=".fasta",
         device_decode=fasta_dev.decode_fasta_device,
+        supports_view=True,
     ))
 
     from .formats import fastq as fastq_mod

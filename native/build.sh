@@ -2,5 +2,5 @@
 # Build the native ingest library.
 set -e
 cd "$(dirname "$0")"
-g++ -O3 -march=native -fPIC -shared -o libexon_native.so fasta_scan.cpp
+g++ -O3 -march=native -fPIC -shared -pthread -o libexon_native.so fasta_scan.cpp
 echo "built $(pwd)/libexon_native.so"

@@ -12,6 +12,8 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -120,6 +122,118 @@ int64_t fasta_fill_sequences(const uint8_t* data, int64_t n,
     p = nl ? nl + 1 : end;
   }
   return w - out;
+}
+
+// --------------------------------------------------------------------------
+// Multithreaded FASTA scan: split the buffer at record ('\n>') boundaries,
+// count + scan each shard in parallel, write shard s's records at the
+// shard's global record offset. Host ingest is the engine's noodles-analog
+// hot loop; this keeps a 2-core host ahead of the TPU.
+
+static int64_t next_record_boundary(const uint8_t* data, int64_t n,
+                                    int64_t from) {
+  if (from <= 0) return 0;
+  const uint8_t* p = data + from - 1;
+  const uint8_t* end = data + n;
+  while ((p = (const uint8_t*)memchr(p, '\n', end - p)) != nullptr) {
+    p++;
+    if (p >= end) break;
+    if (*p == '>') return p - data;
+  }
+  return n;
+}
+
+int64_t fasta_count_records_mt(const uint8_t* data, int64_t n,
+                               int64_t n_threads) {
+  if (n_threads < 2 || n < (4 << 20)) return fasta_count_records(data, n);
+  std::vector<int64_t> bounds(n_threads + 1);
+  bounds[0] = 0;
+  for (int64_t t = 1; t < n_threads; t++)
+    bounds[t] = next_record_boundary(data, n, t * (n / n_threads));
+  bounds[n_threads] = n;
+  std::vector<int64_t> counts(n_threads, 0);
+  std::vector<std::thread> threads;
+  for (int64_t t = 0; t < n_threads; t++) {
+    threads.emplace_back([&, t] {
+      counts[t] = fasta_count_records(data + bounds[t],
+                                      bounds[t + 1] - bounds[t]);
+    });
+  }
+  for (auto& th : threads) th.join();
+  int64_t total = 0;
+  for (auto c : counts) total += c;
+  return total;
+}
+
+int64_t fasta_scan_mt(const uint8_t* data, int64_t n, FastaIndex* idx,
+                      uint8_t* prefix_out, int64_t prefix_k,
+                      int64_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  if (n_threads == 1 || n < (4 << 20)) {
+    return fasta_scan(data, n, idx, prefix_out, prefix_k);
+  }
+  std::vector<int64_t> bounds(n_threads + 1);
+  bounds[0] = 0;
+  for (int64_t t = 1; t < n_threads; t++) {
+    bounds[t] = next_record_boundary(data, n, t * (n / n_threads));
+  }
+  bounds[n_threads] = n;
+  // leading bytes before the first '>' are an error unless whitespace-only
+  if (n > 0 && data[0] != '>') {
+    const uint8_t* q = data;
+    while (q < data + n && (*q == '\n' || *q == '\r')) q++;
+    if (q < data + n && *q != '>') return -1;
+    bounds[0] = next_record_boundary(data, n, 1);
+  }
+  std::vector<int64_t> counts(n_threads, 0);
+  {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < n_threads; t++) {
+      threads.emplace_back([&, t] {
+        counts[t] = fasta_count_records(data + bounds[t],
+                                        bounds[t + 1] - bounds[t]);
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  std::vector<int64_t> rec_off(n_threads + 1, 0);
+  for (int64_t t = 0; t < n_threads; t++)
+    rec_off[t + 1] = rec_off[t] + counts[t];
+  std::vector<int64_t> written(n_threads, 0);
+  {
+    std::vector<std::thread> threads;
+    for (int64_t t = 0; t < n_threads; t++) {
+      threads.emplace_back([&, t] {
+        FastaIndex sub;
+        int64_t off = rec_off[t];
+        sub.header_start = idx->header_start + off;
+        sub.name_start = idx->name_start + off;
+        sub.name_end = idx->name_end + off;
+        sub.desc_start = idx->desc_start + off;
+        sub.desc_end = idx->desc_end + off;
+        sub.seq_length = idx->seq_length + off;
+        written[t] = fasta_scan(data + bounds[t], bounds[t + 1] - bounds[t],
+                                &sub, prefix_out + off * prefix_k, prefix_k);
+        // shard-local offsets → global
+        if (written[t] > 0 && bounds[t] != 0) {
+          for (int64_t i = 0; i < written[t]; i++) {
+            sub.header_start[i] += bounds[t];
+            sub.name_start[i] += bounds[t];
+            sub.name_end[i] += bounds[t];
+            sub.desc_start[i] += bounds[t];
+            sub.desc_end[i] += bounds[t];
+          }
+        }
+      });
+    }
+    for (auto& th : threads) th.join();
+  }
+  int64_t total = 0;
+  for (int64_t t = 0; t < n_threads; t++) {
+    if (written[t] < 0) return -1;
+    total += written[t];
+  }
+  return total;
 }
 
 // Integer-encode DNA in place over a byte buffer (A,C,G,T,N → 1..5).
