@@ -29,6 +29,7 @@ try:
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 
+from . import tracing  # EXON_LOG-configured logger
 from .batch import Batch, Schema, DEFAULT_BATCH_SIZE
 from .config import SessionConfig, new_exon_config
 from .dataframe import DataFrame

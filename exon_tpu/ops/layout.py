@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..batch import (Batch, Column, DictColumn, FixedColumn, ListColumn,
-                     StructColumn, VarColumn)
+                     PrefixColumn, StructColumn, VarColumn)
 
 
 def byte_row_ids(offsets: jnp.ndarray, vcap: int) -> jnp.ndarray:
@@ -185,6 +185,13 @@ def take_column(col: Column, indices: jnp.ndarray, count: jnp.ndarray,
         live = jnp.arange(ocap, dtype=jnp.int32) < count
         valid = jnp.where(live, col.validity[jnp.clip(indices, 0, col.capacity - 1)], False)
         return ListColumn(child, new_off, valid)
+    if isinstance(col, PrefixColumn):
+        ocap = indices.shape[0]
+        safe = jnp.clip(indices, 0, col.capacity - 1)
+        live = jnp.arange(ocap, dtype=jnp.int32) < count
+        return PrefixColumn(col.prefix[safe],
+                            jnp.where(live, col.lengths[safe], 0),
+                            jnp.where(live, col.validity[safe], False))
     raise TypeError(f"take_column: {type(col)}")
 
 

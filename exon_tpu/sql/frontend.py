@@ -94,6 +94,21 @@ def _execute_stmt(session, stmt):
             dt.Field("table_name", dt.utf8, False)), rows)
     if isinstance(stmt, A.ExplainStmt):
         inner = _execute_stmt(session, stmt.stmt)
+        if stmt.analyze:
+            # EXPLAIN ANALYZE: run the query with every operator
+            # instrumented (ExecutionPlanMetricsSet analog)
+            from ..plan.metrics import instrument, render_metrics
+            from ..plan.planner import create_physical_plan, optimize
+
+            pplan = instrument(create_physical_plan(
+                optimize(inner.logical_plan())))
+            for _ in pplan.batches():
+                pass
+            text = "\n".join(render_metrics(pplan))
+            return _result_df(session, dt.Schema.of(
+                dt.Field("plan_type", dt.utf8, False),
+                dt.Field("plan", dt.utf8, False)),
+                [("Plan with Metrics", text)])
         text = inner.explain()
         return _result_df(session, dt.Schema.of(
             dt.Field("plan_type", dt.utf8, False),

@@ -78,9 +78,12 @@ class FileTable(TableProvider):
 
         def source() -> Iterator[Batch]:
             from .io.compression import Compression
+            from .tracing import logger as _log
 
             produced = 0
             for store, meta in files:
+                _log.debug("scan open fmt=%s path=%s size=%d", fmt.name,
+                           meta.path, meta.size)
                 _stem, comp = infer_compression(meta.path)
                 if comp == Compression.NONE and fmt.supports_view and \
                         hasattr(store, "get_view"):

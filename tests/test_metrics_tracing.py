@@ -1,0 +1,33 @@
+"""EXPLAIN ANALYZE operator metrics + EXON_LOG tracing
+(ExecutionPlanMetricsSet / tracing-span analogs, SURVEY.md §5)."""
+
+import logging
+
+
+def test_explain_analyze_reports_metrics(session, ref_data):
+    path = ref_data("fasta", "test.fasta")
+    session.sql(f"CREATE EXTERNAL TABLE t STORED AS FASTA LOCATION '{path}'")
+    t = session.sql("EXPLAIN ANALYZE SELECT id FROM t "
+                    "WHERE sequence LIKE 'A%'").collect_arrow()
+    assert t.column("plan_type")[0].as_py() == "Plan with Metrics"
+    plan = t.column("plan")[0].as_py()
+    assert "ScanExec" in plan
+    assert "FilterExec" in plan
+    assert "output_rows=2" in plan
+    assert "elapsed_ms=" in plan
+
+
+def test_explain_plain_still_logical(session, ref_data):
+    path = ref_data("fasta", "test.fasta")
+    session.sql(f"CREATE EXTERNAL TABLE t2 STORED AS FASTA LOCATION '{path}'")
+    t = session.sql("EXPLAIN SELECT id FROM t2").collect_arrow()
+    assert t.column("plan_type")[0].as_py() == "logical_plan"
+
+
+def test_tracing_spans_log_at_debug(session, ref_data, caplog):
+    from exon_tpu.tracing import logger
+
+    path = ref_data("fasta", "test.fasta")
+    with caplog.at_level(logging.DEBUG, logger="exon_tpu"):
+        session.read_fasta(path).count()
+    assert any("scan open" in r.message for r in caplog.records)
