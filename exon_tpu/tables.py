@@ -76,28 +76,74 @@ class FileTable(TableProvider):
                       and not _os.environ.get("EXON_TPU_HOST_DECODE"))
         decode = fmt.device_decode if use_device else fmt.decode
 
-        def source() -> Iterator[Batch]:
+        def decode_file(store, meta) -> list:
             from .io.compression import Compression
             from .tracing import logger as _log
 
+            _log.debug("scan open fmt=%s path=%s size=%d", fmt.name,
+                       meta.path, meta.size)
+            _stem, comp = infer_compression(meta.path)
+            if comp == Compression.NONE and fmt.supports_view and \
+                    hasattr(store, "get_view"):
+                data = store.get_view(meta.path)
+            else:
+                data = decompress(store.get(meta.path), comp)
+            return list(decode(data, options, projection))
+
+        n_workers = _scan_workers()
+
+        def source() -> Iterator[Batch]:
             produced = 0
-            for store, meta in files:
-                _log.debug("scan open fmt=%s path=%s size=%d", fmt.name,
-                           meta.path, meta.size)
-                _stem, comp = infer_compression(meta.path)
-                if comp == Compression.NONE and fmt.supports_view and \
-                        hasattr(store, "get_view"):
-                    data = store.get_view(meta.path)
-                else:
-                    data = decompress(store.get(meta.path), comp)
-                for b in decode(data, options, projection):
-                    yield b
-                    if limit is not None:
-                        produced += b.num_rows_host()
-                        if produced >= limit:
-                            return
+            for b in parallel_file_batches(files, decode_file, n_workers):
+                yield b
+                if limit is not None:
+                    produced += b.num_rows_host()
+                    if produced >= limit:
+                        return
 
         return ScanExec(schema, source, to_device=not use_device)
+
+
+def _scan_workers() -> int:
+    """Intra-query file-level parallelism width (the reference's
+    target_partitions / regroup_files_by_size analog,
+    exon_file_scan_config.rs:79-110). EXON_TPU_PARTITIONS overrides."""
+    import os as _os
+
+    env = _os.environ.get("EXON_TPU_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(1, _os.cpu_count() or 1)
+
+
+def parallel_file_batches(files: list, decode_file, n_workers: int
+                          ) -> Iterator[Batch]:
+    """Decode files concurrently (decoders are numpy/C-heavy and release
+    the GIL) while EMITTING in file order, so result ordering matches the
+    sequential scan. Lookahead is bounded to n_workers files."""
+    if n_workers <= 1 or len(files) <= 1:
+        for store, meta in files:
+            yield from decode_file(store, meta)
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        pending = []
+        it = iter(files)
+        for _ in range(n_workers):
+            nxt = next(it, None)
+            if nxt is None:
+                break
+            pending.append(pool.submit(decode_file, *nxt))
+        i = 0
+        while i < len(pending):
+            batches = pending[i].result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(pool.submit(decode_file, *nxt))
+            yield from batches
+            pending[i] = None  # free
+            i += 1
 
 
 @dataclasses.dataclass
