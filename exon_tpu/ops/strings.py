@@ -123,31 +123,113 @@ def contains(col: VarColumn, needle: bytes, case_insensitive: bool = False) -> j
 
 
 def like(col, pattern: str, case_insensitive: bool = False) -> jnp.ndarray:
-    """SQL LIKE subset compiled to kernel combos.
+    """SQL LIKE compiled to device kernels — full '%'/'_' semantics.
 
-    Supports the patterns that appear in the reference's query surface:
-    'lit', 'lit%', '%lit', '%lit%', and 'a%b' (prefix+suffix). General
-    multi-wildcard patterns fall back to a host regex path in plan/physical.
+    Fast paths ('lit', 'lit%', '%lit', '%lit%', 'a%b' without '_') reuse the
+    prefix/suffix/contains kernels (and work on PrefixColumn). The general
+    case runs the greedy glob-match: anchor the leading chunk at row start
+    and the trailing chunk at row end, then locate each middle chunk at its
+    leftmost feasible position via segmented argmin over the flat buffer —
+    O(vcap · pattern_len) vectorized compares, no per-row loops.
     """
     pat = pattern
-    if "_" in pat:
-        raise NotImplementedError("LIKE '_' wildcard → host fallback")
     parts = pat.split("%")
-    if len(parts) == 1:
-        return equals_literal(col, pat.encode(), case_insensitive)
-    if len(parts) == 2:
-        pre, suf = parts
-        m = jnp.ones(col.capacity, dtype=bool)
-        if pre:
-            m = jnp.logical_and(m, starts_with(col, pre.encode(), case_insensitive))
-        if suf:
-            m = jnp.logical_and(m, ends_with(col, suf.encode(), case_insensitive))
-        if pre and suf:
-            m = jnp.logical_and(m, str_lengths(col) >= len(pre) + len(suf))
-        return m
-    if len(parts) == 3 and parts[0] == "" and parts[2] == "" and parts[1]:
-        return contains(col, parts[1].encode(), case_insensitive)
-    raise NotImplementedError(f"LIKE pattern {pattern!r} → host fallback")
+    if "_" not in pat:
+        if len(parts) == 1:
+            return equals_literal(col, pat.encode(), case_insensitive)
+        if len(parts) == 2:
+            pre, suf = parts
+            m = jnp.ones(col.capacity, dtype=bool)
+            if pre:
+                m = jnp.logical_and(m, starts_with(col, pre.encode(), case_insensitive))
+            if suf:
+                m = jnp.logical_and(m, ends_with(col, suf.encode(), case_insensitive))
+            if pre and suf:
+                m = jnp.logical_and(m, str_lengths(col) >= len(pre) + len(suf))
+            return m
+        if len(parts) == 3 and parts[0] == "" and parts[2] == "" and parts[1]:
+            return contains(col, parts[1].encode(), case_insensitive)
+    return _like_general(col, parts, case_insensitive)
+
+
+def _match_at(col: VarColumn, chunk: bytes, pos: jnp.ndarray,
+              case_insensitive: bool) -> jnp.ndarray:
+    """bool[cap]: chunk matches at byte position pos[r] of row r ('_' = any).
+
+    Caller guarantees pos >= row start; this checks pos + len <= row end.
+    """
+    k = len(chunk)
+    ends = col.offsets[1:]
+    ok = pos + k <= ends
+    vcap = col.value_capacity
+    for t, ch in enumerate(chunk):
+        if ch == ord("_"):
+            continue
+        v = col.values[jnp.clip(pos + t, 0, vcap - 1)]
+        pv, pc = (_upper_u8(v), _upper_u8(jnp.uint8(ch))) if case_insensitive \
+            else (v, jnp.uint8(ch))
+        ok = jnp.logical_and(ok, pv == pc)
+    return ok
+
+
+def _find_from(col: VarColumn, chunk: bytes, frm: jnp.ndarray,
+               case_insensitive: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Leftmost match of chunk in each row at byte position >= frm[r].
+
+    Returns (pos int32[cap] — flat position of match, found bool[cap]).
+    """
+    k = len(chunk)
+    vcap = col.value_capacity
+    vals = _upper_u8(col.values) if case_insensitive else col.values
+    hit = jnp.ones(vcap, dtype=bool)
+    for t, ch in enumerate(chunk):
+        if ch == ord("_"):
+            continue
+        c = _upper_u8(jnp.uint8(ch)) if case_insensitive else jnp.uint8(ch)
+        idx = jnp.arange(vcap, dtype=jnp.int32) + t
+        hit = jnp.logical_and(hit, vals[jnp.clip(idx, 0, vcap - 1)] == c)
+    cap = col.capacity
+    rid = jnp.clip(byte_row_ids(col.offsets, vcap), 0, cap - 1)
+    j = jnp.arange(vcap, dtype=jnp.int32)
+    feasible = jnp.logical_and(hit, j >= frm[rid])
+    feasible = jnp.logical_and(feasible, j + k <= col.offsets[rid + 1])
+    sentinel = jnp.int32(vcap + 1)
+    pos = jnp.full(cap, sentinel, jnp.int32).at[rid].min(
+        jnp.where(feasible, j, sentinel))
+    return pos, pos < sentinel
+
+
+def _like_general(col, parts: list[str], case_insensitive: bool) -> jnp.ndarray:
+    if isinstance(col, PrefixColumn):
+        raise ValueError("general LIKE needs full values, not a PrefixColumn "
+                         "(planner must not stage prefix hints for '_'/multi-% "
+                         "patterns)")
+    chunks = [p.encode() for p in parts]
+    starts = col.offsets[:-1]
+    ends = col.offsets[1:]
+    ok = jnp.ones(col.capacity, dtype=bool)
+    if len(chunks) == 1:
+        # no '%': anchored full match with '_' wildcards
+        c = chunks[0]
+        return jnp.logical_and(_match_at(col, c, starts, case_insensitive),
+                               row_lengths(col.offsets) == len(c))
+    first, *mid, last = chunks
+    p = starts
+    if first:
+        ok = _match_at(col, first, p, case_insensitive)
+        p = p + len(first)
+    for c in mid:
+        if not c:
+            continue
+        pos, found = _find_from(col, c, p, case_insensitive)
+        ok = jnp.logical_and(ok, found)
+        p = jnp.where(found, pos + len(c), p)
+    if last:
+        anchor = ends - len(last)
+        ok = jnp.logical_and(ok, anchor >= p)
+        ok = jnp.logical_and(ok, _match_at(col, last, jnp.maximum(anchor, 0),
+                                           case_insensitive))
+    return ok
 
 
 def dict_equals(col: DictColumn, lit: str) -> jnp.ndarray:

@@ -582,7 +582,19 @@ class SortExec(PhysicalPlan):
         if combined.num_rows_host() == 0:
             yield combined
             return
-        step = _jit_sort_step(tuple((e, asc) for e, asc in self.keys))
+        # size var-width keys: how many 8-byte chunks are needed for an
+        # EXACT lexicographic sort (one cheap eager eval + scalar sync)
+        specs = []
+        for e, asc in self.keys:
+            v = eval_expr(e, combined)
+            nchunks = 0
+            if isinstance(v, VarColumn):
+                maxlen = int(jax.device_get(
+                    jnp.max(jnp.where(combined.row_mask(),
+                                      layout_ops.row_lengths(v.offsets), 0))))
+                nchunks = max(1, (maxlen + 7) // 8)
+            specs.append((e, asc, nchunks))
+        step = _jit_sort_step(tuple(specs))
         out = step(combined)
         if self.fetch is not None:
             out = _jit_limit_slice(combined.capacity)(out, jnp.int32(0),
@@ -591,27 +603,48 @@ class SortExec(PhysicalPlan):
 
 
 @functools.cache
-def _jit_sort_step(keys: tuple):
+def _jit_sort_step(specs: tuple):
     @jax.jit
     def step(batch: Batch) -> Batch:
-        perm = sort_permutation(batch, keys)
+        perm = sort_permutation(batch, specs)
         return layout_ops.take_batch(batch, perm, jnp.asarray(batch.length, jnp.int32))
 
     return step
 
 
-def sort_permutation(batch: Batch, keys: tuple) -> jnp.ndarray:
-    """Stable multi-key sort permutation (last key least significant)."""
+def sort_permutation(batch: Batch, specs: tuple) -> jnp.ndarray:
+    """Stable multi-key sort permutation (last key least significant).
+
+    Each spec is (expr, ascending, nchunks) where nchunks > 0 marks a
+    var-width key sorted EXACTLY via iterated stable sorts over 8-byte
+    chunks, least-significant chunk first (LSD radix over 64-bit digits);
+    nulls follow DataFusion defaults (ASC → last, DESC → first).
+    """
+    if specs and len(specs[0]) == 2:  # tolerate legacy (expr, asc) specs
+        specs = tuple((e, asc, 0) for e, asc in specs)
     mask = batch.row_mask()
     perm = jnp.arange(batch.capacity, dtype=jnp.int32)
-    for e, asc in reversed(list(keys)):
-        v = eval_expr(e, batch)
-        k = _sort_key_values(v, batch)
+
+    def apply(k, asc):
+        nonlocal perm
         k = k[perm]
         if not asc:
             k = _invert_key(k)
-        order = jnp.argsort(k, stable=True)
-        perm = perm[order]
+        perm = perm[jnp.argsort(k, stable=True)]
+
+    for e, asc, nchunks in reversed(list(specs)):
+        v = eval_expr(e, batch)
+        if isinstance(v, VarColumn) and nchunks > 0:
+            pre, _m = layout_ops.gather_prefix(v, 8 * nchunks)
+            for c in range(nchunks - 1, -1, -1):
+                k = jnp.zeros(v.capacity, jnp.int64)
+                for t in range(8 * c, 8 * c + 8):
+                    k = (k << 8) | pre[:, t].astype(jnp.int64)
+                # unsigned byte order under signed int64 compare
+                apply(k ^ (jnp.int64(1) << 63), asc)
+            apply(jnp.logical_not(v.validity).astype(jnp.int64), asc)
+        else:
+            apply(_sort_key_values(v, batch), asc)
     # push padding rows to the end
     live = mask[perm]
     order = jnp.argsort(jnp.logical_not(live), stable=True)
@@ -625,13 +658,13 @@ def _sort_key_values(v, batch: Batch) -> jnp.ndarray:
         return jnp.asarray(vocab_rank, jnp.int64)[
             jnp.clip(v.codes, 0, max(len(v.vocab) - 1, 0))]
     if isinstance(v, VarColumn):
-        # lexicographic by 8-byte prefix, ties broken... approximate; exact
-        # string sort goes through the host path in DataFrame.sort for now.
+        # single-chunk approximation; exact path is the nchunks>0 branch in
+        # sort_permutation (callers outside SortExec size their own chunks)
         pre, _m = layout_ops.gather_prefix(v, 8)
         key = jnp.zeros(v.capacity, jnp.int64)
         for t in range(8):
             key = (key << 8) | pre[:, t].astype(jnp.int64)
-        return key
+        return key ^ (jnp.int64(1) << 63)
     if isinstance(v, FixedColumn):
         vals = v.values
         nulls = jnp.logical_not(v.validity)

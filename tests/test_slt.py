@@ -106,11 +106,17 @@ SKIPPED = [
 
 
 @pytest.mark.parametrize("name", PASSING)
-def test_slt_file(session, name, slt_env):
+def test_slt_file(session, name, slt_env, tmp_path, monkeypatch):
     path = os.path.join(SLT_DIR, name)
     if not os.path.exists(path):
         pytest.skip(f"reference slt not available: {path}")
-    res = run_slt(session, path, slt_env)
+    # __TEST_DIR__ substitution + chdir so relative-path COPY targets land
+    # in a sandbox, never the repo root (reference runner does the same,
+    # exon-core/tests/sqllogictests/src/main.rs).
+    monkeypatch.chdir(tmp_path)
+    subs = dict(slt_env)
+    subs["${__TEST_DIR__}"] = str(tmp_path) + os.sep
+    res = run_slt(session, path, subs)
     msg = "\n".join(f"line ~{ln}: {sql}\n  {reason}"
                     for ln, sql, reason in res.failures)
     assert res.ok, f"{name}:\n{msg}"

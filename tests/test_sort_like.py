@@ -1,0 +1,77 @@
+"""Regression tests for exact string ORDER BY and general LIKE
+(round-1 VERDICT.md "What's weak" #1/#2)."""
+
+import os
+
+import pytest
+
+from exon_tpu import ExonSession
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return ExonSession.new_exon()
+
+
+@pytest.fixture(scope="module")
+def fasta(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sortlike")
+    p = os.path.join(d, "t.fasta")
+    with open(p, "w") as f:
+        f.write(">AAAAAAAAZ d\nACGT\n>AAAAAAAAB d\nAC\n>AAAAAAAAM d\nGG\n"
+                ">AAAAAAAA d\nTT\n>ab x\nTT\n>axc foo\nCC\n>abc bar\nAA\n")
+    return p
+
+
+def _ids(ctx, sql):
+    return ctx.sql(sql).collect_arrow().column(0).to_pylist()
+
+
+def test_order_by_long_shared_prefix(ctx, fasta):
+    # differs only at byte 9 — beyond the old 8-byte prefix key
+    got = _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                    "WHERE id LIKE 'AAAA%' ORDER BY id")
+    assert got == ["AAAAAAAA", "AAAAAAAAB", "AAAAAAAAM", "AAAAAAAAZ"]
+
+
+def test_order_by_desc_and_shorter_first(ctx, fasta):
+    got = _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                    "WHERE id LIKE 'AAAA%' ORDER BY id DESC")
+    assert got == ["AAAAAAAAZ", "AAAAAAAAM", "AAAAAAAAB", "AAAAAAAA"]
+
+
+def test_like_underscore(ctx, fasta):
+    assert _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                     "WHERE id LIKE 'a_'") == ["ab"]
+
+
+def test_like_underscore_percent(ctx, fasta):
+    got = _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                    "WHERE id LIKE 'a_c%' ORDER BY id")
+    assert got == ["abc", "axc"]
+
+
+def test_like_multi_percent(ctx, fasta):
+    got = _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                    "WHERE id LIKE 'A%B%' ORDER BY id")
+    assert got == ["AAAAAAAAB"]
+
+
+def test_like_middle_chunks(ctx, fasta):
+    # greedy middle-chunk search: a...b...c with gaps
+    got = _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                    "WHERE id LIKE 'a%b%c' ORDER BY id")
+    assert got == ["abc"]
+
+
+def test_like_anchored_overlap_is_false(ctx, fasta):
+    # 'a%bc' must not let prefix and suffix overlap on 'abc'? they don't
+    # overlap here ('a'+'bc' fits len 3) — but 'ab%bc' on 'abc' must be false
+    assert _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                     "WHERE id LIKE 'ab%bc'") == []
+
+
+def test_ilike_underscore(ctx, fasta):
+    got = _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
+                    "WHERE id ILIKE 'A_C%' ORDER BY id")
+    assert got == ["abc", "axc"]
