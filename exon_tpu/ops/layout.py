@@ -215,6 +215,80 @@ def filter_batch(batch: Batch, mask: jnp.ndarray) -> Batch:
 
 
 # ---------------------------------------------------------------------------
+# Device concat + dictionary decode (group-by merge / shuffle building blocks)
+# ---------------------------------------------------------------------------
+
+
+def concat_fixed(a: FixedColumn, b: FixedColumn) -> FixedColumn:
+    return FixedColumn(jnp.concatenate([a.values, b.values]),
+                       jnp.concatenate([a.validity, b.validity]))
+
+
+def concat_var(a: VarColumn, b: VarColumn) -> VarColumn:
+    """Row-concat two var columns on device (shape-static: caps add).
+
+    a's padding rows (zero extent at its terminal offset) stay interleaved;
+    callers track liveness with explicit masks, not row contiguity.
+    """
+    a_end = a.offsets[-1]
+    offsets = jnp.concatenate([a.offsets, b.offsets[1:] + a_end])
+    out_vcap = a.value_capacity + b.value_capacity
+    p = jnp.arange(out_vcap, dtype=jnp.int32)
+    av = a.values[jnp.clip(p, 0, a.value_capacity - 1)]
+    bv = b.values[jnp.clip(p - a_end, 0, b.value_capacity - 1)]
+    values = jnp.where(p >= a_end, bv, av)
+    return VarColumn(values, offsets,
+                     jnp.concatenate([a.validity, b.validity]))
+
+
+def concat_column(a: Column, b: Column) -> Column:
+    if isinstance(a, FixedColumn) and isinstance(b, FixedColumn):
+        return concat_fixed(a, b)
+    if isinstance(a, VarColumn) and isinstance(b, VarColumn):
+        return concat_var(a, b)
+    raise TypeError(f"concat_column: {type(a)} vs {type(b)}")
+
+
+def concat_device_batches(batches: list[Batch]) -> tuple[Batch, jnp.ndarray]:
+    """Fold-concat device batches; returns (batch, live mask over slots)."""
+    out = batches[0]
+    mask = out.row_mask()
+    for b in batches[1:]:
+        cols = [concat_column(x, y) for x, y in zip(out.columns, b.columns)]
+        mask = jnp.concatenate([mask, b.row_mask()])
+        out = Batch(out.schema, cols, out.length + b.length)
+    return out, mask
+
+
+def dict_to_var(col: DictColumn) -> VarColumn:
+    """Materialize dictionary codes into a var-width utf8 column on device.
+
+    The vocabulary is host-static, so its flat bytes/offsets are constants;
+    the decode is one offsets-cumsum + one relayout gather.
+    """
+    import numpy as np
+
+    enc = [s.encode() for s in col.vocab] or [b""]
+    flat = np.frombuffer(b"".join(enc), np.uint8) if any(enc) else np.zeros(1, np.uint8)
+    voff = np.zeros(len(enc) + 1, np.int32)
+    np.cumsum([len(e) for e in enc], out=voff[1:])
+    table_vals = jnp.asarray(flat if flat.size else np.zeros(1, np.uint8))
+    table_off = jnp.asarray(voff)
+    maxlen = max((len(e) for e in enc), default=0)
+    cap = col.capacity
+    codes = jnp.clip(col.codes, 0, len(enc) - 1)
+    lens = jnp.where(col.validity, table_off[codes + 1] - table_off[codes], 0)
+    offsets = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(lens, dtype=jnp.int32)])
+    from ..batch import bucket_capacity
+
+    out_vcap = bucket_capacity(max(cap * max(maxlen, 1), 1))
+    vals = relayout_values(table_vals, table_off[codes], offsets, out_vcap)
+    live = jnp.arange(out_vcap, dtype=jnp.int32) < offsets[-1]
+    return VarColumn(jnp.where(live, vals, 0), offsets, col.validity)
+
+
+# ---------------------------------------------------------------------------
 # Expansion (join multiplicity): repeat row i counts[i] times
 # ---------------------------------------------------------------------------
 

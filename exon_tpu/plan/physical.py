@@ -229,98 +229,45 @@ class AggregateExec(PhysicalPlan):
     # -- grouped ------------------------------------------------------------
 
     def _grouped(self) -> Batch:
-        step = _jit_grouped_partial(tuple(self.group_exprs),
-                                    tuple(self.agg_calls), self.pre_filter)
-        # host merge state: key tuple -> list of partial accumulators
-        state: dict[tuple, list] = {}
-        for b in self.input.batches():
-            gids, num_groups, first_idx, partials = step(b)
-            ng = int(jax.device_get(num_groups))
-            if ng == 0:
-                continue
-            first_idx = np.asarray(jax.device_get(first_idx))[:ng]
-            partials = jax.device_get(partials)  # tuples stay tuples
-            keys = self._group_key_tuples(b, first_idx)
-            # first-occurrence order within the batch (DataFusion hash
-            # aggregate emission order, which the slt goldens encode)
-            order = np.argsort(first_idx, kind="stable")
-            keys = [keys[int(g)] for g in order]
-            partials = [tuple(np.asarray(x)[order] for x in p)
-                        if isinstance(p, tuple) else np.asarray(p)[order]
-                        for p in partials]
-            for g, key in enumerate(keys):
-                row = [tuple(x[g] for x in p) if isinstance(p, tuple)
-                       else p[g] for p in partials]
-                if key in state:
-                    state[key] = _merge_grouped_row(state[key], row, self.agg_calls)
-                else:
-                    state[key] = row
-        return self._finalize_grouped(state)
+        """Streaming grouped aggregate with DEVICE-side merge.
 
-    def _group_key_tuples(self, batch: Batch, first_idx: np.ndarray) -> list[tuple]:
-        """Fetch the actual group-key values for representative rows."""
-        idx = jnp.asarray(first_idx, jnp.int32)
-        count = jnp.int32(len(first_idx))
-        taken = layout_ops.take_batch(batch, idx, count)
-        # evaluate group exprs over the taken batch, host-side via arrow
-        cols = []
-        for e in self.group_exprs:
-            v = eval_expr(e, taken)
-            cols.append(_column_host_values(v, len(first_idx)))
-        return list(zip(*cols)) if cols else []
-
-    def _finalize_grouped(self, state: dict[tuple, list]) -> Batch:
-        n = len(state)
-        keys = list(state.keys())
-        fields = self.out_schema.all_fields
+        Per batch: one jit step builds a compacted GroupTable (sorted key
+        hashes, partials, first-seen ranks, representative key values).
+        Tables accumulate asynchronously and fold into the running state in
+        chunks; the only host syncs are one scalar per fold (to re-bucket
+        state capacity) — no per-batch round-trips, no Python dict, scales
+        to millions of distinct keys. Replaces the role of DataFusion's
+        repartitioned hash aggregate (exon-core/src/config/mod.rs:31).
+        """
         n_group = len(self.group_exprs)
-        cols = []
-        from ..batch import utf8_column, fixed_column
+        rep_schema = Schema(tuple(self.out_schema.all_fields[:n_group]))
+        step = _jit_grouped_partial(tuple(self.group_exprs),
+                                    tuple(self.agg_calls), rep_schema,
+                                    self.pre_filter)
+        merge = _merge_group_tables_fn(tuple(self.agg_calls))
+        state: Optional[GroupTable] = None
+        pending: list[GroupTable] = []
+        pending_cap = 0
+        base_rank = 0
+        for b in self.input.batches():
+            pending.append(step(b, jnp.int64(base_rank)))
+            base_rank += b.capacity
+            pending_cap += b.capacity
+            state_cap = state.keys.shape[0] if state is not None else 0
+            if pending_cap >= max(1 << 16, state_cap):
+                state = merge(([state] if state is not None else []) + pending)
+                pending, pending_cap = [], 0
+                state = _compact_group_table(state)
+        if pending:
+            state = merge(([state] if state is not None else []) + pending)
+        if state is None:
+            return self._empty_grouped()
+        fin = _jit_finalize_grouped(tuple(self.agg_calls), self.out_schema,
+                                    n_group)
+        return fin(state)
 
-        for i in range(n_group):
-            vals = [k[i] for k in keys]
-            f = fields[i]
-            if f.dtype.is_var_width or f.dtype.kind == dt.TypeKind.DICTIONARY:
-                cols.append(utf8_column([None if v is None else str(v) for v in vals]))
-            else:
-                npdt = dt.numpy_dtype(f.dtype)
-                arr = np.asarray([0 if v is None else v for v in vals], dtype=npdt)
-                valid = np.asarray([v is not None for v in vals])
-                cols.append(fixed_column(arr, valid))
-        for j, call in enumerate(self.agg_calls):
-            f = fields[n_group + j]
-            rows = [_finalize_agg_value(state[k][j], call) for k in keys]
-            npdt = dt.numpy_dtype(f.dtype)
-            valid = np.asarray([r is not None for r in rows])
-            arr = np.asarray([0 if r is None else r for r in rows], dtype=npdt)
-            cols.append(fixed_column(arr, valid))
-        return Batch(self.out_schema, cols, np.int32(n)).to_device()
-
-
-def _column_host_values(v, n: int) -> list:
-    """Materialize first-n values of an eval result on host (for group keys)."""
-    if isinstance(v, DictColumn):
-        codes = np.asarray(jax.device_get(v.codes))[:n]
-        valid = np.asarray(jax.device_get(v.validity))[:n]
-        return [v.vocab[c] if vv and 0 <= c < len(v.vocab) else None
-                for c, vv in zip(codes, valid)]
-    if isinstance(v, VarColumn):
-        offs = np.asarray(jax.device_get(v.offsets))[: n + 1]
-        vals = np.asarray(jax.device_get(v.values))
-        valid = np.asarray(jax.device_get(v.validity))[:n]
-        out = []
-        for i in range(n):
-            if not valid[i]:
-                out.append(None)
-            else:
-                out.append(bytes(vals[offs[i]: offs[i + 1]]).decode("utf-8", "replace"))
-        return out
-    if isinstance(v, FixedColumn):
-        vals = np.asarray(jax.device_get(v.values))[:n]
-        valid = np.asarray(jax.device_get(v.validity))[:n]
-        return [x.item() if vv else None for x, vv in zip(vals, valid)]
-    arr = np.asarray(jax.device_get(v))[:n]
-    return [x.item() for x in arr]
+    def _empty_grouped(self) -> Batch:
+        return _empty_batch(self.out_schema)
 
 
 # partial accumulator per agg call:
@@ -387,94 +334,290 @@ def _partial_for(call: AggregateCall, batch: Batch, mask, gids, num_groups: int)
         raise PlanError(f"aggregate {fn} unsupported")
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class GroupTable:
+    """Compacted group-by state on device.
+
+    Slots [0, count) hold live groups sorted by key hash; padding slots
+    have keys/first = INT64_MAX. ``reps`` carries the actual group-key
+    VALUES (representative first-seen row per group) so output never
+    round-trips hashes through the host.
+    """
+
+    keys: Any      # int64[cap] sorted
+    first: Any     # int64[cap] global first-occurrence rank (emission order)
+    partials: tuple  # per agg call: array[cap] or tuple of arrays[cap]
+    reps: Batch    # group-key value columns, cap rows
+    count: Any     # int32 scalar
+
+    def tree_flatten(self):
+        return (self.keys, self.first, self.partials, self.reps, self.count), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+_I64MAX = jnp.iinfo(jnp.int64).max
+
+
 @functools.cache
-def _jit_grouped_partial(group_exprs: tuple, agg_calls: tuple, pre_filter=None):
+def _jit_grouped_partial(group_exprs: tuple, agg_calls: tuple,
+                         rep_schema: Schema, pre_filter=None):
     @jax.jit
-    def step(batch: Batch):
+    def step(batch: Batch, base_rank) -> GroupTable:
         mask = batch.row_mask()
         if pre_filter is not None:
             mask = jnp.logical_and(
                 mask, as_bool_mask(eval_expr(pre_filter, batch), batch))
         keys = _group_key_i64(group_exprs, batch)
-        gids, _gkeys, num_groups = agg_ops.sort_group_ids(keys, mask)
+        gids, gkeys, num_groups = agg_ops.sort_group_ids(keys, mask)
         cap = batch.capacity
         # representative (first) row index per group
         first_idx = jnp.full(cap, cap, jnp.int32).at[
             jnp.where(mask, gids, cap - 1)
         ].min(jnp.where(mask, jnp.arange(cap, dtype=jnp.int32), cap))
-        partials = [_partial_for(call, batch, mask, gids, cap)
-                    for call in agg_calls]
-        return gids, num_groups, first_idx, partials
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        first = jnp.where(slot < num_groups,
+                          base_rank + first_idx.astype(jnp.int64), _I64MAX)
+        partials = tuple(_partial_for(call, batch, mask, gids, cap)
+                         for call in agg_calls)
+        rep_cols = []
+        for e in group_exprs:
+            v = eval_expr(e, batch)
+            if isinstance(v, DictColumn):
+                v = layout_ops.dict_to_var(v)
+            elif not isinstance(v, (FixedColumn, VarColumn)):
+                v = FixedColumn(jnp.asarray(v), mask)
+            rep_cols.append(v)
+        rep_full = Batch(rep_schema, rep_cols, batch.length)
+        reps = layout_ops.take_batch(rep_full, first_idx, num_groups)
+        return GroupTable(gkeys, first, partials, reps, num_groups)
 
     return step
+
+
+@functools.cache
+def _merge_group_tables_fn(agg_calls: tuple):
+    """n-way GroupTable merge, jitted (retraces per distinct shape set)."""
+
+    @jax.jit
+    def merge(tables: list[GroupTable]) -> GroupTable:
+        if len(tables) == 1:
+            return tables[0]
+        caps = [t.keys.shape[0] for t in tables]
+        cap = sum(caps)
+        keys = jnp.concatenate([t.keys for t in tables])
+        first = jnp.concatenate([t.first for t in tables])
+        mask = jnp.concatenate([
+            jnp.arange(c, dtype=jnp.int32) < t.count
+            for c, t in zip(caps, tables)])
+        gids, gkeys, ng = agg_ops.sort_group_ids(keys, mask)
+        merged = []
+        for j, call in enumerate(agg_calls):
+            comps = [t.partials[j] for t in tables]
+            if isinstance(comps[0], tuple):
+                cat = tuple(jnp.concatenate([c[i] for c in comps])
+                            for i in range(len(comps[0])))
+            else:
+                cat = jnp.concatenate(comps)
+            merged.append(_merge_partial(call, gids, mask, cat, cap))
+        first_m = jnp.full(cap, _I64MAX, jnp.int64).at[
+            jnp.clip(gids, 0, cap - 1)].min(jnp.where(mask, first, _I64MAX))
+        # winner (earliest first-seen) row index per merged group
+        packed = jnp.where(mask,
+                           first * cap + jnp.arange(cap, dtype=jnp.int64),
+                           _I64MAX)
+        best = jnp.full(cap, _I64MAX, jnp.int64).at[
+            jnp.clip(gids, 0, cap - 1)].min(packed)
+        rep_idx = jnp.clip(best % cap, 0, cap - 1).astype(jnp.int32)
+        reps_cat, _ = layout_ops.concat_device_batches([t.reps for t in tables])
+        reps = layout_ops.take_batch(reps_cat, rep_idx, ng)
+        return GroupTable(gkeys, first_m, tuple(merged), reps, ng)
+
+    return merge
+
+
+def _merge_partial(call: AggregateCall, gids, mask, cat, cap):
+    fn = call.fn
+    if fn == "count":
+        return agg_ops.grouped_reduce_codes(gids, mask, cat, "sum", cap)
+    s_fn = {"sum": "sum", "avg": "sum", "min": "min", "max": "max"}[fn]
+    smask = mask
+    if fn in ("min", "max"):
+        # identity fills from all-null partials must not win the reduce
+        smask = jnp.logical_and(mask, cat[1] > 0)
+    s = agg_ops.grouped_reduce_codes(gids, smask, cat[0], s_fn, cap)
+    c = agg_ops.grouped_reduce_codes(gids, mask, cat[1], "sum", cap)
+    return (s, c)
+
+
+def _compact_group_table(state: GroupTable) -> GroupTable:
+    """Shrink state arrays to the true group count's capacity bucket
+    (host-driven: one scalar sync per fold — the only sync in the stream)."""
+    from ..batch import bucket_capacity
+
+    cap = state.keys.shape[0]
+    ng = int(jax.device_get(state.count))
+    newcap = bucket_capacity(ng, 128)
+    if newcap >= cap:
+        return state
+
+    def cut(x):
+        return x[:newcap]
+
+    partials = tuple(tuple(cut(c) for c in p) if isinstance(p, tuple)
+                     else cut(p) for p in state.partials)
+    rep_cols = []
+    for col in state.reps.columns:
+        if isinstance(col, VarColumn):
+            vbytes = int(jax.device_get(col.offsets[newcap]))
+            vcap = bucket_capacity(max(vbytes, 1), 128)
+            vcap = min(vcap, col.value_capacity)
+            rep_cols.append(VarColumn(col.values[:vcap],
+                                      col.offsets[:newcap + 1],
+                                      col.validity[:newcap]))
+        elif isinstance(col, FixedColumn):
+            rep_cols.append(FixedColumn(cut(col.values), cut(col.validity)))
+        else:
+            raise PlanError(f"group key column {type(col)} in state")
+    reps = Batch(state.reps.schema, rep_cols, state.count)
+    return GroupTable(cut(state.keys), cut(state.first), partials,
+                      reps, state.count)
+
+
+@functools.cache
+def _jit_finalize_grouped(agg_calls: tuple, out_schema: Schema, n_group: int):
+    fields = out_schema.all_fields
+
+    @jax.jit
+    def fin(state: GroupTable) -> Batch:
+        cap = state.keys.shape[0]
+        slot = jnp.arange(cap, dtype=jnp.int32)
+        live = slot < state.count
+        order = jnp.argsort(jnp.where(live, state.first, _I64MAX),
+                            stable=True).astype(jnp.int32)
+        reps = layout_ops.take_batch(state.reps, order, state.count)
+        cols = list(reps.columns)
+        for j, call in enumerate(agg_calls):
+            p = state.partials[j]
+            f = fields[n_group + j]
+            npdt = dt.numpy_dtype(f.dtype)
+            if call.fn == "count":
+                vals = p[order].astype(npdt)
+                valid = live[order]
+            else:
+                s, c = p[0][order], p[1][order]
+                nonnull = jnp.logical_and(live[order], c > 0)
+                if call.fn == "avg":
+                    vals = s.astype(jnp.float64) / jnp.maximum(
+                        c, 1).astype(jnp.float64)
+                else:
+                    vals = s
+                vals = jnp.where(nonnull, vals.astype(npdt),
+                                 jnp.zeros((), npdt))
+                valid = nonnull
+            cols.append(FixedColumn(vals, valid))
+        return Batch(out_schema, cols, state.count)
+
+    return fin
 
 
 def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
     """Combine group expressions into a single int64 key per row.
 
-    Fixed/dict keys pack exactly; var-width string keys hash (prefix 64B +
-    suffix 16B + length → 61-bit poly), with exactness restored at the host
-    merge which keys on the actual string values.
+    A single fixed-width key packs exactly; var-width/dict keys use a
+    full-content polynomial hash mod 2^64 (every byte contributes), so
+    cross-batch merges key on content, not representation. Joins re-verify
+    with byte-equality residuals; group-by relies on the 64-bit hash
+    (collision odds ~ n^2 / 2^64).
     """
     parts = []
     for e in group_exprs:
         v = eval_expr(e, batch)
         if isinstance(v, DictColumn):
-            # map codes through the structural hash of their vocab strings so
+            # map codes through the content hash of their vocab strings so
             # dict- and var-encoded sides of a join/group agree on keys
             table = np.asarray([_hash_bytes_host(s.encode()) for s in v.vocab]
                                or [0], dtype=np.int64)
             parts.append(jnp.asarray(table)[jnp.clip(v.codes, 0, len(table) - 1)])
         elif isinstance(v, FixedColumn):
-            parts.append(v.values.astype(jnp.int64))
+            if jnp.issubdtype(v.values.dtype, jnp.floating):
+                parts.append(jax.lax.bitcast_convert_type(
+                    v.values.astype(jnp.float64), jnp.int64))
+            else:
+                parts.append(v.values.astype(jnp.int64))
         elif isinstance(v, VarColumn):
             parts.append(_hash_var(v))
         else:
             parts.append(jnp.asarray(v).astype(jnp.int64))
     key = parts[0]
-    M = jnp.int64((1 << 61) - 1)
     for p in parts[1:]:
-        key = (key * jnp.int64(1000003) + p) & M
+        k = key.astype(jnp.uint64) * jnp.uint64(0x100000001B3) \
+            + p.astype(jnp.uint64)
+        key = k.astype(jnp.int64)
     return key
 
 
+_FNV_PRIME = 1099511628211          # 2^40 + 2^8 + 0xb3
+_HASH_SALT = 0x9E3779B97F4A7C15
+
+
+def _splitmix_host(h: int) -> int:
+    M = (1 << 64) - 1
+    h = (h + 0x9E3779B97F4A7C15) & M
+    h = ((h ^ (h >> 30)) * 0xBF58476D1CE4E5B9) & M
+    h = ((h ^ (h >> 27)) * 0x94D049BB133111EB) & M
+    return h ^ (h >> 31)
+
+
 def _hash_bytes_host(s: bytes) -> int:
-    """Host mirror of _hash_var's structural hash (len + 131-poly over
-    64-byte prefix and 16-byte suffix, mod 2^61-ish mask)."""
-    M = (1 << 61) - 1
-    pre = s[:64] + b"\x00" * max(0, 64 - len(s))
-    suf = bytearray(16)
-    for j in range(16):
-        p = len(s) - 16 + j
-        if p >= 0:
-            suf[j] = s[p]
-    h = len(s)
-    for arr in (pre, bytes(suf)):
-        for b in arr:
-            h = (h * 131 + b) & M
-    return h
+    """Host mirror of _hash_var: full-content FNV-style polynomial mod
+    2^64 (Horner form) + splitmix finalizer, returned as signed int64."""
+    M = (1 << 64) - 1
+    h = 0
+    for b in s:
+        h = (h * _FNV_PRIME + b + 1) & M
+    h = (h + len(s) * _HASH_SALT) & M
+    h = _splitmix_host(h)
+    return h - (1 << 64) if h >= (1 << 63) else h
 
 
 def _hash_var(v: VarColumn) -> jnp.ndarray:
-    pre, mask = layout_ops.gather_prefix(v, 64)
-    lens = layout_ops.row_lengths(v.offsets)
+    """Full-content polynomial hash per row, mod 2^64.
+
+    h(row) = Σ_j (byte_j + 1) · P^(len-1-j)  — computed as one power-table
+    gather + one segmented scatter-add over the flat buffer (no per-row
+    loops, no prefix truncation: strings differing ANYWHERE differ here).
+    """
+    vcap = v.value_capacity
+    cap = v.capacity
+    P = jnp.uint64(_FNV_PRIME)
+    pows = jnp.concatenate([
+        jnp.ones(1, jnp.uint64),
+        jnp.cumprod(jnp.full(max(vcap - 1, 1), P, dtype=jnp.uint64))
+    ])[:vcap]
+    rid = jnp.clip(layout_ops.byte_row_ids(v.offsets, vcap), 0, cap - 1)
+    pos = jnp.arange(vcap, dtype=jnp.int32)
     ends = v.offsets[1:]
-    pos = ends[:, None] - 16 + jnp.arange(16, dtype=jnp.int32)[None, :]
-    ok = pos >= v.offsets[:-1][:, None]
-    suf = jnp.where(ok, v.values[jnp.clip(pos, 0, v.value_capacity - 1)], 0)
-    h = lens.astype(jnp.int64)
-    M = jnp.int64((1 << 61) - 1)
-    for arr in (pre, suf):
-        for t in range(arr.shape[1]):
-            h = (h * jnp.int64(131) + arr[:, t].astype(jnp.int64)) & M
-    return h
+    in_row = pos < ends[rid]
+    exp = jnp.clip(ends[rid] - 1 - pos, 0, vcap - 1)
+    contrib = jnp.where(in_row,
+                        (v.values.astype(jnp.uint64) + jnp.uint64(1)) * pows[exp],
+                        jnp.uint64(0))
+    h = jnp.zeros(cap, jnp.uint64).at[rid].add(contrib)
+    lens = layout_ops.row_lengths(v.offsets).astype(jnp.uint64)
+    h = h + lens * jnp.uint64(_HASH_SALT)
+    # splitmix64 finalizer (matches _splitmix_host)
+    h = h + jnp.uint64(0x9E3779B97F4A7C15)
+    h = (h ^ (h >> jnp.uint64(30))) * jnp.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> jnp.uint64(27))) * jnp.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> jnp.uint64(31))
+    return h.astype(jnp.int64)
 
 
 def _merge_ungrouped(a, b, calls):
-    return [_merge_agg_value(x, y, c) for x, y, c in zip(a, b, calls)]
-
-
-def _merge_grouped_row(a, b, calls):
     return [_merge_agg_value(x, y, c) for x, y, c in zip(a, b, calls)]
 
 
