@@ -29,12 +29,21 @@ class SessionConfig:
     bam_parse_tags: bool = False
     cram_parse_tags: bool = False
 
+    # distributed execution over a jax.sharding.Mesh (the TPU-native analog
+    # of the reference's repartitioned operators, config/mod.rs:31,40-43):
+    # when enabled, aggregates over scan pipelines execute data-parallel on
+    # the mesh's 'shard' axis with an all_to_all partial exchange.
+    distributed: bool = False
+    n_shards: int = 0                          # 0 → all visible devices
+
     def __post_init__(self):
         if self.target_partitions <= 0:
             self.target_partitions = os.cpu_count() or 1
+        if os.environ.get("EXON_TPU_DISTRIBUTED"):
+            self.distributed = True
 
     _EXON_FLAGS = ("vcf_parse_info", "vcf_parse_formats", "sam_parse_tags",
-                   "bam_parse_tags", "cram_parse_tags")
+                   "bam_parse_tags", "cram_parse_tags", "distributed")
 
     def set_option(self, key: str, value: str) -> None:
         if key.startswith("exon."):
@@ -42,7 +51,7 @@ class SessionConfig:
             if flag not in self._EXON_FLAGS:
                 raise KeyError(f"unknown exon option {key}")
             setattr(self, flag, str(value).lower() in ("true", "1", "yes"))
-        elif key in ("batch_size", "target_partitions"):
+        elif key in ("batch_size", "target_partitions", "n_shards"):
             setattr(self, key, int(value))
         else:
             raise KeyError(f"unknown option {key}")

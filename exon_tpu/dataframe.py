@@ -119,4 +119,5 @@ class DataFrame:
     # -- execution ----------------------------------------------------------
 
     def _execute(self, plan: L.LogicalPlan):
-        return create_physical_plan(optimize(plan))
+        config = getattr(self._session, "config", None)
+        return create_physical_plan(optimize(plan), config)

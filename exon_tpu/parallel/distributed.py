@@ -1,0 +1,838 @@
+"""Distributed query execution over a device mesh.
+
+This wires the shuffle substrate (parallel/shuffle.py) into the engine: a
+``DistributedAggregateExec`` physical operator that executes the whole
+scan→filter→project→aggregate pipeline data-parallel over the ``shard``
+axis of a ``jax.sharding.Mesh``, replacing the role DataFusion's
+repartitioned hash aggregate plays in the reference engine
+(exon-core/src/config/mod.rs:31,40-43 enables repartitioned aggregates;
+RepartitionExec hash-partitions batches between pipeline stages).
+
+Execution model (TPU-first, SPMD):
+
+  * The host decode stream is dealt round-robin into *waves* of ``n_dev``
+    fixed-capacity batches. A wave is stacked leaf-wise into one pytree with
+    a leading device axis and placed with ``NamedSharding(mesh, P('shard'))``
+    — one batch per device, a single host→device transfer per wave.
+  * One jitted ``shard_map`` step per wave runs the fused per-batch pipeline
+    (filter masks, projections, group-key hashing, segment reductions) on
+    every device and folds the result into a per-device fixed-capacity
+    group state (sorted key hashes + partial accumulators + fixed-width
+    representative key values). No collectives, no host syncs in the loop
+    beyond one overflow-flag scalar per wave.
+  * A final jitted ``shard_map`` step hash-partitions the per-device group
+    partials with ``lax.all_to_all`` (hash_partition_shuffle) so each device
+    owns a disjoint key range, merges its range locally, and returns the
+    sharded merged tables; the host concatenates the disjoint ranges and
+    emits the output batch in first-seen order (same emission order as the
+    single-device path, so results are bit-identical).
+
+Group keys travel as 64-bit content hashes plus a fixed-width (``rep_w``)
+byte prefix of a representative value; keys longer than ``rep_w`` raise and
+the caller falls back to single-device execution (group keys are contig /
+feature names in practice — cheap insurance, never silent corruption).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..batch import (Batch, DictColumn, FixedColumn, PrefixColumn, Schema,
+                     VarColumn, bucket_capacity)
+from ..errors import ExecutionError, PlanError
+from ..ops import aggregate as agg_ops
+from ..ops import layout as layout_ops
+from ..plan.expressions import (AggregateCall, Expr, as_bool_mask,
+                                contains_host_fn, eval_expr)
+from ..plan.physical import (PhysicalPlan, _empty_batch, _group_key_i64,
+                             _merge_partial, _partial_for, _to_column)
+from .mesh import make_mesh
+from .shuffle import hash_partition_shuffle
+
+_I64MAX = jnp.iinfo(jnp.int64).max
+DEFAULT_REP_W = 64          # max group-key bytes carried through the exchange
+DEFAULT_STATE_CAP = 1 << 16  # per-device live-group capacity
+
+
+class RepTooLongError(ExecutionError):
+    """A group-key value exceeded rep_w bytes — fall back to single-device."""
+
+
+class StateOverflowError(ExecutionError):
+    """Distinct groups per device exceeded state capacity."""
+
+
+# ---------------------------------------------------------------------------
+# Representative-value carriers (fixed-shape, exchangeable via all_to_all)
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class FixedRep:
+    values: Any    # [cap] primitive
+    validity: Any  # bool [cap]
+
+    def tree_flatten(self):
+        return (self.values, self.validity), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class VarRep:
+    prefix: Any    # uint8 [cap, rep_w]
+    lens: Any      # int32 [cap]
+    validity: Any  # bool [cap]
+
+    def tree_flatten(self):
+        return (self.prefix, self.lens, self.validity), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DistAggState:
+    """Per-device group-by state (leading axis = shard when sharded)."""
+
+    keys: Any       # int64 [cap] sorted; pad = I64MAX
+    first: Any      # int64 [cap] global first-seen rank
+    partials: tuple  # per agg call: arr[cap] or (arr[cap], arr[cap])
+    reps: tuple     # per group expr: FixedRep | VarRep
+    count: Any      # int32 scalar — live groups
+    overflow: Any   # bool scalar — groups were dropped (state too small)
+    too_long: Any   # bool scalar — a rep value exceeded rep_w
+
+    def tree_flatten(self):
+        return ((self.keys, self.first, self.partials, self.reps,
+                 self.count, self.overflow, self.too_long), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+# ---------------------------------------------------------------------------
+# Host-side wave staging
+# ---------------------------------------------------------------------------
+
+
+def host_dict_to_var(col: DictColumn) -> VarColumn:
+    """Decode dictionary codes to a flat utf8 column on the host (vocab is
+    per-batch metadata, so stacking across batches requires flat values)."""
+    enc = [s.encode() for s in col.vocab] or [b""]
+    codes = np.asarray(col.codes)
+    validity = np.asarray(col.validity)
+    cap = codes.shape[0]
+    safe = np.clip(codes, 0, len(enc) - 1)
+    lens = np.asarray([len(e) for e in enc], np.int32)[safe]
+    lens = np.where(validity, lens, 0)
+    offsets = np.zeros(cap + 1, np.int32)
+    np.cumsum(lens, out=offsets[1:])
+    total = int(offsets[-1])
+    vcap = bucket_capacity(max(total, 1))
+    values = np.zeros(vcap, np.uint8)
+    pos = 0
+    for i in range(cap):
+        if lens[i]:
+            e = enc[safe[i]]
+            values[pos:pos + len(e)] = np.frombuffer(e, np.uint8)
+            pos += len(e)
+    return VarColumn(values, offsets, validity)
+
+
+def _pad_np(arr: np.ndarray, cap: int, fill=0) -> np.ndarray:
+    arr = np.asarray(arr)
+    if arr.shape[0] == cap:
+        return arr
+    out = np.full((cap,) + arr.shape[1:], fill, arr.dtype)
+    out[:arr.shape[0]] = arr
+    return out
+
+
+def pad_host_batch(b: Batch, cap: int, vcaps: dict[int, int]) -> Batch:
+    """Repad a host batch to a common wave shape (numpy, no copies when
+    already at shape)."""
+    cols = []
+    for i, c in enumerate(b.columns):
+        if isinstance(c, DictColumn):
+            c = host_dict_to_var(c)
+        if isinstance(c, FixedColumn):
+            cols.append(FixedColumn(_pad_np(c.values, cap),
+                                    _pad_np(c.validity, cap, False)))
+        elif isinstance(c, VarColumn):
+            off = np.asarray(c.offsets)
+            noff = np.full(cap + 1, off[-1], np.int32)
+            noff[:off.shape[0]] = off
+            cols.append(VarColumn(_pad_np(c.values, vcaps[i]), noff,
+                                  _pad_np(c.validity, cap, False)))
+        elif isinstance(c, PrefixColumn):
+            cols.append(PrefixColumn(_pad_np(c.prefix, cap),
+                                     _pad_np(c.lengths, cap),
+                                     _pad_np(c.validity, cap, False)))
+        else:
+            raise PlanError(f"distributed scan: unsupported column {type(c)}")
+    return Batch(b.schema, cols, np.int32(b.length))
+
+
+def wave_shape(batches: list[Batch]) -> tuple[int, dict[int, int]]:
+    cap = max(b.capacity for b in batches)
+    vcaps: dict[int, int] = {}
+    for b in batches:
+        for i, c in enumerate(b.columns):
+            if isinstance(c, DictColumn):
+                # post-conversion byte size: bounded by sum of code lengths
+                enc_lens = np.asarray([len(s.encode()) for s in c.vocab] or [0])
+                total = int(enc_lens[np.clip(np.asarray(c.codes), 0,
+                                             max(len(c.vocab) - 1, 0))].sum()) \
+                    if len(c.vocab) else 0
+                v = bucket_capacity(max(total, 1))
+            elif isinstance(c, VarColumn):
+                v = c.value_capacity
+            else:
+                continue
+            vcaps[i] = max(vcaps.get(i, 1), v)
+    return cap, vcaps
+
+
+def empty_like_host(b: Batch, cap: int, vcaps: dict[int, int]) -> Batch:
+    """A zero-row host batch with the wave's schema and capacities."""
+    cols = []
+    for i, c in enumerate(b.columns):
+        if isinstance(c, (FixedColumn,)):
+            cols.append(FixedColumn(np.zeros((cap,) + np.asarray(c.values).shape[1:],
+                                             np.asarray(c.values).dtype),
+                                    np.zeros(cap, bool)))
+        elif isinstance(c, (VarColumn, DictColumn)):
+            vdt = np.uint8 if isinstance(c, DictColumn) else np.asarray(c.values).dtype
+            cols.append(VarColumn(np.zeros(vcaps[i], vdt),
+                                  np.zeros(cap + 1, np.int32),
+                                  np.zeros(cap, bool)))
+        elif isinstance(c, PrefixColumn):
+            cols.append(PrefixColumn(
+                np.zeros((cap, np.asarray(c.prefix).shape[1]), np.uint8),
+                np.zeros(cap, np.int32), np.zeros(cap, bool)))
+        else:
+            raise PlanError(f"distributed scan: unsupported column {type(c)}")
+    return Batch(b.schema, cols, np.int32(0))
+
+
+def stack_wave(batches: list[Batch], mesh: Mesh) -> Batch:
+    """Stack n_dev host batches leaf-wise and place sharded over 'shard'."""
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                           *batches)
+    sharding = NamedSharding(mesh, P("shard"))
+    return jax.device_put(stacked, sharding)
+
+
+def _squeeze0(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def _expand0(tree):
+    return jax.tree.map(lambda x: x[None], tree)
+
+
+# ---------------------------------------------------------------------------
+# Per-device pipeline + group-state algebra (runs inside shard_map)
+# ---------------------------------------------------------------------------
+
+
+def apply_stages(stages: tuple, batch: Batch) -> tuple[Batch, jnp.ndarray]:
+    """Run the fused per-batch pipeline; filters accumulate into a mask
+    (no compaction — the aggregate consumes the mask directly)."""
+    mask = batch.row_mask()
+    for kind, payload, out_schema in stages:
+        if kind == "filter":
+            mask = jnp.logical_and(
+                mask, as_bool_mask(eval_expr(payload, batch), batch))
+        elif kind == "project":
+            cols = [_to_column(eval_expr(e, batch), batch) for e in payload]
+            batch = Batch(out_schema, cols, batch.length)
+        else:
+            raise PlanError(kind)
+    return batch, mask
+
+
+def _build_reps(group_exprs: tuple, batch: Batch, mask, first_idx,
+                num_groups, rep_w: int) -> tuple[tuple, jnp.ndarray]:
+    """Representative key values per group slot, fixed-width."""
+    cap = batch.capacity
+    slot_live = jnp.arange(first_idx.shape[0], dtype=jnp.int32) < num_groups
+    idx = jnp.clip(first_idx, 0, cap - 1)
+    reps = []
+    too_long = jnp.asarray(False)
+    for e in group_exprs:
+        v = eval_expr(e, batch)
+        if isinstance(v, DictColumn):
+            v = layout_ops.dict_to_var(v)
+        if isinstance(v, VarColumn):
+            lens = layout_ops.row_lengths(v.offsets)
+            too_long = jnp.logical_or(
+                too_long, jnp.any(jnp.logical_and(mask, lens > rep_w)))
+            pre, _ = layout_ops.gather_prefix(v, rep_w)
+            reps.append(VarRep(jnp.where(slot_live[:, None], pre[idx], 0),
+                               jnp.where(slot_live, lens[idx], 0),
+                               jnp.where(slot_live, v.validity[idx], False)))
+        elif isinstance(v, FixedColumn):
+            reps.append(FixedRep(jnp.where(slot_live, v.values[idx], 0),
+                                 jnp.where(slot_live, v.validity[idx], False)))
+        else:
+            arr = jnp.asarray(v)
+            reps.append(FixedRep(jnp.where(slot_live, arr[idx], 0), slot_live))
+    return tuple(reps), too_long
+
+
+def batch_group_state(group_exprs: tuple, agg_calls: tuple, batch: Batch,
+                      mask, base_rank, rep_w: int) -> DistAggState:
+    """One batch → a DistAggState sized at the batch capacity."""
+    cap = batch.capacity
+    keys = _group_key_i64(group_exprs, batch)
+    gids, gkeys, ng = agg_ops.sort_group_ids(keys, mask)
+    first_idx = jnp.full(cap, cap, jnp.int32).at[
+        jnp.where(mask, gids, cap - 1)
+    ].min(jnp.where(mask, jnp.arange(cap, dtype=jnp.int32), cap))
+    slot = jnp.arange(cap, dtype=jnp.int32)
+    first = jnp.where(slot < ng, base_rank + first_idx.astype(jnp.int64),
+                      _I64MAX)
+    partials = tuple(_partial_for(call, batch, mask, gids, cap)
+                     for call in agg_calls)
+    reps, too_long = _build_reps(group_exprs, batch, mask, first_idx, ng, rep_w)
+    return DistAggState(gkeys, first, partials, reps, ng,
+                        jnp.asarray(False), too_long)
+
+
+def _take_rep(rep, idx, slot_live):
+    if isinstance(rep, VarRep):
+        return VarRep(jnp.where(slot_live[:, None], rep.prefix[idx], 0),
+                      jnp.where(slot_live, rep.lens[idx], 0),
+                      jnp.where(slot_live, rep.validity[idx], False))
+    return FixedRep(jnp.where(slot_live, rep.values[idx], 0),
+                    jnp.where(slot_live, rep.validity[idx], False))
+
+
+def _concat_reps(reps_list: list) -> tuple:
+    out = []
+    for parts in zip(*reps_list):
+        if isinstance(parts[0], VarRep):
+            out.append(VarRep(jnp.concatenate([p.prefix for p in parts]),
+                              jnp.concatenate([p.lens for p in parts]),
+                              jnp.concatenate([p.validity for p in parts])))
+        else:
+            out.append(FixedRep(jnp.concatenate([p.values for p in parts]),
+                                jnp.concatenate([p.validity for p in parts])))
+    return tuple(out)
+
+
+def merge_states(states: list[DistAggState], agg_calls: tuple,
+                 out_cap: int) -> DistAggState:
+    """Merge group states by key hash; result truncated to out_cap slots
+    (overflow flagged, never silent)."""
+    caps = [s.keys.shape[0] for s in states]
+    cap = sum(caps)
+    keys = jnp.concatenate([s.keys for s in states])
+    first = jnp.concatenate([s.first for s in states])
+    mask = jnp.concatenate([jnp.arange(c, dtype=jnp.int32) < s.count
+                            for c, s in zip(caps, states)])
+    gids, gkeys, ng = agg_ops.sort_group_ids(keys, mask)
+    merged_partials = []
+    for j, call in enumerate(agg_calls):
+        comps = [s.partials[j] for s in states]
+        if isinstance(comps[0], tuple):
+            cat = tuple(jnp.concatenate([c[i] for c in comps])
+                        for i in range(len(comps[0])))
+        else:
+            cat = jnp.concatenate(comps)
+        merged_partials.append(_merge_partial(call, gids, mask, cat, cap))
+    first_m = jnp.full(cap, _I64MAX, jnp.int64).at[
+        jnp.clip(gids, 0, cap - 1)].min(jnp.where(mask, first, _I64MAX))
+    packed = jnp.where(mask, first * cap + jnp.arange(cap, dtype=jnp.int64),
+                       _I64MAX)
+    best = jnp.full(cap, _I64MAX, jnp.int64).at[
+        jnp.clip(gids, 0, cap - 1)].min(packed)
+    rep_idx = jnp.clip(best % cap, 0, cap - 1).astype(jnp.int32)
+    slot_live = jnp.arange(cap, dtype=jnp.int32) < ng
+    reps_cat = _concat_reps([s.reps for s in states])
+    reps = tuple(_take_rep(r, rep_idx, slot_live) for r in reps_cat)
+    overflow = functools.reduce(jnp.logical_or,
+                                [s.overflow for s in states], ng > out_cap)
+    too_long = functools.reduce(jnp.logical_or,
+                                [s.too_long for s in states],
+                                jnp.asarray(False))
+
+    def fit(x, fill):
+        if x.shape[0] == out_cap:
+            return x
+        if x.shape[0] > out_cap:
+            return x[:out_cap]
+        pad = jnp.full((out_cap - x.shape[0],) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    partials = tuple(tuple(fit(c, 0) for c in p) if isinstance(p, tuple)
+                     else fit(p, 0) for p in merged_partials)
+    reps = tuple(
+        VarRep(fit(r.prefix, 0), fit(r.lens, 0), fit(r.validity, False))
+        if isinstance(r, VarRep)
+        else FixedRep(fit(r.values, 0), fit(r.validity, False))
+        for r in reps)
+    return DistAggState(fit(gkeys, _I64MAX), fit(first_m, _I64MAX), partials,
+                        reps, jnp.minimum(ng, out_cap), overflow, too_long)
+
+
+def _flat_state_cols(state: DistAggState) -> tuple[list, Callable]:
+    """Flatten partials + reps into a flat column list for the shuffle, plus
+    a rebuilder closure."""
+    cols: list = [state.first]
+    spec = []
+    for p in state.partials:
+        if isinstance(p, tuple):
+            spec.append(len(p))
+            cols.extend(p)
+        else:
+            spec.append(0)
+            cols.append(p)
+    rep_spec = []
+    for r in state.reps:
+        if isinstance(r, VarRep):
+            rep_spec.append("var")
+            cols.extend([r.prefix, r.lens, r.validity])
+        else:
+            rep_spec.append("fixed")
+            cols.extend([r.values, r.validity])
+
+    def rebuild(flat: list) -> tuple[Any, tuple, tuple]:
+        it = iter(flat)
+        first = next(it)
+        partials = []
+        for s in spec:
+            if s == 0:
+                partials.append(next(it))
+            else:
+                partials.append(tuple(next(it) for _ in range(s)))
+        reps = []
+        for rs in rep_spec:
+            if rs == "var":
+                reps.append(VarRep(next(it), next(it), next(it)))
+            else:
+                reps.append(FixedRep(next(it), next(it)))
+        return first, tuple(partials), tuple(reps)
+
+    return cols, rebuild
+
+
+def exchange_and_merge(axis_name: str, state: DistAggState,
+                       agg_calls: tuple) -> DistAggState:
+    """The distributed exchange: hash-partition the per-device group partials
+    over the mesh (all_to_all) and merge each device's owned key range.
+    bucket_cap = state capacity ⇒ lossless (a device sends at most its whole
+    state to one peer)."""
+    scap = state.keys.shape[0]
+    mask = jnp.arange(scap, dtype=jnp.int32) < state.count
+    cols, rebuild = _flat_state_cols(state)
+    rkeys, rmask, rcols, dropped = hash_partition_shuffle(
+        axis_name, state.keys, mask, cols, bucket_cap=scap)
+    first, partials, reps = rebuild(rcols)
+    recv = DistAggState(
+        jnp.where(rmask, rkeys, _I64MAX), first, partials, reps,
+        jnp.sum(rmask, dtype=jnp.int32),
+        jnp.logical_or(state.overflow, dropped), state.too_long)
+    # receiving n_dev buckets of up to scap rows each → merge at that size
+    n_dev = jax.lax.axis_size(axis_name)
+    # recv rows are already "state rows"; re-tag liveness via rmask ordering:
+    # merge_states expects live rows in slots [0, count) — compact first.
+    idx, cnt = layout_ops.mask_to_indices(rmask)
+    comp = _gather_state_rows(recv, idx, cnt)
+    merged = merge_states([comp], agg_calls, n_dev * scap)
+    # propagate flags across devices so every shard agrees
+    any_over = jax.lax.psum(merged.overflow.astype(jnp.int32), axis_name) > 0
+    any_long = jax.lax.psum(merged.too_long.astype(jnp.int32), axis_name) > 0
+    return dataclasses.replace(merged, overflow=any_over, too_long=any_long)
+
+
+def _gather_state_rows(state: DistAggState, idx, cnt) -> DistAggState:
+    cap = idx.shape[0]
+    slot_live = jnp.arange(cap, dtype=jnp.int32) < cnt
+    safe = jnp.clip(idx, 0, cap - 1)
+
+    def g(x, fill=0):
+        v = x[safe]
+        return jnp.where(
+            slot_live.reshape((cap,) + (1,) * (v.ndim - 1)), v,
+            jnp.asarray(fill, x.dtype))
+
+    partials = tuple(tuple(g(c) for c in p) if isinstance(p, tuple) else g(p)
+                     for p in state.partials)
+    reps = tuple(
+        VarRep(g(r.prefix), g(r.lens), g(r.validity, False))
+        if isinstance(r, VarRep) else FixedRep(g(r.values), g(r.validity, False))
+        for r in state.reps)
+    return DistAggState(g(state.keys, _I64MAX), g(state.first, _I64MAX),
+                        partials, reps, cnt, state.overflow, state.too_long)
+
+
+# ---------------------------------------------------------------------------
+# The physical operator
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistributedAggregateExec(PhysicalPlan):
+    """Aggregate executed data-parallel over the mesh's ``shard`` axis.
+
+    ``source`` yields HOST batches (the scan's decode stream);
+    ``stages`` is the fused (filter/project) pipeline applied on-device.
+    Falls back to the single-device AggregateExec path when a group key
+    exceeds rep_w bytes or per-device groups overflow state capacity.
+    """
+
+    group_exprs: list[Expr]
+    agg_calls: list[AggregateCall]
+    out_schema: Schema
+    source: Callable[[], Iterator[Batch]]     # host batches
+    stages: tuple                             # (kind, payload, out_schema)
+    mesh: Mesh
+    fallback: Optional[Callable[[], PhysicalPlan]] = None
+    state_cap: int = DEFAULT_STATE_CAP
+    rep_w: int = DEFAULT_REP_W
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def children(self):
+        return []
+
+    def batches(self) -> Iterator[Batch]:
+        try:
+            yield self._run()
+        except (RepTooLongError, StateOverflowError):
+            if self.fallback is None:
+                raise
+            yield from self.fallback().batches()
+
+    # -- main loop ----------------------------------------------------------
+
+    def _run(self) -> Batch:
+        n_dev = self.mesh.shape["shard"]
+        grouped = bool(self.group_exprs)
+        wave: list[Batch] = []
+        state = None
+        global_rank = 0
+        template: Optional[Batch] = None
+        for hb in self.source():
+            template = template or hb
+            wave.append(hb)
+            if len(wave) == n_dev:
+                state, global_rank = self._flush(state, wave, global_rank,
+                                                 grouped)
+                wave = []
+        if wave:
+            cap, vcaps = wave_shape(wave)
+            while len(wave) < n_dev:
+                wave.append(empty_like_host(wave[0], cap, vcaps))
+            state, global_rank = self._flush(state, wave, global_rank, grouped)
+        if state is None:
+            if grouped:
+                return _empty_batch(self.out_schema)
+            return self._finalize_ungrouped([])
+        if grouped:
+            return self._finalize_grouped(state)
+        return self._finalize_ungrouped(state)
+
+    def _flush(self, state, wave: list[Batch], global_rank: int, grouped):
+        cap, vcaps = wave_shape(wave)
+        wave = [pad_host_batch(b, cap, vcaps) for b in wave]
+        stacked = stack_wave(wave, self.mesh)
+        if grouped:
+            step = _wave_step_grouped(
+                self.mesh, tuple(self.group_exprs), tuple(self.agg_calls),
+                self.stages, self.state_cap, self.rep_w, state is not None)
+            if state is None:
+                state = step(stacked, jnp.int64(global_rank), jnp.int32(cap))
+            else:
+                state = step(state, stacked, jnp.int64(global_rank),
+                             jnp.int32(cap))
+            flags = jax.device_get((state.overflow, state.too_long))
+            if bool(np.any(flags[1])):
+                raise RepTooLongError(
+                    f"group key exceeds rep_w={self.rep_w} bytes")
+            if bool(np.any(flags[0])):
+                raise StateOverflowError(
+                    f"per-device groups exceed state_cap={self.state_cap}")
+        else:
+            step = _wave_step_ungrouped(self.mesh, tuple(self.agg_calls),
+                                        self.stages)
+            part = step(stacked)
+            state = (state or []) + [part]
+        return state, global_rank + cap * len(wave)
+
+    # -- finalize -----------------------------------------------------------
+
+    def _finalize_grouped(self, state: DistAggState) -> Batch:
+        fin = _final_exchange(self.mesh, tuple(self.agg_calls))
+        merged = fin(state)  # sharded [n_dev, n_dev*scap]
+        host = jax.device_get(merged)
+        if bool(np.any(host.too_long)):
+            raise RepTooLongError("group key exceeds rep_w bytes")
+        if bool(np.any(host.overflow)):
+            raise StateOverflowError("merge overflow")
+        return self._emit_host(host)
+
+    def _emit_host(self, host: DistAggState) -> Batch:
+        """Concatenate the disjoint per-device merged ranges and emit in
+        global first-seen order (single-device emission parity)."""
+        from .. import datatypes as dt
+
+        n_dev = host.keys.shape[0]
+        rows_first = []
+        rows_partials: list[list] = [[] for _ in self.agg_calls]
+        rows_reps: list[list] = [[] for _ in self.group_exprs]
+        for d in range(n_dev):
+            c = int(host.count[d])
+            if c == 0:
+                continue
+            rows_first.append(host.first[d][:c])
+            for j, p in enumerate(self.agg_calls):
+                pj = jax.tree.map(lambda x: x[d][:c], host.partials[j])
+                rows_partials[j].append(pj)
+            for j in range(len(self.group_exprs)):
+                r = host.reps[j]
+                if isinstance(r, VarRep):
+                    rows_reps[j].append((r.prefix[d][:c], r.lens[d][:c],
+                                         r.validity[d][:c]))
+                else:
+                    rows_reps[j].append((r.values[d][:c], r.validity[d][:c]))
+        if not rows_first:
+            return _empty_batch(self.out_schema)
+        first = np.concatenate(rows_first)
+        order = np.argsort(first, kind="stable")
+        n = order.shape[0]
+        fields = self.out_schema.all_fields
+        cols = []
+        for j in range(len(self.group_exprs)):
+            parts = rows_reps[j]
+            if len(parts[0]) == 3:  # VarRep
+                pre = np.concatenate([p[0] for p in parts])[order]
+                lens = np.concatenate([p[1] for p in parts])[order]
+                val = np.concatenate([p[2] for p in parts])[order]
+                offsets = np.zeros(n + 1, np.int32)
+                np.cumsum(lens, out=offsets[1:])
+                flat = np.zeros(max(int(offsets[-1]), 1), np.uint8)
+                for i in range(n):
+                    flat[offsets[i]:offsets[i + 1]] = pre[i, :lens[i]]
+                cols.append(VarColumn(flat, offsets, val))
+            else:
+                vals = np.concatenate([p[0] for p in parts])[order]
+                val = np.concatenate([p[1] for p in parts])[order]
+                npdt = dt.numpy_dtype(fields[j].dtype)
+                cols.append(FixedColumn(vals.astype(npdt), val))
+        for j, call in enumerate(self.agg_calls):
+            f = fields[len(self.group_exprs) + j]
+            npdt = dt.numpy_dtype(f.dtype)
+            parts = rows_partials[j]
+            if call.fn == "count":
+                vals = np.concatenate([np.asarray(p) for p in parts])[order]
+                cols.append(FixedColumn(vals.astype(npdt), np.ones(n, bool)))
+            else:
+                s = np.concatenate([np.asarray(p[0]) for p in parts])[order]
+                c = np.concatenate([np.asarray(p[1]) for p in parts])[order]
+                nonnull = c > 0
+                if call.fn == "avg":
+                    vals = s.astype(np.float64) / np.maximum(c, 1)
+                else:
+                    vals = s
+                vals = np.where(nonnull, vals.astype(npdt),
+                                np.zeros((), npdt))
+                cols.append(FixedColumn(vals.astype(npdt), nonnull))
+        return Batch(self.out_schema, cols, np.int32(n)).to_device()
+
+    def _finalize_ungrouped(self, parts: list) -> Batch:
+        from ..plan.physical import (_empty_ungrouped, _finalize_ungrouped,
+                                     _merge_ungrouped)
+
+        if not parts:
+            partials = _empty_ungrouped(self.agg_calls)
+        else:
+            n_dev = self.mesh.shape["shard"]
+            host = jax.device_get(parts)  # list of per-wave [n_dev,…] pytrees
+            partials = None
+            for wave_part in host:
+                for d in range(n_dev):
+                    one = [jax.tree.map(lambda x: np.asarray(x)[d], p)
+                           for p in wave_part]
+                    if partials is None:
+                        partials = one
+                    else:
+                        partials = _merge_ungrouped(partials, one,
+                                                    self.agg_calls)
+        cols, _ = _finalize_ungrouped(partials, self.agg_calls,
+                                      self.out_schema)
+        return Batch(self.out_schema, cols, np.int32(1)).to_device(capacity=128)
+
+
+# ---------------------------------------------------------------------------
+# Jitted wave steps (cached per mesh/expr/shape signature)
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _wave_step_grouped(mesh: Mesh, group_exprs: tuple, agg_calls: tuple,
+                       stages: tuple, state_cap: int, rep_w: int,
+                       has_state: bool):
+    spec = P("shard")
+
+    def per_device_new(batch: Batch, base_rank, cap):
+        d = jax.lax.axis_index("shard").astype(jnp.int64)
+        b = _squeeze0(batch)
+        b2, mask = apply_stages(stages, b)
+        t = batch_group_state(group_exprs, agg_calls, b2, mask,
+                              base_rank + d * cap.astype(jnp.int64), rep_w)
+        return _expand0(merge_states([t], agg_calls, state_cap))
+
+    def per_device_update(state: DistAggState, batch: Batch, base_rank, cap):
+        d = jax.lax.axis_index("shard").astype(jnp.int64)
+        s = _squeeze0(state)
+        b = _squeeze0(batch)
+        b2, mask = apply_stages(stages, b)
+        t = batch_group_state(group_exprs, agg_calls, b2, mask,
+                              base_rank + d * cap.astype(jnp.int64), rep_w)
+        return _expand0(merge_states([s, t], agg_calls, state_cap))
+
+    if has_state:
+        fn = jax.shard_map(per_device_update, mesh=mesh,
+                           in_specs=(spec, spec, P(), P()), out_specs=spec)
+        return jax.jit(fn, donate_argnums=(0,))
+    fn = jax.shard_map(per_device_new, mesh=mesh,
+                       in_specs=(spec, P(), P()), out_specs=spec)
+    return jax.jit(fn)
+
+
+@functools.cache
+def _wave_step_ungrouped(mesh: Mesh, agg_calls: tuple, stages: tuple):
+    spec = P("shard")
+
+    def per_device(batch: Batch):
+        b = _squeeze0(batch)
+        b2, mask = apply_stages(stages, b)
+        out = [_partial_for(call, b2, mask, None, 1) for call in agg_calls]
+        return jax.tree.map(lambda x: jnp.asarray(x)[None], out)
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec)
+    return jax.jit(fn)
+
+
+@functools.cache
+def _final_exchange(mesh: Mesh, agg_calls: tuple):
+    spec = P("shard")
+
+    def per_device(state: DistAggState):
+        s = _squeeze0(state)
+        return _expand0(exchange_and_merge("shard", s, agg_calls))
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec)
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Planner hook: can this (Aggregate → [Filter|Project]* → Scan) distribute?
+# ---------------------------------------------------------------------------
+
+
+def plan_distributed_aggregate(agg_plan, config) -> Optional[PhysicalPlan]:
+    """Build a DistributedAggregateExec for an L.Aggregate if the pipeline
+    below it is a scan chain the distributed path supports; else None."""
+    from ..plan import logical as L
+    from ..plan.physical import AggregateExec, ScanExec
+    from ..plan.planner import create_physical_plan
+
+    mesh = _config_mesh(config)
+    if mesh is None or mesh.shape["shard"] <= 1:
+        return None
+    stages = []
+    node = agg_plan.input
+    while isinstance(node, (L.Filter, L.Project)):
+        if isinstance(node, L.Filter):
+            if contains_host_fn(node.predicate):
+                return None
+            stages.append(("filter", node.predicate, None))
+        else:
+            if any(contains_host_fn(e) for e in node.exprs):
+                return None
+            stages.append(("project", tuple(node.exprs), node.schema()))
+        node = node.input
+    if not isinstance(node, L.Scan):
+        return None
+    for e in list(agg_plan.group_exprs) + list(agg_plan.agg_exprs):
+        if contains_host_fn(e):
+            return None
+    for call in agg_plan.agg_exprs:
+        if call.fn not in ("count", "sum", "min", "max", "avg"):
+            return None
+    # scan must be able to hand us host batches with supported column types
+    scan_exec = _host_scan_exec(node)
+    if scan_exec is None:
+        return None
+    for f in scan_exec.out_schema.all_fields:
+        k = f.dtype.kind.value
+        if k in ("list", "struct", "map"):
+            return None
+    stages = tuple(reversed(stages))
+
+    def fallback():
+        return create_physical_plan(agg_plan)
+
+    return DistributedAggregateExec(
+        group_exprs=list(agg_plan.group_exprs),
+        agg_calls=list(agg_plan.agg_exprs),
+        out_schema=agg_plan.schema(),
+        source=scan_exec.source,
+        stages=stages,
+        mesh=mesh,
+        fallback=fallback,
+    )
+
+
+def _host_scan_exec(node):
+    """Physical scan that yields host batches (device transfer is ours)."""
+    from ..plan.physical import ScanExec
+
+    kwargs = {}
+    if getattr(node, "prefix_hints", None):
+        kwargs["prefix_hints"] = node.prefix_hints
+    try:
+        exec_ = node.provider.scan(node.projection, list(node.filters),
+                                   node.fetch, host_batches=True, **kwargs)
+    except TypeError:
+        exec_ = node.provider.scan(node.projection, list(node.filters),
+                                   node.fetch)
+    if not isinstance(exec_, ScanExec) or not exec_.to_device:
+        return None
+    return exec_
+
+
+def _config_mesh(config) -> Optional[Mesh]:
+    if config is None or not getattr(config, "distributed", False):
+        return None
+    mesh = getattr(config, "_mesh", None)
+    if mesh is None:
+        n = getattr(config, "n_shards", 0) or None
+        try:
+            mesh = make_mesh(n)
+        except ValueError:
+            return None
+        config._mesh = mesh
+    return mesh

@@ -85,11 +85,15 @@ def _bshape(mask, arr):
 def hash_partition_shuffle(axis_name: str, keys: jnp.ndarray,
                            mask: jnp.ndarray, cols: list[jnp.ndarray],
                            bucket_cap: int, salt: int = 1
-                           ) -> tuple[jnp.ndarray, jnp.ndarray, list[jnp.ndarray]]:
+                           ) -> tuple[jnp.ndarray, jnp.ndarray,
+                                      list[jnp.ndarray], jnp.ndarray]:
     """All-to-all exchange of rows keyed by hash(keys) (inside shard_map).
 
-    Returns (recv_keys [n_dev*bucket_cap], recv_mask, recv_cols): all rows
-    now on the device owning their key partition.
+    Returns (recv_keys [n_dev*bucket_cap], recv_mask, recv_cols, overflow):
+    all rows now on the device owning their key partition. ``overflow`` is a
+    global bool scalar — True when any sender dropped rows because a bucket
+    exceeded ``bucket_cap`` (callers must either size bucket_cap for the
+    worst case, pre-aggregate, or re-run with salt — never ignore it).
     """
     n_dev = _axis_size(axis_name)
     dest = partition_ids(keys, n_dev, salt=salt)
@@ -103,7 +107,9 @@ def hash_partition_shuffle(axis_name: str, keys: jnp.ndarray,
     slot = jnp.arange(bucket_cap, dtype=jnp.int32)
     recv_mask = (slot[None, :] < recv_counts[:, None]).reshape(-1)
     flat = [r.reshape((n_dev * bucket_cap,) + r.shape[2:]) for r in recv]
-    return flat[0], recv_mask, flat[1:]
+    dropped = jnp.any(counts > bucket_cap)
+    overflow = jax.lax.psum(dropped.astype(jnp.int32), axis_name) > 0
+    return flat[0], recv_mask, flat[1:], overflow
 
 
 def distributed_group_count(axis_name: str, codes: jnp.ndarray,
@@ -116,8 +122,8 @@ def distributed_group_count(axis_name: str, codes: jnp.ndarray,
     to exercise/benchmark the true shuffle path that joins and wide
     aggregations need. Returns the full [num_groups] counts on every device.
     """
-    keys, rmask, _ = hash_partition_shuffle(axis_name, codes.astype(jnp.int64),
-                                            mask, [], bucket_cap)
+    keys, rmask, _, _ = hash_partition_shuffle(
+        axis_name, codes.astype(jnp.int64), mask, [], bucket_cap)
     local = jnp.zeros(num_groups, jnp.int64).at[
         jnp.clip(keys, 0, num_groups - 1).astype(jnp.int32)
     ].add(rmask.astype(jnp.int64))
@@ -128,9 +134,35 @@ def distributed_group_count(axis_name: str, codes: jnp.ndarray,
 def distributed_group_sum(axis_name: str, codes: jnp.ndarray,
                           values: jnp.ndarray, mask: jnp.ndarray,
                           num_groups: int, bucket_cap: int) -> jnp.ndarray:
-    keys, rmask, (vals,) = hash_partition_shuffle(
+    keys, rmask, (vals,), _ = hash_partition_shuffle(
         axis_name, codes.astype(jnp.int64), mask, [values], bucket_cap)
     local = jnp.zeros(num_groups, values.dtype).at[
         jnp.clip(keys, 0, num_groups - 1).astype(jnp.int32)
     ].add(jnp.where(rmask, vals, 0))
     return jax.lax.psum(local, axis_name)
+
+
+def salted_two_phase_group_count(axis_name: str, codes: jnp.ndarray,
+                                 mask: jnp.ndarray, num_groups: int,
+                                 bucket_cap: int, salt: int
+                                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Skew-safe distributed group count: the salted two-phase shuffle the
+    module header promises.
+
+    Phase 1 shuffles raw rows with salted destinations — a hot key (chr1 ≫
+    chrM) spreads over ``salt`` consecutive partitions, so no single bucket
+    must absorb the whole key. Each receiver partially aggregates its rows
+    into [num_groups] counts (the "tiny partials"). Phase 2 combines the
+    partials with one collective (the re-shuffle of partials degenerates to
+    psum because partials are already key-addressed vectors).
+
+    Returns (counts [num_groups] on every device, overflow bool). With
+    ``salt >= ceil(max_key_rows / bucket_cap)`` overflow stays False even
+    under 100% skew.
+    """
+    keys, rmask, _, overflow = hash_partition_shuffle(
+        axis_name, codes.astype(jnp.int64), mask, [], bucket_cap, salt=salt)
+    partial = jnp.zeros(num_groups, jnp.int64).at[
+        jnp.clip(keys, 0, num_groups - 1).astype(jnp.int32)
+    ].add(rmask.astype(jnp.int64))
+    return jax.lax.psum(partial, axis_name), overflow

@@ -422,7 +422,7 @@ def _with_children(plan: L.LogicalPlan, kids: list) -> L.LogicalPlan:
 # ---------------------------------------------------------------------------
 
 
-def create_physical_plan(plan: L.LogicalPlan) -> P.PhysicalPlan:
+def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
     if isinstance(plan, L.Scan):
         kwargs = {}
         if getattr(plan, "prefix_hints", None):
@@ -434,11 +434,18 @@ def create_physical_plan(plan: L.LogicalPlan) -> P.PhysicalPlan:
             return plan.provider.scan(plan.projection, list(plan.filters),
                                       plan.fetch)
     if isinstance(plan, L.Filter):
-        return P.FilterExec(plan.predicate, create_physical_plan(plan.input))
+        return P.FilterExec(plan.predicate,
+                            create_physical_plan(plan.input, config))
     if isinstance(plan, L.Project):
-        child = create_physical_plan(plan.input)
+        child = create_physical_plan(plan.input, config)
         return P.ProjectExec(plan.exprs, plan.schema(), child)
     if isinstance(plan, L.Aggregate):
+        if config is not None and getattr(config, "distributed", False):
+            from ..parallel.distributed import plan_distributed_aggregate
+
+            dist = plan_distributed_aggregate(plan, config)
+            if dist is not None:
+                return dist
         # fuse a directly-underlying Filter into the aggregate: the mask
         # feeds the segment reductions, skipping row materialization
         pre_filter = None
@@ -446,27 +453,31 @@ def create_physical_plan(plan: L.LogicalPlan) -> P.PhysicalPlan:
         if isinstance(inner, L.Filter):
             pre_filter = inner.predicate
             inner = inner.input
-        child = create_physical_plan(inner)
+        child = create_physical_plan(inner, config)
         return P.AggregateExec(plan.group_exprs, plan.agg_exprs, plan.schema(),
                                child, pre_filter=pre_filter)
     if isinstance(plan, L.Sort):
-        return P.SortExec(plan.keys, create_physical_plan(plan.input), plan.fetch)
+        return P.SortExec(plan.keys, create_physical_plan(plan.input, config),
+                          plan.fetch)
     if isinstance(plan, L.Limit):
-        return P.LimitExec(plan.skip, plan.fetch, create_physical_plan(plan.input))
+        return P.LimitExec(plan.skip, plan.fetch,
+                           create_physical_plan(plan.input, config))
     if isinstance(plan, L.Union):
-        return P.UnionExec([create_physical_plan(c) for c in plan.inputs])
+        return P.UnionExec([create_physical_plan(c, config)
+                            for c in plan.inputs])
     if isinstance(plan, L.Values):
         return P.ValuesExec(plan.out_schema, plan.rows)
     if isinstance(plan, L.Join):
         from .join_exec import JoinExec
 
-        return JoinExec(create_physical_plan(plan.left),
-                        create_physical_plan(plan.right),
+        return JoinExec(create_physical_plan(plan.left, config),
+                        create_physical_plan(plan.right, config),
                         plan.on, plan.how, plan.filter,
                         plan.schema())
     if isinstance(plan, L.CopyTo):
         from ..sinks.writers import CopyToExec
 
-        return CopyToExec(create_physical_plan(plan.input), plan.input.schema(),
+        return CopyToExec(create_physical_plan(plan.input, config),
+                          plan.input.schema(),
                           plan.target_url, plan.file_format, plan.options)
     raise PlanError(f"cannot lower {type(plan).__name__}")

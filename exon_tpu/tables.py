@@ -60,7 +60,7 @@ class FileTable(TableProvider):
         return files
 
     def scan(self, projection=None, filters=(), limit=None,
-             prefix_hints=None) -> PhysicalPlan:
+             prefix_hints=None, host_batches=False) -> PhysicalPlan:
         schema = self.schema()
         if projection is not None:
             schema = schema.project(projection)
@@ -73,6 +73,7 @@ class FileTable(TableProvider):
 
         use_device = (fmt.device_decode is not None
                       and not prefix_hints
+                      and not host_batches
                       and not _os.environ.get("EXON_TPU_HOST_DECODE"))
         decode = fmt.device_decode if use_device else fmt.decode
 
