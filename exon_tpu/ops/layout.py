@@ -202,8 +202,20 @@ def _column_capacity(col: Column) -> int:
 
 
 def take_batch(batch: Batch, indices: jnp.ndarray, count: jnp.ndarray,
-               sorted_indices: bool = False) -> Batch:
-    cols = [take_column(c, indices, count, sorted_indices) for c in batch.columns]
+               sorted_indices: bool = False,
+               out_vcaps: dict | None = None) -> Batch:
+    """Row gather over a whole batch. ``out_vcaps`` (column index → byte
+    capacity) resizes var-width value buffers — required whenever the gather
+    can EXPAND rows (join multiplicity), where the default same-as-input
+    capacity would overflow."""
+    cols = []
+    for i, c in enumerate(batch.columns):
+        ov = out_vcaps.get(i) if out_vcaps else None
+        if isinstance(c, VarColumn) and ov is not None:
+            cols.append(take_var(c, indices, count, out_vcap=ov,
+                                 sorted_indices=sorted_indices))
+        else:
+            cols.append(take_column(c, indices, count, sorted_indices))
     return Batch(batch.schema, cols, count)
 
 

@@ -748,6 +748,193 @@ def _final_exchange(mesh: Mesh, agg_calls: tuple):
 
 
 # ---------------------------------------------------------------------------
+# Distributed join: broadcast build side, probe sharded over the mesh
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistributedJoinExec(PhysicalPlan):
+    """Equi-join executed data-parallel over the mesh's ``shard`` axis.
+
+    The build side (small — annotations) is collected, key-sorted once and
+    *replicated* to every device; probe batches are dealt round-robin into
+    sharded waves and each device runs the vectorized searchsorted probe +
+    pair emission locally inside shard_map. This is the broadcast-hash-join
+    shape (the TPU analog of DataFusion's CollectLeft hash join the
+    reference uses for reads×annotations, config/mod.rs:31); no shuffle is
+    needed because every device owns the whole build table.
+
+    Emission order equals the single-device JoinExec (probe stream order),
+    so results are identical including row order.
+    """
+
+    probe_source: Callable[[], Iterator[Batch]]  # host batches (left)
+    probe_stages: tuple                          # fused pipeline below join
+    build: PhysicalPlan                          # right side (collected)
+    on: list                                     # [(left_expr, right_expr)]
+    how: str
+    filter: Optional[Expr]
+    out_schema: Schema
+    mesh: Mesh
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def children(self):
+        return [self.build]
+
+    def batches(self) -> Iterator[Batch]:
+        from ..plan.join_exec import (_jit_build_sort, _jit_emit,
+                                      _jit_probe_counts)
+        from ..plan.physical import concat_batches
+
+        n_dev = self.mesh.shape["shard"]
+        rschema = self.build.schema()
+        build = concat_batches(rschema, list(self.build.batches()))
+        right_keys = tuple(r for _, r in self.on)
+        left_keys = tuple(l for l, _ in self.on)
+        sorted_build, sorted_keys = _jit_build_sort(right_keys)(build)
+        # replicate the build table + keys across the mesh
+        repl = NamedSharding(self.mesh, P())
+        sorted_build = jax.device_put(sorted_build, repl)
+        sorted_keys = jax.device_put(sorted_keys, repl)
+        n_build = jax.device_put(jnp.asarray(build.length, jnp.int32), repl)
+
+        wave: list[Batch] = []
+        for hb in self.probe_source():
+            wave.append(hb)
+            if len(wave) == n_dev:
+                yield from self._probe_wave(wave, sorted_build, sorted_keys,
+                                            n_build, left_keys)
+                wave = []
+        if wave:
+            cap, vcaps = wave_shape(wave)
+            real = len(wave)
+            while len(wave) < n_dev:
+                wave.append(empty_like_host(wave[0], cap, vcaps))
+            yield from self._probe_wave(wave, sorted_build, sorted_keys,
+                                        n_build, left_keys, real)
+
+    def _probe_wave(self, wave, sorted_build, sorted_keys, n_build,
+                    left_keys, real: Optional[int] = None):
+        n_dev = self.mesh.shape["shard"]
+        real = n_dev if real is None else real
+        cap, vcaps = wave_shape(wave)
+        wave = [pad_host_batch(b, cap, vcaps) for b in wave]
+        stacked = stack_wave(wave, self.mesh)
+        count_step = _join_count_step(self.mesh, self.probe_stages,
+                                      left_keys, self.how, tuple(self.on))
+        lo, counts, out_counts, totals, lbytes, rbytes, kbytes = count_step(
+            stacked, sorted_build, sorted_keys, n_build)
+        totals, lbytes, rbytes, kbytes = jax.device_get(
+            (totals, lbytes, rbytes, kbytes))
+        max_total = int(np.max(totals[:real], initial=0))
+        if max_total == 0:
+            return
+        out_cap = bucket_capacity(max_total)
+        from ..plan.join_exec import _emit_vcaps
+
+        vcaps = _emit_vcaps(
+            {i: int(np.max(b)) for i, b in lbytes.items()},
+            {i: int(np.max(b)) for i, b in rbytes.items()},
+            tuple((int(np.max(kb)), int(np.max(rb))) for kb, rb in kbytes))
+        emit_step = _join_emit_step(self.mesh, self.probe_stages,
+                                    self.out_schema, self.how, out_cap,
+                                    tuple(self.on), self.filter, vcaps)
+        out = emit_step(stacked, sorted_build, lo, counts, out_counts)
+        for d in range(real):
+            b = jax.tree.map(lambda x: x[d], out)
+            if b.num_rows_host():
+                yield b
+
+
+@functools.cache
+def _join_count_step(mesh: Mesh, stages: tuple, left_keys: tuple, how: str,
+                     on: tuple):
+    from ..plan.join_exec import _jit_probe_plan
+
+    spec = P("shard")
+
+    def per_device(batch: Batch, build: Batch, sorted_keys, n_build):
+        b, mask = apply_stages(stages, _squeeze0(batch))
+        b = layout_ops.filter_batch(b, mask) if stages else b
+        lo, counts, out_counts, total, lbytes, rbytes, kbytes = \
+            _jit_probe_plan(left_keys, how, on)(b, build, sorted_keys, n_build)
+        expand = lambda t: jax.tree.map(lambda x: jnp.asarray(x)[None], t)
+        return (lo[None], counts[None], out_counts[None], total[None],
+                expand(lbytes), expand(rbytes), expand(kbytes))
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec, P(), P(), P()),
+                       out_specs=spec)
+    return jax.jit(fn)
+
+
+@functools.cache
+def _join_emit_step(mesh: Mesh, stages: tuple, out_schema: Schema, how: str,
+                    out_cap: int, on: tuple, filter_expr, vcaps: tuple):
+    from ..plan.join_exec import _jit_emit
+
+    spec = P("shard")
+
+    def per_device(batch: Batch, build: Batch, lo, counts, out_counts):
+        b, mask = apply_stages(stages, _squeeze0(batch))
+        b = layout_ops.filter_batch(b, mask) if stages else b
+        out = _jit_emit(out_schema, how, out_cap, on, filter_expr, vcaps)(
+            b, build, lo[0], counts[0], out_counts[0])
+        return _expand0(out)
+
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(spec, P(), spec, spec, spec),
+                       out_specs=spec)
+    return jax.jit(fn)
+
+
+def plan_distributed_join(join_plan, config) -> Optional[PhysicalPlan]:
+    """Build a DistributedJoinExec for an L.Join whose probe (left) side is a
+    supported scan chain; the build (right) side lowers normally."""
+    from ..plan import logical as L
+    from ..plan.planner import create_physical_plan
+
+    mesh = _config_mesh(config)
+    if mesh is None or mesh.shape["shard"] <= 1:
+        return None
+    if join_plan.how not in ("inner", "left"):
+        return None
+    stages = []
+    node = join_plan.left
+    while isinstance(node, (L.Filter, L.Project)):
+        if isinstance(node, L.Filter):
+            if contains_host_fn(node.predicate):
+                return None
+            stages.append(("filter", node.predicate, None))
+        else:
+            if any(contains_host_fn(e) for e in node.exprs):
+                return None
+            stages.append(("project", tuple(node.exprs), node.schema()))
+        node = node.input
+    if not isinstance(node, L.Scan):
+        return None
+    exprs = [x for pair in join_plan.on for x in pair]
+    if join_plan.filter is not None:
+        exprs.append(join_plan.filter)
+    if any(contains_host_fn(e) for e in exprs):
+        return None
+    scan_exec = _host_scan_exec(node)
+    if scan_exec is None:
+        return None
+    return DistributedJoinExec(
+        probe_source=scan_exec.source,
+        probe_stages=tuple(reversed(stages)),
+        build=create_physical_plan(join_plan.right, config),
+        on=join_plan.on,
+        how=join_plan.how,
+        filter=join_plan.filter,
+        out_schema=join_plan.schema(),
+        mesh=mesh,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Planner hook: can this (Aggregate → [Filter|Project]* → Scan) distribute?
 # ---------------------------------------------------------------------------
 

@@ -32,16 +32,22 @@ from .physical import (PhysicalPlan, _group_key_i64, concat_batches,
                        sort_permutation)
 
 
-def join_schema(lschema: Schema, rschema: Schema) -> tuple[Schema, list[str]]:
+def join_schema(lschema: Schema, rschema: Schema,
+                right_names: dict | None = None) -> tuple[Schema, list[str]]:
     """Left fields + right fields; right-side name collisions get a
-    ':right'-style suffix (DataFusion would qualify with the table name)."""
+    ':right'-style suffix (DataFusion would qualify with the table name).
+    ``right_names`` (pinned at plan time) overrides the collision-derived
+    renames so the mapping survives projection pushdown."""
     lnames = {f.name for f in lschema.all_fields}
     fields = list(lschema.all_fields)
     rnames = []
     for f in rschema.all_fields:
-        name = f.name
-        if name in lnames:
-            name = name + "_right"
+        if right_names is not None and f.name in right_names:
+            name = right_names[f.name]
+        else:
+            name = f.name
+            if name in lnames:
+                name = name + "_right"
         rnames.append(name)
         fields.append(dataclasses.replace(f, name=name))
     return Schema(tuple(fields)), rnames
@@ -72,20 +78,19 @@ class JoinExec(PhysicalPlan):
         sort_step = _jit_build_sort(right_keys)
         sorted_build, sorted_keys = sort_step(build)
 
-        probe_step = _jit_probe_counts(left_keys)
+        probe_step = _jit_probe_plan(left_keys, self.how, tuple(self.on))
         for pb in self.left.batches():
-            lo, hi, counts, total = probe_step(pb, sorted_keys,
-                                               jnp.asarray(build.length, jnp.int32))
-            if self.how == "left":
-                out_counts = jnp.maximum(counts, pb.row_mask().astype(jnp.int32))
-            else:
-                out_counts = counts
-            tot = int(jax.device_get(jnp.sum(out_counts)))
-            if tot == 0:
+            lo, counts, out_counts, total, lbytes, rbytes, kbytes = \
+                probe_step(pb, sorted_build, sorted_keys,
+                           jnp.asarray(build.length, jnp.int32))
+            tot, lbytes, rbytes, kbytes = jax.device_get(
+                (total, lbytes, rbytes, kbytes))
+            if int(tot) == 0:
                 continue
-            out_cap = bucket_capacity(tot)
+            out_cap = bucket_capacity(int(tot))
+            vcaps = _emit_vcaps(lbytes, rbytes, kbytes)
             emit = _jit_emit(self.out_schema, self.how, out_cap,
-                             tuple(self.on), self.filter)
+                             tuple(self.on), self.filter, vcaps)
             yield emit(pb, sorted_build, lo, counts, out_counts)
 
 
@@ -121,10 +126,100 @@ def _jit_probe_counts(left_keys: tuple):
     return step
 
 
+def _emit_byte_totals(pb: Batch, build: Batch, on: tuple, how: str,
+                      lo, counts, out_counts):
+    """Exact output byte totals per var-width column — the emit kernels lay
+    every gathered copy out flat, so buffers must be sized to the EXPANDED
+    row set, not the input's (the pre-fix overflow corrupted offsets on
+    row-expanding joins)."""
+    from ..ops.layout import row_lengths
+
+    oc64 = out_counts.astype(jnp.int64)
+    lbytes = {}
+    for i, c in enumerate(pb.columns):
+        if isinstance(c, VarColumn):
+            lbytes[i] = jnp.sum(oc64 * row_lengths(c.offsets).astype(jnp.int64))
+    unmatched = jnp.logical_and(out_counts > 0, counts == 0)
+    rbytes = {}
+    for i, c in enumerate(build.columns):
+        if isinstance(c, VarColumn):
+            rbytes[i] = _range_bytes(c, lo, counts, unmatched, build.capacity)
+    kbytes = []
+    for le, re in on:
+        lv = eval_expr(le, pb)
+        kb = (jnp.sum(oc64 * row_lengths(lv.offsets).astype(jnp.int64))
+              if isinstance(lv, VarColumn) else jnp.int64(0))
+        rb = jnp.int64(0)
+        if isinstance(lv, VarColumn):
+            rv = eval_expr(re, build)
+            if isinstance(rv, DictColumn):
+                rv = layout_ops.dict_to_var(rv)
+            if isinstance(rv, VarColumn):
+                rb = _range_bytes(rv, lo, counts, unmatched, build.capacity)
+        kbytes.append((kb, rb))
+    return lbytes, rbytes, tuple(kbytes)
+
+
+def _range_bytes(col: VarColumn, lo, counts, unmatched, build_cap):
+    """Bytes emitted from a build var column: matched ranges [lo, lo+counts)
+    plus — for left joins — the single clipped row each unmatched probe row
+    gathers (its bytes are laid out even though validity is nulled)."""
+    from ..ops.layout import row_lengths
+
+    lens = row_lengths(col.offsets).astype(jnp.int64)
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int64),
+                           jnp.cumsum(lens, dtype=jnp.int64)])
+    n = cum.shape[0] - 1
+    hi_idx = jnp.clip(lo + counts, 0, n)
+    lo_idx = jnp.clip(lo, 0, n)
+    matched = jnp.sum(cum[hi_idx] - cum[lo_idx])
+    pad = jnp.sum(jnp.where(unmatched,
+                            lens[jnp.clip(lo, 0, build_cap - 1)], 0))
+    return matched + pad
+
+
+@functools.cache
+def _jit_probe_plan(left_keys: tuple, how: str, on: tuple):
+    """Count pass: match ranges, output row count, and exact per-column
+    output byte totals (one host sync delivers everything the emit pass
+    needs to pick static shapes)."""
+
+    @jax.jit
+    def step(pb: Batch, build: Batch, sorted_keys, n_build):
+        keys = _group_key_i64(left_keys, pb)
+        mask = pb.row_mask()
+        lo = jnp.searchsorted(sorted_keys, keys, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(sorted_keys, keys, side="right").astype(jnp.int32)
+        lo = jnp.minimum(lo, n_build)
+        hi = jnp.minimum(hi, n_build)
+        counts = jnp.where(mask, hi - lo, 0).astype(jnp.int32)
+        if how == "left":
+            out_counts = jnp.maximum(counts, mask.astype(jnp.int32))
+        else:
+            out_counts = counts
+        total = jnp.sum(out_counts, dtype=jnp.int64)
+        lbytes, rbytes, kbytes = _emit_byte_totals(pb, build, on, how, lo,
+                                                   counts, out_counts)
+        return lo, counts, out_counts, total, lbytes, rbytes, kbytes
+
+    return step
+
+
+def _emit_vcaps(lbytes: dict, rbytes: dict, kbytes) -> tuple:
+    """Static (hashable) capacity spec for the emit kernel."""
+    lcaps = tuple(sorted((i, bucket_capacity(max(int(b), 1)))
+                         for i, b in lbytes.items()))
+    rcaps = tuple(sorted((i, bucket_capacity(max(int(b), 1)))
+                         for i, b in rbytes.items()))
+    kcaps = tuple((bucket_capacity(max(int(kb), 1)),
+                   bucket_capacity(max(int(rb), 1))) for kb, rb in kbytes)
+    return (lcaps, rcaps, kcaps)
+
+
 @functools.cache
 def _jit_emit(out_schema: Schema, how: str, out_cap: int, on: tuple,
-              filter_expr):
-    n_left_keys = len(on)
+              filter_expr, vcaps: tuple = ((), (), ())):
+    lcaps, rcaps, kcaps = dict(vcaps[0]), dict(vcaps[1]), vcaps[2]
 
     @jax.jit
     def step(pb: Batch, build: Batch, lo, counts, out_counts):
@@ -135,8 +230,10 @@ def _jit_emit(out_schema: Schema, how: str, out_cap: int, on: tuple,
         has_match = counts[rid] > 0
         build_idx = jnp.clip(lo[rid] + intra, 0, build.capacity - 1)
 
-        left_taken = layout_ops.take_batch(pb, probe_idx, ocount)
-        right_taken = layout_ops.take_batch(build, build_idx, ocount)
+        left_taken = layout_ops.take_batch(pb, probe_idx, ocount,
+                                           out_vcaps=lcaps)
+        right_taken = layout_ops.take_batch(build, build_idx, ocount,
+                                            out_vcaps=rcaps)
         # left-join: unmatched rows keep left values, null right side
         cols = list(left_taken.columns)
         for c in right_taken.columns:
@@ -148,9 +245,14 @@ def _jit_emit(out_schema: Schema, how: str, out_cap: int, on: tuple,
         for li, (le, re) in enumerate(on):
             lv = eval_expr(le, pb)
             if isinstance(lv, VarColumn):
-                lcol = layout_ops.take_column(lv, probe_idx, ocount)
+                kc = kcaps[li] if li < len(kcaps) else (None, None)
+                lcol = layout_ops.take_var(lv, probe_idx, ocount,
+                                           out_vcap=kc[0])
                 rv = eval_expr(re, build)
-                rcol = layout_ops.take_column(rv, build_idx, ocount)
+                if isinstance(rv, DictColumn):
+                    rv = layout_ops.dict_to_var(rv)
+                rcol = layout_ops.take_var(rv, build_idx, ocount,
+                                           out_vcap=kc[1])
                 from .expressions import _string_col_eq
 
                 eq = _string_col_eq(lcol, rcol)

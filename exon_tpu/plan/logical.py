@@ -129,6 +129,9 @@ class Join(LogicalPlan):
     on: list[tuple[Expr, Expr]]
     how: str = "inner"  # inner | left
     filter: Optional[Expr] = None
+    # right-child column → output name, pinned at plan time so projection
+    # pushdown can't shift the collision suffixes downstream refs rely on
+    right_names: Optional[dict] = None
 
     def children(self):
         return [self.left, self.right]
@@ -136,7 +139,8 @@ class Join(LogicalPlan):
     def schema(self) -> Schema:
         from .join_exec import join_schema
 
-        out, _ = join_schema(self.left.schema(), self.right.schema())
+        out, _ = join_schema(self.left.schema(), self.right.schema(),
+                             self.right_names)
         return out
 
 

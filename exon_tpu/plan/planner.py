@@ -78,6 +78,12 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
     from .expressions import FieldAccess
 
     if isinstance(expr, FieldAccess):
+        # table-qualified ref (a.seqname) before resolution: the qualifier
+        # is not a column of the schema — type as the bare column
+        if isinstance(expr.child, ColumnRef) and \
+                not schema.has_field(expr.child.name) and \
+                schema.has_field(expr.field):
+            return schema.field(expr.field)
         child = infer_expr_field(expr.child, schema)
         if child.dtype.kind == dt.TypeKind.STRUCT:
             for f in child.dtype.children:
@@ -376,8 +382,19 @@ def _push_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
                 all_need = needed | on_cols
                 lneed = {n for n in all_need if lschema.has_field(n)}
                 rneed = {n for n in all_need if rschema.has_field(n)}
+                # renamed output columns map back to the right child's
+                # bare column names (pinned map first, suffix fallback)
+                reverse = {v: k for k, v in (p.right_names or {}).items()}
+                for n in all_need:
+                    if rschema.has_field(n):
+                        continue
+                    bare = reverse.get(n)
+                    if bare is None and n.endswith("_right"):
+                        bare = n[:-len("_right")]
+                    if bare is not None and rschema.has_field(bare):
+                        rneed.add(bare)
             return L.Join(required(p.left, lneed), required(p.right, rneed),
-                          p.on, p.how, p.filter)
+                          p.on, p.how, p.filter, p.right_names)
         kids = [required(c, None) for c in p.children()]
         return _with_children(p, kids)
 
@@ -407,7 +424,8 @@ def _with_children(plan: L.LogicalPlan, kids: list) -> L.LogicalPlan:
     if isinstance(plan, L.Limit):
         return L.Limit(plan.skip, plan.fetch, kids[0])
     if isinstance(plan, L.Join):
-        return L.Join(kids[0], kids[1], plan.on, plan.how, plan.filter)
+        return L.Join(kids[0], kids[1], plan.on, plan.how, plan.filter,
+                      plan.right_names)
     if isinstance(plan, L.Union):
         return L.Union(kids)
     if isinstance(plan, L.CopyTo):
@@ -470,6 +488,12 @@ def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
     if isinstance(plan, L.Join):
         from .join_exec import JoinExec
 
+        if config is not None and getattr(config, "distributed", False):
+            from ..parallel.distributed import plan_distributed_join
+
+            dist = plan_distributed_join(plan, config)
+            if dist is not None:
+                return dist
         return JoinExec(create_physical_plan(plan.left, config),
                         create_physical_plan(plan.right, config),
                         plan.on, plan.how, plan.filter,

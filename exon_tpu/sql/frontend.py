@@ -327,7 +327,9 @@ def _contains_agg(e: Expr) -> bool:
 
 
 def plan_select(session, stmt: A.SelectStmt) -> L.LogicalPlan:
-    plan = _plan_from(session, stmt)
+    plan, qual = _plan_from(session, stmt)
+    if qual:
+        stmt = _rewrite_stmt_quals(stmt, qual)
 
     if stmt.where is not None:
         plan = L.Filter(stmt.where, plan)
@@ -375,10 +377,19 @@ def plan_select(session, stmt: A.SelectStmt) -> L.LogicalPlan:
     return plan
 
 
-def _plan_from(session, stmt: A.SelectStmt) -> L.LogicalPlan:
+def _plan_from(session, stmt: A.SelectStmt):
+    """Plan the FROM/JOIN clause. Also returns a qualifier map
+    ``alias → {column → output name}`` so downstream expressions can
+    resolve ``b.source`` to the suffixed ``source_right`` the join output
+    schema actually carries (DataFusion qualifies with the table name; our
+    join_schema suffixes collisions instead, join_exec.py:join_schema)."""
     if stmt.from_ is None:
-        return _values_row(stmt)
+        return _values_row(stmt), {}
     plan = _plan_table_ref(session, stmt.from_)
+    qual: dict = {}
+    a0 = _ref_alias(stmt.from_)
+    if a0:
+        qual[a0.lower()] = {n: n for n in plan.schema().names}
     for j in stmt.joins:
         right = _plan_table_ref(session, j.table)
         if j.using:
@@ -387,8 +398,59 @@ def _plan_from(session, stmt: A.SelectStmt) -> L.LogicalPlan:
         else:
             pairs, filt = _join_pairs(j.on, plan.schema(), right.schema())
         how = j.how if j.how in ("inner", "left") else "inner"
-        plan = L.Join(plan, right, pairs, how, filt)
-    return plan
+        lnames = {f.name for f in plan.schema().all_fields}
+        rmap = {f.name: (f.name + "_right" if f.name in lnames else f.name)
+                for f in right.schema().all_fields}
+        ra = _ref_alias(j.table)
+        if ra:
+            qual[ra.lower()] = dict(rmap)
+        plan = L.Join(plan, right, pairs, how, filt, right_names=rmap)
+    return plan, qual
+
+
+def _ref_alias(ref) -> Optional[str]:
+    alias = getattr(ref, "alias", None)
+    if alias:
+        return alias
+    return getattr(ref, "name", None)
+
+
+def _rewrite_stmt_quals(stmt: A.SelectStmt, qual: dict) -> A.SelectStmt:
+    """Rewrite alias-qualified refs in every expression position of the
+    statement to the join-output column names."""
+    import dataclasses as _dc
+
+    def rw(e):
+        if isinstance(e, str):
+            return e
+        from ..plan.expressions import FieldAccess
+
+        if isinstance(e, FieldAccess) and isinstance(e.child, ColumnRef):
+            m = qual.get(e.child.name.lower())
+            if m is not None and e.field in m:
+                return ColumnRef(m[e.field])
+            return e
+        kids = e.children()
+        if not kids:
+            return e
+        updates = {}
+        for fld in _dc.fields(e):
+            v = getattr(e, fld.name)
+            if isinstance(v, Expr):
+                updates[fld.name] = rw(v)
+            elif isinstance(v, list) and v and isinstance(v[0], Expr):
+                updates[fld.name] = [rw(x) for x in v]
+        return _dc.replace(e, **updates) if updates else e
+
+    return _dc.replace(
+        stmt,
+        projections=[(e if _is_star(e) else rw(e), a)
+                     for e, a in stmt.projections],
+        where=rw(stmt.where) if stmt.where is not None else None,
+        group_by=[rw(e) for e in stmt.group_by],
+        having=rw(stmt.having) if stmt.having is not None else None,
+        order_by=[(rw(e), asc) for e, asc in stmt.order_by],
+    )
 
 
 def _values_row(stmt: A.SelectStmt) -> L.LogicalPlan:

@@ -114,3 +114,82 @@ def test_distributed_dataframe_api(big_fasta):
         .sort("description").collect_arrow()
     assert out.num_rows == 13
     assert sum(out.column("n").to_pylist()) == 5000
+
+
+GFF_DIR = "/root/reference/exon/exon-core/test-data/datasources/gff"
+
+
+def test_distributed_join_parity(session, big_fasta, tmp_path):
+    # self-join-style: fasta ids joined to a small annotation table
+    ann = tmp_path / "ann.gff"
+    rows = []
+    for i in range(0, 5000, 7):
+        rows.append(f"chr1\tsrc\tgene\t{i+1}\t{i+10}\t.\t+\t.\tID=id{i}\n")
+    ann.write_text("".join(rows))
+    q = ("SELECT f.id, g.start FROM fasta_scan('%s') f "
+         "JOIN gff_scan('%s') g ON f.id = g.attributes.ID "
+         "ORDER BY g.start" % (big_fasta, ann))
+    try:
+        ref = session.sql(q).collect_arrow()
+    except Exception:
+        pytest.skip("attributes.ID join unsupported in frontend")
+    got = _dist_session().sql(q).collect_arrow()
+    _assert_tables_equal(ref, got)
+
+
+@pytest.fixture
+def join_gffs(tmp_path):
+    """Reads-vs-annotations style pair: left (reads) 3000 rows over 8
+    contigs with distinct starts; right (annotations) 200 rows, ~4 per
+    (contig, start) key so the join EXPANDS rows (regression for the
+    var-width emit overflow)."""
+    rng = np.random.default_rng(11)
+    left = tmp_path / "reads.gff"
+    rows = []
+    for i in range(3000):
+        c = f"chr{i % 8}"
+        rows.append(f"{c}\tsrc\tread\t{i + 1}\t{i + 50}\t.\t+\t.\t"
+                    f"ID=read{i};Name=some_longish_read_name_{i}\n")
+    left.write_text("".join(rows))
+    right = tmp_path / "ann.gff"
+    rows = []
+    for i in range(0, 200):
+        start = (i % 50) * 7 + 1  # collides with left starts 1,8,15,…
+        c = f"chr{(start - 1) % 8}"
+        rows.append(f"{c}\tann\tgene\t{start}\t{start + 99}\t.\t+\t.\t"
+                    f"ID=gene{i};Name=annotation_with_a_long_name_{i}\n")
+    right.write_text("".join(rows))
+    return str(left), str(right)
+
+
+def test_distributed_join_parity_expanding(session, join_gffs):
+    left, right = join_gffs
+    q = ("SELECT a.seqname, a.start, b.\"end\", b.source FROM gff_scan('%s') a "
+         "JOIN gff_scan('%s') b ON a.seqname = b.seqname AND a.start = b.start"
+         % (left, right))
+    ref = session.sql(q).collect_arrow()
+    got = _dist_session().sql(q).collect_arrow()
+    assert ref.num_rows == got.num_rows > 0
+    _assert_tables_equal(ref, got)
+
+
+def test_distributed_join_then_aggregate(session, join_gffs):
+    left, right = join_gffs
+    q = ("SELECT a.seqname, count(*) AS n FROM gff_scan('%s') a "
+         "JOIN gff_scan('%s') b ON a.seqname = b.seqname "
+         "AND a.start = b.start GROUP BY a.seqname ORDER BY a.seqname"
+         % (left, right))
+    ref = session.sql(q).collect_arrow()
+    got = _dist_session().sql(q).collect_arrow()
+    _assert_tables_equal(ref, got)
+
+
+def test_distributed_left_join_parity(session, join_gffs):
+    left, right = join_gffs
+    q = ("SELECT a.start, b.\"end\" FROM gff_scan('%s') a "
+         "LEFT JOIN gff_scan('%s') b ON a.seqname = b.seqname "
+         "AND a.start = b.start" % (left, right))
+    ref = session.sql(q).collect_arrow()
+    got = _dist_session().sql(q).collect_arrow()
+    assert ref.num_rows == got.num_rows >= 3000
+    _assert_tables_equal(ref, got)

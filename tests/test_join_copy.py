@@ -88,3 +88,20 @@ def test_copy_fastq(ctx, ref_data, tmp_path):
     back = ctx.read_fastq(out).collect_arrow()
     orig = ctx.sql("SELECT * FROM fq").collect_arrow()
     assert back.equals(orig)
+
+
+def test_join_var_width_expansion_overflow(tmp_path, session):
+    """Row-expanding join whose output string bytes exceed the probe
+    column's value capacity (regression: emit buffers were sized at the
+    INPUT vcap, corrupting offsets on expansion)."""
+    left = tmp_path / "l.gff"
+    # 40 rows, every row same (seqname, start) → join expands 40×40 = 1600
+    left.write_text("".join(
+        f"chromosome_with_long_name\tsrc\tgene\t5\t10\t.\t+\t.\tID=a{i}\n"
+        for i in range(40)))
+    q = ("SELECT a.seqname, b.type FROM gff_scan('%s') a "
+         "JOIN gff_scan('%s') b ON a.seqname = b.seqname "
+         "AND a.start = b.start" % (left, left))
+    t = session.sql(q).collect_arrow()
+    assert t.num_rows == 1600
+    assert set(t.column("seqname").to_pylist()) == {"chromosome_with_long_name"}
