@@ -251,6 +251,92 @@ class AggregateCall(Expr):
         return f"{self.fn}({inner})"
 
 
+@dataclasses.dataclass(repr=True, eq=False)
+class Case(Expr):
+    """CASE [operand] WHEN … THEN … [ELSE …] END.
+
+    The reference gets CASE from DataFusion's expression surface; here the
+    whole expression lowers to one jnp.where chain (string results become a
+    device DictColumn keyed by branch index — the TPU-friendly encoding)."""
+
+    operand: Optional[Expr]
+    whens: list  # [(when_expr, then_expr)]
+    else_: Optional[Expr]
+
+    def children(self):
+        out = [self.operand] if self.operand is not None else []
+        for w, t in self.whens:
+            out.extend([w, t])
+        if self.else_ is not None:
+            out.append(self.else_)
+        return out
+
+    def display_name(self) -> str:
+        return "case"
+
+
+@dataclasses.dataclass(repr=True, eq=False)
+class WindowCall(Expr):
+    """fn(...) OVER (PARTITION BY … [ORDER BY …]) — planned into a
+    WindowExec breaker, never evaluated directly."""
+
+    fn: str
+    child: Optional[Expr]
+    partition_by: list
+    order_by: list  # [(expr, asc)]
+    offset: int = 1      # lag/lead
+    default: object = None
+
+    def children(self):
+        out = [self.child] if self.child is not None else []
+        out.extend(self.partition_by)
+        out.extend(e for e, _ in self.order_by)
+        return out
+
+    def display_name(self) -> str:
+        inner = self.child.display_name() if self.child else ""
+        return f"{self.fn}({inner}) over(…)"
+
+
+@dataclasses.dataclass(repr=True, eq=False)
+class Subquery(Expr):
+    """Uncorrelated scalar subquery — resolved eagerly by the SQL frontend
+    into a Literal before planning."""
+
+    stmt: object  # A.SelectStmt
+
+    def children(self):
+        return []
+
+    def display_name(self) -> str:
+        return "(subquery)"
+
+
+@dataclasses.dataclass(repr=True, eq=False)
+class ExistsSubquery(Expr):
+    stmt: object
+    negated: bool = False
+
+    def children(self):
+        return []
+
+    def display_name(self) -> str:
+        return "exists(subquery)"
+
+
+@dataclasses.dataclass(repr=True, eq=False)
+class InSubquery(Expr):
+    child: Expr
+    stmt: object
+    negated: bool = False
+
+    def children(self):
+        return [self.child]
+
+    def display_name(self) -> str:
+        return "in(subquery)"
+
+
 # ---------------------------------------------------------------------------
 # Evaluation
 # ---------------------------------------------------------------------------
@@ -343,7 +429,85 @@ def eval_expr(expr: Expr, batch: Batch):
                                 f"{sorted(v.children)}")
             return child
         raise PlanError(f"field access on non-struct value: {expr!r}")
+    if isinstance(expr, Case):
+        return _eval_case(expr, batch)
     raise PlanError(f"cannot evaluate {expr!r}")
+
+
+def _eval_case(expr: Case, batch: Batch):
+    """One fused where-chain. String THEN/ELSE literals become a DictColumn
+    whose codes select the branch (device-int encoding, no byte shuffling)."""
+    conds = []
+    for w, _t in expr.whens:
+        if expr.operand is not None:
+            c = BinaryOp("=", expr.operand, w)
+        else:
+            c = w
+        m = as_bool_mask(eval_expr(c, batch), batch)
+        conds.append(m)
+    results = [t for _w, t in expr.whens]
+    if expr.else_ is not None:
+        results.append(expr.else_)
+
+    def is_str_lit(e):
+        return isinstance(e, Literal) and (isinstance(e.value, str)
+                                           or e.value is None)
+
+    if results and all(is_str_lit(r) for r in results):
+        vocab = []
+        codes_for = []
+        for r in results:
+            if r.value is None:
+                codes_for.append(-1)
+            else:
+                if r.value not in vocab:
+                    vocab.append(r.value)
+                codes_for.append(vocab.index(r.value))
+        cap = batch.capacity
+        else_code = codes_for[-1] if expr.else_ is not None else -1
+        codes = jnp.full(cap, else_code, jnp.int32)
+        valid = jnp.full(cap, else_code >= 0)
+        taken = jnp.zeros(cap, bool)
+        for m, code in zip(conds, codes_for):
+            pick = jnp.logical_and(m, jnp.logical_not(taken))
+            codes = jnp.where(pick, code, codes)
+            valid = jnp.where(pick, code >= 0, valid)
+            taken = jnp.logical_or(taken, m)
+        return DictColumn(jnp.clip(codes, 0, max(len(vocab) - 1, 0)),
+                          jnp.logical_and(valid, batch.row_mask()),
+                          tuple(vocab))
+
+    # numeric / boolean path
+    cap = batch.capacity
+    vals_valid = []
+    for r in results:
+        v = eval_expr(r, batch)
+        if isinstance(v, (VarColumn, DictColumn)):
+            raise PlanError("CASE with non-literal string results "
+                            "is not supported")
+        arr = _as_values(v, batch)
+        if not hasattr(arr, "shape") or getattr(arr, "ndim", 0) == 0:
+            if isinstance(r, Literal) and r.value is None:
+                vals_valid.append((jnp.zeros(cap), jnp.zeros(cap, bool)))
+                continue
+            arr = jnp.full(cap, arr)
+        vals_valid.append((arr, _validity_of(v, batch)))
+    if expr.else_ is not None:
+        out, valid = vals_valid[-1]
+        out = out.astype(jnp.result_type(*[a.dtype for a, _ in vals_valid]))
+        branch_vv = vals_valid[:-1]
+    else:
+        dt_ = jnp.result_type(*[a.dtype for a, _ in vals_valid])
+        out = jnp.zeros(cap, dt_)
+        valid = jnp.zeros(cap, bool)
+        branch_vv = vals_valid
+    taken = jnp.zeros(cap, bool)
+    for m, (arr, av) in zip(conds, branch_vv):
+        pick = jnp.logical_and(m, jnp.logical_not(taken))
+        out = jnp.where(pick, arr.astype(out.dtype), out)
+        valid = jnp.where(pick, av, valid)
+        taken = jnp.logical_or(taken, m)
+    return FixedColumn(out, jnp.logical_and(valid, batch.row_mask()))
 
 
 def _dict_to_mask_like(v: DictColumn, expr: Like) -> jnp.ndarray:

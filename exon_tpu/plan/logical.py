@@ -145,6 +145,27 @@ class Join(LogicalPlan):
 
 
 @dataclasses.dataclass
+class Window(LogicalPlan):
+    """Append window-function result columns (names) to the input."""
+
+    calls: list  # [WindowCall]
+    names: list[str]
+    input: LogicalPlan
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        from .planner import infer_window_field
+
+        in_schema = self.input.schema()
+        fields = list(in_schema.all_fields)
+        for call, name in zip(self.calls, self.names):
+            fields.append(infer_window_field(call, name, in_schema))
+        return Schema(tuple(fields))
+
+
+@dataclasses.dataclass
 class Union(LogicalPlan):
     inputs: list[LogicalPlan]
 

@@ -92,6 +92,24 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
             raise PlanError(f"no field named {expr.field!r} in struct "
                             f"{child.name!r}")
         raise PlanError(f"field access on non-struct column {child.name!r}")
+    from .expressions import Case
+
+    if isinstance(expr, Case):
+        results = [t for _w, t in expr.whens]
+        if expr.else_ is not None:
+            results.append(expr.else_)
+        fields = [infer_expr_field(r, schema) for r in results
+                  if not (isinstance(r, Literal) and r.value is None)]
+        if not fields:
+            return Field("case", dt.utf8, True)
+        if all(f.dtype.kind.value in ("utf8", "dictionary") for f in fields):
+            return Field("case", dt.utf8, True)
+        order = ["bool", "int8", "int16", "int32", "int64", "float32",
+                 "float64"]
+        out = max((f.dtype for f in fields),
+                  key=lambda d: order.index(d.kind.value)
+                  if d.kind.value in order else 0)
+        return Field("case", out, True)
     if isinstance(expr, AggregateCall):
         if expr.fn == "count":
             return Field(expr.display_name(), dt.int64, False)
@@ -99,7 +117,20 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
             return Field(expr.display_name(), dt.float64, True)
         inner = infer_expr_field(expr.child, schema)
         return Field(expr.display_name(), inner.dtype, True)
+    from .expressions import WindowCall
+
+    if isinstance(expr, WindowCall):
+        return infer_window_field(expr, expr.display_name(), schema)
     raise PlanError(f"cannot infer type of {expr!r}")
+
+
+def infer_window_field(call, name: str, schema: Schema) -> Field:
+    if call.fn in ("row_number", "rank", "dense_rank", "count"):
+        return Field(name, dt.int64, False)
+    if call.fn == "avg":
+        return Field(name, dt.float64, True)
+    inner = infer_expr_field(call.child, schema)
+    return Field(name, inner.dtype, True)
 
 
 # ---------------------------------------------------------------------------
@@ -369,6 +400,14 @@ def _push_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
             return L.Sort(p.keys, required(p.input, need), p.fetch)
         if isinstance(p, L.Limit):
             return L.Limit(p.skip, p.fetch, required(p.input, needed))
+        if isinstance(p, L.Window):
+            need = None
+            if needed is not None:
+                need = {n for n in needed if n not in p.names}
+                for call in p.calls:
+                    for e in call.children():
+                        need |= expr_columns(e)
+            return L.Window(p.calls, p.names, required(p.input, need))
         if isinstance(p, L.Join):
             lneed = rneed = None
             if needed is not None:
@@ -426,6 +465,8 @@ def _with_children(plan: L.LogicalPlan, kids: list) -> L.LogicalPlan:
     if isinstance(plan, L.Join):
         return L.Join(kids[0], kids[1], plan.on, plan.how, plan.filter,
                       plan.right_names)
+    if isinstance(plan, L.Window):
+        return L.Window(plan.calls, plan.names, kids[0])
     if isinstance(plan, L.Union):
         return L.Union(kids)
     if isinstance(plan, L.CopyTo):
@@ -480,6 +521,11 @@ def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
     if isinstance(plan, L.Limit):
         return P.LimitExec(plan.skip, plan.fetch,
                            create_physical_plan(plan.input, config))
+    if isinstance(plan, L.Window):
+        from .window_exec import WindowExec
+
+        return WindowExec(plan.calls, plan.names, plan.schema(),
+                          create_physical_plan(plan.input, config))
     if isinstance(plan, L.Union):
         return P.UnionExec([create_physical_plan(c, config)
                             for c in plan.inputs])

@@ -1,0 +1,250 @@
+"""Window functions, TPU style.
+
+The reference inherits window functions from DataFusion 44. Here the whole
+OVER computation is one fused device kernel per window call:
+
+  sort rows by (liveness, partition-hash, order keys)   — one XLA sort chain
+  segment boundaries → partition ids, peer-group ids    — cumsum of flags
+  per-function result in sorted order                   — segment reductions
+  scatter back to input row order                       — one gather
+
+Frame semantics match DataFusion defaults: aggregates with ORDER BY use
+RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW (peer rows share values);
+without ORDER BY the frame is the whole partition.
+
+Supported: row_number, rank, dense_rank, count, sum, min, max, avg, lag,
+lead, first_value, last_value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..batch import Batch, FixedColumn, Schema
+from ..errors import PlanError
+from .expressions import WindowCall, eval_expr, _as_values, _validity_of
+from .physical import (PhysicalPlan, _group_key_i64, _sort_key_values,
+                       concat_batches)
+
+WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "count", "sum", "min",
+                "max", "avg", "lag", "lead", "first_value", "last_value"}
+
+
+@dataclasses.dataclass
+class WindowExec(PhysicalPlan):
+    calls: list[WindowCall]
+    names: list[str]
+    out_schema: Schema
+    input: PhysicalPlan
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        combined = concat_batches(self.input.schema(), list(self.input.batches()))
+        if combined.num_rows_host() == 0:
+            from .physical import _empty_batch
+
+            yield _empty_batch(self.out_schema)
+            return
+        step = _jit_window_step(tuple(self.calls), self.out_schema)
+        yield step(combined)
+
+
+@functools.cache
+def _jit_window_step(calls: tuple, out_schema: Schema):
+    @jax.jit
+    def step(batch: Batch) -> Batch:
+        cols = list(batch.columns)
+        for call in calls:
+            vals, valid = _window_column(call, batch)
+            cols.append(FixedColumn(vals, valid))
+        return Batch(out_schema, cols, batch.length)
+
+    return step
+
+
+def _window_column(call: WindowCall, batch: Batch):
+    cap = batch.capacity
+    mask = batch.row_mask()
+    idx = jnp.arange(cap, dtype=jnp.int32)
+
+    # ---- sort: liveness (live first) > partition > order keys -------------
+    perm = idx
+    okeys = []
+    for e, asc in call.order_by:
+        k = _sort_key_values(eval_expr(e, batch), batch)
+        okeys.append((k, asc))
+    for k, asc in reversed(okeys):
+        kk = k[perm]
+        if not asc:
+            kk = jnp.int64(-1) - kk
+        perm = perm[jnp.argsort(kk, stable=True)]
+    if call.partition_by:
+        pkey = _group_key_i64(tuple(call.partition_by), batch)
+    else:
+        pkey = jnp.zeros(cap, jnp.int64)
+    perm = perm[jnp.argsort(pkey[perm], stable=True)]
+    perm = perm[jnp.argsort(jnp.logical_not(mask[perm]), stable=True)]
+
+    mask_s = mask[perm]
+    pkey_s = pkey[perm]
+    first_row = jnp.concatenate([jnp.ones(1, bool), jnp.zeros(cap - 1, bool)])
+    seg_new = jnp.logical_or(
+        first_row, jnp.concatenate([jnp.ones(1, bool),
+                                    pkey_s[1:] != pkey_s[:-1]]))
+    seg_new = jnp.logical_or(
+        seg_new, jnp.concatenate([jnp.zeros(1, bool),
+                                  mask_s[1:] != mask_s[:-1]]))
+    seg_id = jnp.cumsum(seg_new.astype(jnp.int32)) - 1
+    seg_start = jnp.full(cap, cap, jnp.int32).at[seg_id].min(idx)
+    start_of = seg_start[seg_id]
+
+    peer_new = seg_new
+    for e, _asc in call.order_by:
+        k = _sort_key_values(eval_expr(e, batch), batch)[perm]
+        peer_new = jnp.logical_or(
+            peer_new, jnp.concatenate([jnp.ones(1, bool), k[1:] != k[:-1]]))
+    peer_id = jnp.cumsum(peer_new.astype(jnp.int32)) - 1
+    peer_first = jnp.full(cap, cap, jnp.int32).at[peer_id].min(idx)
+    peer_last = jnp.zeros(cap, jnp.int32).at[peer_id].max(idx)
+    pf, pl = peer_first[peer_id], peer_last[peer_id]
+
+    seg_end = jnp.zeros(cap, jnp.int32).at[seg_id].max(idx)
+    end_of = seg_end[seg_id]
+
+    fn = call.fn
+    if fn == "row_number":
+        res_s = (idx - start_of + 1).astype(jnp.int64)
+        valid_s = mask_s
+    elif fn == "rank":
+        res_s = (pf - start_of + 1).astype(jnp.int64)
+        valid_s = mask_s
+    elif fn == "dense_rank":
+        pn = peer_new.astype(jnp.int64)
+        c = jnp.cumsum(pn)
+        res_s = c - c[start_of] + 1
+        valid_s = mask_s
+    elif fn in ("count", "sum", "min", "max", "avg"):
+        res_s, valid_s = _window_aggregate(call, batch, perm, mask_s,
+                                           seg_id, start_of, pl, idx)
+    elif fn in ("lag", "lead"):
+        res_s, valid_s = _window_shift(call, batch, perm, mask_s,
+                                       start_of, end_of, idx)
+    elif fn in ("first_value", "last_value"):
+        v = eval_expr(call.child, batch)
+        vals_s = _as_values(v, batch)[perm]
+        vv_s = jnp.logical_and(_validity_of(v, batch)[perm], mask_s)
+        src = start_of if fn == "first_value" else pl
+        res_s = vals_s[src]
+        valid_s = jnp.logical_and(vv_s[src], mask_s)
+    else:
+        raise PlanError(f"window function {fn!r} unsupported")
+
+    out = jnp.zeros(cap, res_s.dtype).at[perm].set(res_s)
+    out_valid = jnp.zeros(cap, bool).at[perm].set(valid_s)
+    return out, jnp.logical_and(out_valid, mask)
+
+
+def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
+                      seg_id, start_of, peer_last_of, idx):
+    cap = batch.capacity
+    if call.child is not None:
+        v = eval_expr(call.child, batch)
+        vals_s = _as_values(v, batch)[perm]
+        vv_s = jnp.logical_and(_validity_of(v, batch)[perm], mask_s)
+    else:
+        vals_s = jnp.ones(cap, jnp.int64)
+        vv_s = mask_s
+    fn = call.fn
+    running = bool(call.order_by)
+    if not running:
+        # whole-partition frame: segment totals broadcast
+        if fn == "count":
+            tot = jnp.zeros(cap, jnp.int64).at[seg_id].add(vv_s.astype(jnp.int64))
+            return tot[seg_id], mask_s
+        contrib = jnp.where(vv_s, vals_s, 0)
+        if fn in ("sum", "avg"):
+            s = jnp.zeros(cap, vals_s.dtype).at[seg_id].add(contrib)
+            c = jnp.zeros(cap, jnp.int64).at[seg_id].add(vv_s.astype(jnp.int64))
+            if fn == "avg":
+                return (s[seg_id].astype(jnp.float64)
+                        / jnp.maximum(c[seg_id], 1).astype(jnp.float64),
+                        jnp.logical_and(mask_s, c[seg_id] > 0))
+            return s[seg_id], jnp.logical_and(mask_s, c[seg_id] > 0)
+        big = _ident(fn, vals_s.dtype)
+        contrib = jnp.where(vv_s, vals_s, big)
+        red = (jnp.full(cap, big, vals_s.dtype).at[seg_id].min(contrib)
+               if fn == "min" else
+               jnp.full(cap, _ident("max", vals_s.dtype), vals_s.dtype)
+               .at[seg_id].max(jnp.where(vv_s, vals_s, _ident("max", vals_s.dtype))))
+        c = jnp.zeros(cap, jnp.int64).at[seg_id].add(vv_s.astype(jnp.int64))
+        return red[seg_id], jnp.logical_and(mask_s, c[seg_id] > 0)
+    # running (RANGE … CURRENT ROW): inclusive cumsum evaluated at the END
+    # of each row's peer group, offset by the segment start
+    cnt = jnp.cumsum(vv_s.astype(jnp.int64))
+    run_cnt = cnt[peer_last_of] - jnp.where(start_of > 0, cnt[start_of - 1], 0)
+    if fn == "count":
+        return run_cnt, mask_s
+    if fn in ("sum", "avg"):
+        cs = jnp.cumsum(jnp.where(vv_s, vals_s, 0))
+        run_sum = cs[peer_last_of] - jnp.where(start_of > 0,
+                                               cs[start_of - 1], 0)
+        if fn == "avg":
+            return (run_sum.astype(jnp.float64)
+                    / jnp.maximum(run_cnt, 1).astype(jnp.float64),
+                    jnp.logical_and(mask_s, run_cnt > 0))
+        return run_sum, jnp.logical_and(mask_s, run_cnt > 0)
+    # running min/max: segmented scan (reset at segment starts)
+    big = _ident(fn, vals_s.dtype)
+    x = jnp.where(vv_s, vals_s, big)
+    reset = start_of == idx
+
+    def combine(a, b):
+        af, av = a
+        bf, bv = b
+        if fn == "min":
+            v = jnp.where(bf, bv, jnp.minimum(av, bv))
+        else:
+            v = jnp.where(bf, bv, jnp.maximum(av, bv))
+        return jnp.logical_or(af, bf), v
+
+    _, scanned = jax.lax.associative_scan(combine, (reset, x))
+    return scanned[peer_last_of], jnp.logical_and(mask_s, run_cnt > 0)
+
+
+def _ident(fn: str, dtype):
+    if fn == "min":
+        return (jnp.asarray(jnp.inf, dtype)
+                if jnp.issubdtype(dtype, jnp.floating)
+                else jnp.asarray(jnp.iinfo(dtype).max, dtype))
+    return (jnp.asarray(-jnp.inf, dtype)
+            if jnp.issubdtype(dtype, jnp.floating)
+            else jnp.asarray(jnp.iinfo(dtype).min, dtype))
+
+
+def _window_shift(call: WindowCall, batch: Batch, perm, mask_s,
+                  start_of, end_of, idx):
+    cap = batch.capacity
+    v = eval_expr(call.child, batch)
+    vals_s = _as_values(v, batch)[perm]
+    vv_s = jnp.logical_and(_validity_of(v, batch)[perm], mask_s)
+    off = call.offset if call.fn == "lag" else -call.offset
+    src = idx - off
+    in_seg = jnp.logical_and(src >= start_of, src <= end_of)
+    safe = jnp.clip(src, 0, cap - 1)
+    res = jnp.where(in_seg, vals_s[safe], 0)
+    valid = jnp.where(in_seg, vv_s[safe], False)
+    if call.default is not None:
+        res = jnp.where(in_seg, res, jnp.asarray(call.default, vals_s.dtype))
+        valid = jnp.where(in_seg, valid, True)
+    return res, jnp.logical_and(valid, mask_s)

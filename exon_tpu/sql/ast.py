@@ -48,6 +48,7 @@ class SelectStmt:
     offset: int = 0
     distinct: bool = False
     union_all: Optional["SelectStmt"] = None
+    ctes: list = dataclasses.field(default_factory=list)  # [(name, SelectStmt)]
 
 
 @dataclasses.dataclass

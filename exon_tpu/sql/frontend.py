@@ -326,7 +326,30 @@ def _contains_agg(e: Expr) -> bool:
     return any(_contains_agg(c) for c in e.children())
 
 
+# CTE scope stack: WITH bindings visible while planning the attached
+# statement (and its subqueries). The reference inherits CTEs from
+# DataFusion's SQL frontend.
+_CTE_SCOPE: list[dict] = []
+
+
 def plan_select(session, stmt: A.SelectStmt) -> L.LogicalPlan:
+    scope: dict = {}
+    if stmt.ctes:
+        for name, sub in stmt.ctes:
+            _CTE_SCOPE.append(scope)
+            try:
+                scope[name.lower()] = plan_select(session, sub)
+            finally:
+                _CTE_SCOPE.pop()
+    _CTE_SCOPE.append(scope)
+    try:
+        return _plan_select_inner(session, stmt)
+    finally:
+        _CTE_SCOPE.pop()
+
+
+def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
+    stmt = _resolve_subqueries(session, stmt)
     plan, qual = _plan_from(session, stmt)
     if qual:
         stmt = _rewrite_stmt_quals(stmt, qual)
@@ -347,6 +370,7 @@ def plan_select(session, stmt: A.SelectStmt) -> L.LogicalPlan:
                 star = True
                 continue
             proj_exprs.append(Alias(e, alias) if alias else e)
+        proj_exprs, plan = _extract_windows(proj_exprs, plan)
         if star:
             in_names = plan.schema().names
             proj_exprs = [ColumnRef(n) for n in in_names] + proj_exprs
@@ -375,6 +399,42 @@ def plan_select(session, stmt: A.SelectStmt) -> L.LogicalPlan:
     if stmt.limit is not None or stmt.offset:
         plan = L.Limit(stmt.offset, stmt.limit, plan)
     return plan
+
+
+def _extract_windows(proj_exprs: list, plan: L.LogicalPlan):
+    """Pull WindowCall subtrees out of the projection list into an L.Window
+    node below it; projections then reference the generated columns."""
+    import dataclasses as _dc
+
+    from ..plan.expressions import WindowCall
+
+    calls: list = []
+    names: list[str] = []
+
+    def rw(e):
+        if isinstance(e, WindowCall):
+            name = f"__win{len(calls)}"
+            calls.append(e)
+            names.append(name)
+            return ColumnRef(name)
+        kids = e.children()
+        if not kids:
+            return e
+        updates = {}
+        for fld in _dc.fields(e):
+            v = getattr(e, fld.name)
+            if isinstance(v, WindowCall):
+                updates[fld.name] = rw(v)
+            elif isinstance(v, Expr):
+                updates[fld.name] = rw(v)
+            elif isinstance(v, list) and v and isinstance(v[0], Expr):
+                updates[fld.name] = [rw(x) for x in v]
+        return _dc.replace(e, **updates) if updates else e
+
+    new_exprs = [rw(e) for e in proj_exprs]
+    if not calls:
+        return proj_exprs, plan
+    return new_exprs, L.Window(calls, names, plan)
 
 
 def _plan_from(session, stmt: A.SelectStmt):
@@ -406,6 +466,102 @@ def _plan_from(session, stmt: A.SelectStmt):
             qual[ra.lower()] = dict(rmap)
         plan = L.Join(plan, right, pairs, how, filt, right_names=rmap)
     return plan, qual
+
+
+def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
+    """Resolve uncorrelated expression subqueries eagerly: scalar → Literal,
+    EXISTS → Literal(bool), IN (SELECT …) → InList. Correlated subqueries
+    (referencing outer columns) fail planning and surface a clear error."""
+    import dataclasses as _dc
+
+    from ..plan.expressions import ExistsSubquery, InList, InSubquery, Subquery
+
+    found = [False]
+
+    def has_sub(e) -> bool:
+        if isinstance(e, (Subquery, ExistsSubquery, InSubquery)):
+            return True
+        return any(has_sub(c) for c in e.children()) or \
+            (isinstance(e, InSubquery) and has_sub(e.child))
+
+    def run(sub_stmt):
+        from ..dataframe import DataFrame
+
+        try:
+            plan = plan_select(session, sub_stmt)
+        except KeyError as e:
+            raise SqlError(
+                f"cannot plan subquery (correlated subqueries are not "
+                f"supported): {e}") from e
+        return DataFrame(session, plan).collect_arrow()
+
+    def rw(e):
+        if isinstance(e, Subquery):
+            found[0] = True
+            t = run(e.stmt)
+            if t.num_columns != 1:
+                raise SqlError("scalar subquery must return one column")
+            if t.num_rows == 0:
+                return Literal(None)
+            if t.num_rows > 1:
+                raise SqlError("scalar subquery returned more than one row")
+            return Literal(t.column(0)[0].as_py())
+        if isinstance(e, ExistsSubquery):
+            found[0] = True
+            sub = _dc.replace(e.stmt, limit=1)
+            t = run(sub)
+            return Literal(t.num_rows > 0 if not e.negated else t.num_rows == 0)
+        if isinstance(e, InSubquery):
+            found[0] = True
+            t = run(e.stmt)
+            if t.num_columns != 1:
+                raise SqlError("IN subquery must return one column")
+            vals = [Literal(v) for v in t.column(0).to_pylist()
+                    if v is not None]
+            if not vals:
+                return Literal(False if not e.negated else True)
+            return InList(rw(e.child), vals, e.negated)
+        kids = e.children()
+        if not kids:
+            return e
+        updates = {}
+        for fld in _dc.fields(e):
+            v = getattr(e, fld.name)
+            if isinstance(v, Expr):
+                updates[fld.name] = rw(v)
+            elif isinstance(v, list) and v and isinstance(v[0], Expr):
+                updates[fld.name] = [rw(x) for x in v]
+            elif isinstance(v, list) and v and isinstance(v[0], tuple) and \
+                    len(v[0]) == 2 and isinstance(v[0][0], Expr):
+                updates[fld.name] = [(rw(a), rw(b) if isinstance(b, Expr)
+                                      else b) for a, b in v]
+        return _dc.replace(e, **updates) if updates else e
+
+    def rw_top(e):
+        return e if isinstance(e, str) else rw(e)
+
+    # cheap pre-scan: skip the rewrite when no subquery nodes exist
+    exprs = [e for e, _ in stmt.projections if not _is_star(e)]
+    exprs += [e for e in stmt.group_by]
+    exprs += [e for e, _ in stmt.order_by]
+    for e in (stmt.where, stmt.having):
+        if e is not None:
+            exprs.append(e)
+    for j in stmt.joins:
+        if j.on is not None:
+            exprs.append(j.on)
+    if not any(has_sub(e) for e in exprs):
+        return stmt
+    return _dc.replace(
+        stmt,
+        projections=[(rw_top(e), a) for e, a in stmt.projections],
+        where=rw(stmt.where) if stmt.where is not None else None,
+        group_by=[rw(e) for e in stmt.group_by],
+        having=rw(stmt.having) if stmt.having is not None else None,
+        order_by=[(rw(e), asc) for e, asc in stmt.order_by],
+        joins=[_dc.replace(j, on=rw(j.on) if j.on is not None else None)
+               for j in stmt.joins],
+    )
 
 
 def _ref_alias(ref) -> Optional[str]:
@@ -514,6 +670,10 @@ def _const_eval(e: Expr):
 
 def _plan_table_ref(session, ref) -> L.LogicalPlan:
     if isinstance(ref, A.TableName):
+        key = ref.name.lower()
+        for scope in reversed(_CTE_SCOPE):
+            if key in scope:
+                return scope[key]
         return session.table(ref.name).logical_plan()
     if isinstance(ref, A.SubqueryRef):
         return plan_select(session, ref.query)
@@ -636,6 +796,27 @@ def _join_pairs(on: Optional[Expr], lschema, rschema):
 
 def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
                     ) -> L.LogicalPlan:
+    # GROUP BY may reference projection ALIASES (GROUP BY bucket) or
+    # ordinals (GROUP BY 1) — resolve both to the projected expression
+    alias_map = {}
+    proj_list = [(e, a) for e, a in stmt.projections if not _is_star(e)]
+    for e, a in proj_list:
+        name = a or (e.name if isinstance(e, Alias) else None)
+        if name:
+            alias_map[name.lower()] = e.child if isinstance(e, Alias) else e
+    in_schema = plan.schema()
+    group_exprs = []
+    for g in stmt.group_by:
+        if isinstance(g, Literal) and isinstance(g.value, int) and \
+                1 <= g.value <= len(proj_list):
+            e = proj_list[g.value - 1][0]
+            group_exprs.append(e.child if isinstance(e, Alias) else e)
+        elif isinstance(g, ColumnRef) and not in_schema.has_field(g.name) \
+                and g.name.lower() in alias_map:
+            group_exprs.append(alias_map[g.name.lower()])
+        else:
+            group_exprs.append(g)
+    stmt = __import__("dataclasses").replace(stmt, group_by=group_exprs)
     group_exprs = list(stmt.group_by)
     calls: list[AggregateCall] = []
     names: list[str] = []

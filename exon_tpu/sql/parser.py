@@ -10,10 +10,10 @@ from typing import Optional
 
 from .. import datatypes as dt
 from ..errors import SqlError
-from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Cast,
-                                ColumnRef, Expr, FieldAccess, FunctionCall,
-                                InList, IsNull,
-                                Like, Literal, Not)
+from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Case, Cast,
+                                ColumnRef, ExistsSubquery, Expr, FieldAccess,
+                                FunctionCall, InList, InSubquery, IsNull,
+                                Like, Literal, Not, Subquery, WindowCall)
 from . import ast as A
 from .lexer import Token, tokenize
 
@@ -85,6 +85,8 @@ class Parser:
     def parse_statement(self):
         t = self.peek()
         word = t.value.lower() if t.kind == "kw" else ""
+        if word == "with":
+            return self.parse_with()
         if word == "select" or (t.kind == "op" and t.value == "("):
             return self.parse_select()
         if word == "create":
@@ -191,6 +193,29 @@ class Parser:
             stmt.limit = int(self.next().value)
         if self.accept_kw("offset"):
             stmt.offset = int(self.next().value)
+        return stmt
+
+    def parse_with(self) -> A.SelectStmt:
+        """WITH name AS (select) [, …] select — CTEs attach to the main
+        statement and are planned as scoped named subqueries."""
+        self.expect_kw("with")
+        ctes = []
+        while True:
+            name = self.ident()
+            self.expect_kw("as")
+            self.expect_op("(")
+            if self.peek().value.lower() == "with":
+                sub = self.parse_with()
+            else:
+                sub = self.parse_select()
+            self.expect_op(")")
+            ctes.append((name, sub))
+            if not self.accept_op(","):
+                break
+        stmt = self.parse_statement()
+        if not isinstance(stmt, A.SelectStmt):
+            raise SqlError("WITH must be followed by SELECT")
+        stmt.ctes = ctes + list(stmt.ctes)
         return stmt
 
     def parse_order_key(self):
@@ -471,6 +496,11 @@ class Parser:
 
     def _parse_in(self, e: Expr, negated: bool) -> Expr:
         self.expect_op("(")
+        if self.peek().value.lower() in ("select", "with"):
+            sub = self.parse_statement() if \
+                self.peek().value.lower() == "with" else self.parse_select()
+            self.expect_op(")")
+            return InSubquery(e, sub, negated)
         vals = [self.parse_expr()]
         while self.accept_op(","):
             vals.append(self.parse_expr())
@@ -519,6 +549,12 @@ class Parser:
     def parse_primary(self) -> Expr:
         t = self.peek()
         if t.kind == "op" and t.value == "(":
+            if self.peek(1).value.lower() in ("select", "with"):
+                self.next()
+                sub = self.parse_statement() if \
+                    self.peek().value.lower() == "with" else self.parse_select()
+                self.expect_op(")")
+                return Subquery(sub)
             self.next()
             e = self.parse_expr()
             self.expect_op(")")
@@ -550,7 +586,14 @@ class Parser:
                     raise SqlError(f"unknown type {tname!r}")
                 return Cast(inner, _TYPE_NAMES[tname])
             if w == "case":
-                raise SqlError("CASE expressions not yet supported")
+                return self.parse_case()
+            if w == "exists":
+                self.next()
+                self.expect_op("(")
+                sub = self.parse_statement() if \
+                    self.peek().value.lower() == "with" else self.parse_select()
+                self.expect_op(")")
+                return ExistsSubquery(sub)
         if t.kind == "op" and t.value == "[":
             # array literal → make_array call (DataFusion sugar)
             self.next()
@@ -573,25 +616,93 @@ class Parser:
             return expr
         raise SqlError(f"unexpected token {t.value!r} in expression")
 
+    def parse_case(self) -> Expr:
+        self.expect_kw("case")
+        operand = None
+        if self.peek().value.lower() not in ("when",):
+            operand = self.parse_expr()
+        whens = []
+        while self.accept_kw("when"):
+            w = self.parse_expr()
+            self.expect_kw("then")
+            t = self.parse_expr()
+            whens.append((w, t))
+        if not whens:
+            raise SqlError("CASE requires at least one WHEN")
+        else_ = None
+        if self.accept_kw("else"):
+            else_ = self.parse_expr()
+        self.expect_kw("end")
+        return Case(operand, whens, else_)
+
+    _WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lag", "lead",
+                     "first_value", "last_value"}
+
     def _parse_call(self, name: str) -> Expr:
         lname = name.lower()
         distinct = self.accept_kw("distinct")
+        star = False
         if self.accept_op(")"):
             args = []
         elif self.accept_op("*"):
             self.expect_op(")")
-            if lname == "count":
-                return AggregateCall("count", None, distinct)
-            raise SqlError(f"{name}(*) not supported")
+            star = True
+            args = []
         else:
             args = [self.parse_expr()]
             while self.accept_op(","):
                 args.append(self.parse_expr())
             self.expect_op(")")
+        over = self._maybe_over()
+        if over is not None:
+            if star and lname != "count":
+                raise SqlError(f"{name}(*) not supported")
+            if lname not in AGG_FUNCS and lname not in self._WINDOW_FUNCS:
+                raise SqlError(f"unsupported window function {name!r}")
+            child = args[0] if args else None
+            offset, default = 1, None
+            if lname in ("lag", "lead"):
+                if len(args) > 1:
+                    if not isinstance(args[1], Literal):
+                        raise SqlError(f"{name} offset must be a literal")
+                    offset = int(args[1].value)
+                if len(args) > 2:
+                    if not isinstance(args[2], Literal):
+                        raise SqlError(f"{name} default must be a literal")
+                    default = args[2].value
+            return WindowCall(lname, child, over[0], over[1], offset, default)
+        if star:
+            if lname == "count":
+                return AggregateCall("count", None, distinct)
+            raise SqlError(f"{name}(*) not supported")
         if lname in AGG_FUNCS:
             child = args[0] if args else None
             return AggregateCall(lname, child, distinct)
         return FunctionCall(lname, args)
+
+    def _maybe_over(self):
+        t = self.peek()
+        if t.kind in ("ident", "kw") and t.value.lower() == "over" and \
+                self.peek(1).value == "(":
+            self.next()
+            self.expect_op("(")
+            partition_by: list = []
+            order_by: list = []
+            nxt = self.peek().value.lower()
+            if nxt == "partition":
+                self.next()
+                self.expect_kw("by")
+                partition_by.append(self.parse_expr())
+                while self.accept_op(","):
+                    partition_by.append(self.parse_expr())
+            if self.accept_kw("order"):
+                self.expect_kw("by")
+                order_by.append(self.parse_order_key())
+                while self.accept_op(","):
+                    order_by.append(self.parse_order_key())
+            self.expect_op(")")
+            return partition_by, order_by
+        return None
 
 
 def parse_sql(sql: str) -> list:

@@ -1,0 +1,192 @@
+"""SQL surface breadth: CASE WHEN, WITH CTEs, scalar/EXISTS/IN subqueries
+(VERDICT round-1 gap #9 — the reference inherits these from DataFusion 44)."""
+
+import pytest
+
+from exon_tpu import ExonSession
+
+GFF = "/root/reference/exon/exon-core/test-data/datasources/gff/test.gff"
+FASTA = "/root/reference/exon/exon-core/test-data/datasources/fasta/test.fasta"
+
+
+@pytest.fixture
+def s():
+    return ExonSession.new_exon()
+
+
+def test_case_when_numeric(s):
+    t = s.sql(
+        "SELECT id, CASE WHEN length(sequence) > 4 THEN 1 ELSE 0 END AS big "
+        f"FROM fasta_scan('{FASTA}') ORDER BY id").to_pandas()
+    assert list(t.columns) == ["id", "big"]
+    assert set(t["big"]) <= {0, 1}
+
+
+def test_case_when_strings(s):
+    t = s.sql(
+        "SELECT CASE WHEN start < 100 THEN 'small' WHEN start < 100000 "
+        "THEN 'mid' ELSE 'large' END AS bucket, count(*) AS n "
+        f"FROM gff_scan('{GFF}') GROUP BY bucket ORDER BY bucket").to_pandas()
+    assert set(t["bucket"]) <= {"small", "mid", "large"}
+    assert t["n"].sum() == 5000
+
+
+def test_case_operand_form(s):
+    t = s.sql(
+        "SELECT CASE seqname WHEN 'sq0' THEN 'zero' ELSE 'other' END AS k, "
+        f"count(*) AS n FROM gff_scan('{GFF}') GROUP BY k ORDER BY k").to_pandas()
+    assert set(t["k"]) == {"zero", "other"}
+
+
+def test_case_no_else_is_null(s):
+    t = s.sql(
+        "SELECT CASE WHEN start < 0 THEN 1 END AS never "
+        f"FROM gff_scan('{GFF}') LIMIT 5").to_pandas()
+    assert t["never"].isna().all()
+
+
+def test_with_cte(s):
+    t = s.sql(
+        f"WITH g AS (SELECT seqname, start FROM gff_scan('{GFF}')) "
+        "SELECT seqname, count(*) AS n FROM g GROUP BY seqname "
+        "ORDER BY seqname").to_pandas()
+    assert t["n"].sum() == 5000
+
+
+def test_with_multiple_ctes(s):
+    t = s.sql(
+        f"WITH g AS (SELECT * FROM gff_scan('{GFF}')), "
+        "f AS (SELECT seqname FROM g WHERE start < 1000) "
+        "SELECT count(*) FROM f").to_pandas()
+    assert t.iloc[0, 0] > 0
+
+
+def test_scalar_subquery(s):
+    # fixture has constant start=8 → avg is 8: >= keeps all, > keeps none
+    t = s.sql(
+        f"SELECT count(*) FROM gff_scan('{GFF}') "
+        f"WHERE start >= (SELECT avg(start) FROM gff_scan('{GFF}'))").to_pandas()
+    assert int(t.iloc[0, 0]) == 5000
+    t2 = s.sql(
+        f"SELECT count(*) FROM gff_scan('{GFF}') "
+        f"WHERE start > (SELECT avg(start) FROM gff_scan('{GFF}'))").to_pandas()
+    assert int(t2.iloc[0, 0]) == 0
+
+
+def test_exists_subquery(s):
+    t = s.sql(
+        f"SELECT count(*) FROM gff_scan('{GFF}') WHERE EXISTS "
+        f"(SELECT 1 FROM fasta_scan('{FASTA}'))").to_pandas()
+    assert int(t.iloc[0, 0]) == 5000
+    t2 = s.sql(
+        f"SELECT count(*) FROM gff_scan('{GFF}') WHERE EXISTS "
+        f"(SELECT 1 FROM fasta_scan('{FASTA}') WHERE id = 'nope')").to_pandas()
+    assert int(t2.iloc[0, 0]) == 0
+
+
+def test_in_subquery(s):
+    t = s.sql(
+        f"SELECT count(*) FROM gff_scan('{GFF}') WHERE seqname IN "
+        f"(SELECT seqname FROM gff_scan('{GFF}') WHERE start < 50)").to_pandas()
+    assert int(t.iloc[0, 0]) > 0
+
+
+def test_not_in_subquery(s):
+    t = s.sql(
+        f"SELECT count(*) FROM gff_scan('{GFF}') WHERE seqname NOT IN "
+        f"(SELECT seqname FROM gff_scan('{GFF}'))").to_pandas()
+    assert int(t.iloc[0, 0]) == 0
+
+
+def test_case_in_where(s):
+    t = s.sql(
+        f"SELECT count(*) FROM gff_scan('{GFF}') "
+        "WHERE CASE WHEN seqname = 'sq0' THEN start < 1000 ELSE false END"
+    ).to_pandas()
+    assert 0 < int(t.iloc[0, 0]) < 5000
+
+
+# -- window functions --------------------------------------------------------
+
+
+def test_row_number_over_partition(s):
+    t = s.sql(
+        "SELECT seqname, start, "
+        "row_number() OVER (PARTITION BY seqname ORDER BY \"end\") AS rn "
+        f"FROM gff_scan('{GFF}') ORDER BY seqname, rn LIMIT 6").to_pandas()
+    assert list(t["rn"][:3]) == [1, 2, 3]
+
+
+def test_count_over_partition(s):
+    t = s.sql(
+        "SELECT seqname, count(*) OVER (PARTITION BY seqname) AS n "
+        f"FROM gff_scan('{GFF}') LIMIT 5").to_pandas()
+    assert set(t["n"]) <= {2513, 2487}
+
+
+def test_running_sum_matches_pandas(s, tmp_path):
+    import pandas as pd
+
+    p = tmp_path / "w.gff"
+    rows = []
+    vals = [5, 3, 8, 1, 9, 2, 7, 4]
+    for i, v in enumerate(vals):
+        rows.append(f"chr{i % 2}\tsrc\tgene\t{v}\t{v + 10}\t.\t+\t.\tID=x{i}\n")
+    p.write_text("".join(rows))
+    t = s.sql(
+        "SELECT seqname, start, "
+        "sum(start) OVER (PARTITION BY seqname ORDER BY start) AS rs, "
+        "rank() OVER (PARTITION BY seqname ORDER BY start) AS rk, "
+        "min(start) OVER (PARTITION BY seqname) AS mn "
+        f"FROM gff_scan('{p}') ORDER BY seqname, start").to_pandas()
+    df = pd.DataFrame({
+        "seqname": [f"chr{i % 2}" for i in range(8)],
+        "start": vals}).sort_values(["seqname", "start"])
+    df["rs"] = df.groupby("seqname")["start"].cumsum()
+    df["rk"] = df.groupby("seqname")["start"].rank(method="min").astype(int)
+    df["mn"] = df.groupby("seqname")["start"].transform("min")
+    for c in ("rs", "rk", "mn"):
+        assert list(t[c]) == list(df[c]), c
+
+
+def test_lag_lead(s, tmp_path):
+    p = tmp_path / "w2.gff"
+    p.write_text("".join(
+        f"c\tsrc\tgene\t{i * 10 + 1}\t{i * 10 + 5}\t.\t+\t.\tID=y{i}\n"
+        for i in range(5)))
+    t = s.sql(
+        "SELECT start, lag(start) OVER (ORDER BY start) AS prev, "
+        "lead(start, 1, -1) OVER (ORDER BY start) AS nxt "
+        f"FROM gff_scan('{p}') ORDER BY start").to_pandas()
+    assert t["prev"].isna().iloc[0]
+    assert list(t["prev"][1:]) == list(t["start"][:-1])
+    assert int(t["nxt"].iloc[-1]) == -1
+
+
+def test_dense_rank_and_ties(s, tmp_path):
+    p = tmp_path / "w3.gff"
+    starts = [5, 5, 7, 7, 7, 9]
+    p.write_text("".join(
+        f"c\tsrc\tgene\t{v}\t{v + 1}\t.\t+\t.\tID=z{i}\n"
+        for i, v in enumerate(starts)))
+    t = s.sql(
+        "SELECT start, rank() OVER (ORDER BY start) AS rk, "
+        "dense_rank() OVER (ORDER BY start) AS dr, "
+        "count(*) OVER (ORDER BY start) AS rc "
+        f"FROM gff_scan('{p}') ORDER BY start").to_pandas()
+    assert list(t["rk"]) == [1, 1, 3, 3, 3, 6]
+    assert list(t["dr"]) == [1, 1, 2, 2, 2, 3]
+    # RANGE frame: peers share the running count
+    assert list(t["rc"]) == [2, 2, 5, 5, 5, 6]
+
+
+def test_window_first_last_value(s, tmp_path):
+    p = tmp_path / "w4.gff"
+    p.write_text("".join(
+        f"c{i % 2}\tsrc\tgene\t{i + 1}\t{i + 2}\t.\t+\t.\tID=q{i}\n"
+        for i in range(6)))
+    t = s.sql(
+        "SELECT seqname, start, "
+        "first_value(start) OVER (PARTITION BY seqname ORDER BY start) AS fv "
+        f"FROM gff_scan('{p}') ORDER BY seqname, start").to_pandas()
+    assert list(t[t.seqname == "c0"]["fv"]) == [1, 1, 1]
