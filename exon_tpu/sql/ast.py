@@ -47,7 +47,9 @@ class SelectStmt:
     limit: Optional[int] = None
     offset: int = 0
     distinct: bool = False
-    union_all: Optional["SelectStmt"] = None
+    # set-operation chain, left-associative: [(op, all_flag, SelectStmt)]
+    # op in {"union", "intersect", "except"} (reference: DataFusion set ops)
+    set_ops: list = dataclasses.field(default_factory=list)
     ctes: list = dataclasses.field(default_factory=list)  # [(name, SelectStmt)]
 
 

@@ -382,9 +382,9 @@ def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
         out_names = plan.schema().names
         plan = L.Aggregate([ColumnRef(n) for n in out_names], [], [], plan)
 
-    if stmt.union_all is not None:
-        other = plan_select(session, stmt.union_all)
-        plan = L.Union([plan, other])
+    for op, all_flag, rhs in stmt.set_ops:
+        other = plan_select(session, rhs)
+        plan = _plan_set_op(plan, op, all_flag, other)
 
     if stmt.order_by:
         keys = []
@@ -399,6 +399,50 @@ def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
     if stmt.limit is not None or stmt.offset:
         plan = L.Limit(stmt.offset, stmt.limit, plan)
     return plan
+
+
+def _plan_set_op(left: L.LogicalPlan, op: str, all_flag: bool,
+                 right: L.LogicalPlan) -> L.LogicalPlan:
+    """UNION [ALL] / INTERSECT / EXCEPT with set (distinct) semantics.
+
+    The reference inherits these from DataFusion. Columns align by position
+    (right side renamed to the left's names); INTERSECT/EXCEPT lower to a
+    side-tagged union + grouped min/max filter — one distributed-friendly
+    aggregate instead of a join.
+    """
+    lnames = left.schema().names
+    rnames = right.schema().names
+    if len(lnames) != len(rnames):
+        raise SqlError(
+            f"{op.upper()} inputs have different column counts "
+            f"({len(lnames)} vs {len(rnames)})")
+    if list(rnames) != list(lnames):
+        right = L.Project([Alias(ColumnRef(rn), ln)
+                           for rn, ln in zip(rnames, lnames)], right)
+    cols = [ColumnRef(n) for n in lnames]
+    if op == "union":
+        plan = L.Union([left, right])
+        if not all_flag:
+            plan = L.Aggregate(cols, [], [], plan)
+        return plan
+    # tag each side, group by all columns, keep groups by side membership
+    side = "__setop_side"
+    tag_l = L.Project([Alias(ColumnRef(n), n) for n in lnames]
+                      + [Alias(Literal(0), side)], left)
+    tag_r = L.Project([Alias(ColumnRef(n), n) for n in lnames]
+                      + [Alias(Literal(1), side)], right)
+    unioned = L.Union([tag_l, tag_r])
+    agg = L.Aggregate(cols,
+                      [AggregateCall("min", ColumnRef(side)),
+                       AggregateCall("max", ColumnRef(side))],
+                      ["__setop_mn", "__setop_mx"], unioned)
+    if op == "intersect":
+        pred = BinaryOp("and",
+                        BinaryOp("=", ColumnRef("__setop_mn"), Literal(0)),
+                        BinaryOp("=", ColumnRef("__setop_mx"), Literal(1)))
+    else:  # except: rows only ever seen on the left
+        pred = BinaryOp("=", ColumnRef("__setop_mx"), Literal(0))
+    return L.Project(cols, L.Filter(pred, agg))
 
 
 def _extract_windows(proj_exprs: list, plan: L.LogicalPlan):
@@ -794,6 +838,49 @@ def _join_pairs(on: Optional[Expr], lschema, rschema):
     return pairs, conjoin(residual)
 
 
+def _rewrite_distinct_aggs(group_exprs: list, calls: list,
+                           plan: L.LogicalPlan):
+    """Plan DISTINCT aggregates via a dedup pre-aggregate.
+
+    DataFusion's SingleDistinctToGroupBy rewrite (the reference inherits it):
+    ``agg(DISTINCT x) GROUP BY g`` becomes an inner ``GROUP BY g, x`` dedup
+    aggregate feeding a plain outer aggregate. Supported when every DISTINCT
+    call shares one argument and no non-DISTINCT calls are mixed in;
+    anything else raises instead of silently returning the wrong answer.
+    """
+    import dataclasses as _dc
+
+    # DISTINCT is a no-op for min/max
+    calls = [_dc.replace(c, distinct=False)
+             if c.distinct and c.fn in ("min", "max") else c for c in calls]
+    dcalls = [c for c in calls if c.distinct]
+    if not dcalls:
+        return group_exprs, calls, plan
+    if any(c.child is None for c in dcalls):
+        raise SqlError("COUNT(DISTINCT *) is not supported")
+    children = {repr(c.child) for c in dcalls}
+    if len(children) > 1 or len(dcalls) != len(calls):
+        raise PlanError(
+            "DISTINCT aggregates are supported only when all aggregate "
+            "calls are DISTINCT over the same expression")
+    child = dcalls[0].child
+    inner_groups = list(group_exprs)
+    child_idx = None
+    for i, g in enumerate(inner_groups):
+        if repr(g) == repr(child):
+            child_idx = i
+            break
+    if child_idx is None:
+        child_idx = len(inner_groups)
+        inner_groups.append(child)
+    inner = L.Aggregate(inner_groups, [], [], plan)
+    in_names = inner.schema().names
+    new_groups = [ColumnRef(in_names[i]) for i in range(len(group_exprs))]
+    vref = ColumnRef(in_names[child_idx])
+    new_calls = [_dc.replace(c, child=vref, distinct=False) for c in calls]
+    return new_groups, new_calls, inner
+
+
 def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
                     ) -> L.LogicalPlan:
     # GROUP BY may reference projection ALIASES (GROUP BY bucket) or
@@ -872,6 +959,7 @@ def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
 
         having = rewrite_having(having)
 
+    group_exprs, calls, plan = _rewrite_distinct_aggs(group_exprs, calls, plan)
     agg = L.Aggregate(group_exprs, calls, names, plan)
     out: L.LogicalPlan = agg
     if having is not None:

@@ -14,7 +14,8 @@ KEYWORDS = {
     "right", "full", "outer", "on", "using", "create", "external", "table",
     "stored", "location", "options", "partitioned", "copy", "to", "set",
     "describe", "show", "tables", "explain", "analyze", "drop", "if",
-    "exists", "distinct", "cast", "union", "all", "case", "when", "then",
+    "exists", "distinct", "cast", "union", "all", "intersect", "except",
+    "case", "when", "then",
     "else", "end", "with", "compression", "type",
     "insert", "into", "values",
 }

@@ -78,6 +78,12 @@ class Parser:
         out = []
         while self.peek().kind != "eof":
             out.append(self.parse_statement())
+            if self.peek().kind == "eof":
+                break
+            if not self.accept_op(";"):
+                raise SqlError(
+                    f"unexpected {self.peek().value!r} after statement — "
+                    "separate statements with ';'")
             while self.accept_op(";"):
                 pass
         return out
@@ -129,6 +135,40 @@ class Parser:
     # -- SELECT -------------------------------------------------------------
 
     def parse_select(self) -> A.SelectStmt:
+        stmt = self._parse_select_body()
+        # set-operation chain (left-associative; reference: DataFusion's
+        # UNION/INTERSECT/EXCEPT). INTERSECT/EXCEPT are set (distinct)
+        # semantics; the ALL variants are rejected rather than mis-executed.
+        while True:
+            if self.accept_kw("union"):
+                all_flag = self.accept_kw("all")
+                stmt.set_ops = list(stmt.set_ops) + [
+                    ("union", all_flag, self._parse_select_body())]
+            elif self.accept_kw("intersect"):
+                if self.accept_kw("all"):
+                    raise SqlError("INTERSECT ALL is not supported "
+                                   "(use INTERSECT)")
+                stmt.set_ops = list(stmt.set_ops) + [
+                    ("intersect", False, self._parse_select_body())]
+            elif self.accept_kw("except"):
+                if self.accept_kw("all"):
+                    raise SqlError("EXCEPT ALL is not supported (use EXCEPT)")
+                stmt.set_ops = list(stmt.set_ops) + [
+                    ("except", False, self._parse_select_body())]
+            else:
+                break
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            stmt.order_by = [self.parse_order_key()]
+            while self.accept_op(","):
+                stmt.order_by.append(self.parse_order_key())
+        if self.accept_kw("limit"):
+            stmt.limit = int(self.next().value)
+        if self.accept_kw("offset"):
+            stmt.offset = int(self.next().value)
+        return stmt
+
+    def _parse_select_body(self) -> A.SelectStmt:
         if self.accept_op("("):
             inner = self.parse_select()
             self.expect_op(")")
@@ -180,19 +220,6 @@ class Parser:
                     stmt.group_by.append(self.parse_expr())
             if self.accept_kw("having"):
                 stmt.having = self.parse_expr()
-        if self.accept_kw("union"):
-            self.expect_kw("all")
-            stmt.union_all = self.parse_select()
-            return stmt
-        if self.accept_kw("order"):
-            self.expect_kw("by")
-            stmt.order_by = [self.parse_order_key()]
-            while self.accept_op(","):
-                stmt.order_by.append(self.parse_order_key())
-        if self.accept_kw("limit"):
-            stmt.limit = int(self.next().value)
-        if self.accept_kw("offset"):
-            stmt.offset = int(self.next().value)
         return stmt
 
     def parse_with(self) -> A.SelectStmt:

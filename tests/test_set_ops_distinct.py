@@ -1,0 +1,132 @@
+"""Regression tests for DISTINCT aggregates and set operations.
+
+Round-2 verdict probes: COUNT(DISTINCT x) silently returned COUNT(x), and
+INTERSECT parsed as a table alias (returning the whole left table). Both are
+DataFusion-inherited behaviors in the reference; these pin the fixed
+semantics and the reject-don't-lie paths.
+"""
+
+import pytest
+
+from exon_tpu import ExonSession
+from exon_tpu.errors import PlanError, SqlError
+
+
+@pytest.fixture()
+def ctx():
+    s = ExonSession.new_exon()
+    s.sql("CREATE TABLE t AS VALUES (1, 'a'), (2, 'b'), (2, 'b'), (3, 'c'), (3, 'd')")
+    s.sql("CREATE TABLE u AS VALUES (2, 'b'), (3, 'c'), (4, 'd')")
+    return s
+
+
+def q(ctx, sql):
+    return ctx.sql(sql).collect_arrow().to_pydict()
+
+
+def test_count_distinct_ungrouped(ctx):
+    out = q(ctx, "SELECT count(DISTINCT column1) FROM t")
+    assert list(out.values())[0] == [3]
+
+
+def test_count_distinct_grouped(ctx):
+    out = q(ctx, "SELECT column1, count(DISTINCT column2) FROM t "
+                 "GROUP BY column1 ORDER BY column1")
+    assert out["column1"] == [1, 2, 3]
+    assert list(out.values())[1] == [1, 1, 2]
+
+
+def test_sum_avg_distinct(ctx):
+    out = q(ctx, "SELECT sum(DISTINCT column1), avg(DISTINCT column1) FROM t")
+    vals = list(out.values())
+    assert vals[0] == [6]
+    assert vals[1] == [2.0]
+
+
+def test_min_max_distinct_noop(ctx):
+    out = q(ctx, "SELECT min(DISTINCT column1), max(DISTINCT column1) FROM t")
+    vals = list(out.values())
+    assert vals[0] == [1] and vals[1] == [3]
+
+
+def test_count_distinct_on_strings_gff(ctx, tmp_path):
+    # the verdict's live probe: distinct over a var-width string column
+    p = tmp_path / "x.gff"
+    lines = ["chr%d\tsrc\tgene\t%d\t%d\t.\t+\t.\tID=g%d" % (i % 2 + 1, i, i + 10, i)
+             for i in range(50)]
+    p.write_text("\n".join(lines) + "\n")
+    out = q(ctx, f"SELECT count(DISTINCT seqname) FROM gff_scan('{p}')")
+    assert list(out.values())[0] == [2]
+
+
+def test_mixed_distinct_rejected(ctx):
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT count(DISTINCT column1), sum(column1) FROM t")
+    with pytest.raises(PlanError):
+        ctx.sql("SELECT count(DISTINCT column1), count(DISTINCT column2) FROM t")
+
+
+def test_count_distinct_star_rejected(ctx):
+    with pytest.raises(SqlError):
+        ctx.sql("SELECT count(DISTINCT *) FROM t")
+
+
+def test_intersect(ctx):
+    out = q(ctx, "SELECT column1, column2 FROM t INTERSECT "
+                 "SELECT column1, column2 FROM u ORDER BY column1")
+    assert out["column1"] == [2, 3]
+    assert out["column2"] == ["b", "c"]
+
+
+def test_except(ctx):
+    out = q(ctx, "SELECT column1, column2 FROM t EXCEPT "
+                 "SELECT column1, column2 FROM u ORDER BY column1, column2")
+    assert out["column1"] == [1, 3]
+    assert out["column2"] == ["a", "d"]
+
+
+def test_union_distinct(ctx):
+    out = q(ctx, "SELECT column1 FROM t UNION SELECT column1 FROM u "
+                 "ORDER BY column1")
+    assert out["column1"] == [1, 2, 3, 4]
+
+
+def test_union_all_unchanged(ctx):
+    out = q(ctx, "SELECT count(*) FROM (SELECT column1 FROM t "
+                 "UNION ALL SELECT column1 FROM u)")
+    assert list(out.values())[0] == [8]
+
+
+def test_intersect_all_rejected(ctx):
+    with pytest.raises(SqlError):
+        ctx.sql("SELECT column1 FROM t INTERSECT ALL SELECT column1 FROM u")
+    with pytest.raises(SqlError):
+        ctx.sql("SELECT column1 FROM t EXCEPT ALL SELECT column1 FROM u")
+
+
+def test_set_op_column_count_mismatch(ctx):
+    with pytest.raises(SqlError):
+        ctx.sql("SELECT column1, column2 FROM t INTERSECT SELECT column1 FROM u")
+
+
+def test_chained_set_ops(ctx):
+    # (t ∪ u) ∖ {(4,'d')} — left-associative chain
+    ctx.sql("CREATE TABLE v AS VALUES (4, 'd')")
+    out = q(ctx, "SELECT column1, column2 FROM t UNION "
+                 "SELECT column1, column2 FROM u EXCEPT "
+                 "SELECT column1, column2 FROM v ORDER BY column1, column2")
+    assert out["column1"] == [1, 2, 3, 3]
+    assert out["column2"] == ["a", "b", "c", "d"]
+
+
+def test_order_by_applies_to_whole_union(ctx):
+    out = q(ctx, "SELECT column1 FROM u UNION ALL SELECT column1 FROM t "
+                 "ORDER BY column1 DESC LIMIT 3")
+    assert out["column1"] == [4, 3, 3]
+
+
+def test_multiple_statements_need_semicolon(ctx):
+    with pytest.raises(SqlError):
+        ctx.sql("SELECT 1 SELECT 2")
+    out = q(ctx, "SELECT 1; SELECT 2")
+    assert list(out.values())[0] == [2]
