@@ -242,6 +242,8 @@ class AggregateCall(Expr):
     fn: str
     child: Optional[Expr]  # None → count(*)
     distinct: bool = False
+    # extra literal arguments (e.g. string_agg separator)
+    extra: tuple = ()
 
     def children(self):
         return [self.child] if self.child is not None else []

@@ -88,6 +88,14 @@ class Aggregate(LogicalPlan):
                 fields.append(Field(name, dt.int64, False))
             elif call.fn == "avg":
                 fields.append(Field(name, dt.float64, True))
+            elif call.fn in ("stddev", "stddev_samp", "stddev_pop", "var",
+                             "variance", "var_samp", "var_pop"):
+                fields.append(Field(name, dt.float64, True))
+            elif call.fn == "string_agg":
+                fields.append(Field(name, dt.utf8, True))
+            elif call.fn == "array_agg":
+                f = infer_expr_field(call.child, in_schema)
+                fields.append(Field(name, dt.list_(f.dtype), True))
             elif call.child is not None:
                 f = infer_expr_field(call.child, in_schema)
                 fields.append(Field(name, f.dtype, True))

@@ -202,10 +202,88 @@ class AggregateExec(PhysicalPlan):
         return self.out_schema
 
     def batches(self) -> Iterator[Batch]:
+        if any(c.fn in _HOLISTIC_FNS for c in self.agg_calls):
+            yield self._holistic()
+            return
         if not self.group_exprs:
             yield self._ungrouped()
             return
         yield self._grouped()
+
+    # -- holistic (materializing) aggregates ---------------------------------
+
+    def _holistic(self) -> Batch:
+        """median / array_agg / string_agg need every value, not a partial:
+        evaluate group+child expressions on device, collect to host, group
+        exactly (first-seen order). Mirrors DataFusion's materializing
+        accumulators (median.rs/array_agg.rs are host Rust there too)."""
+        import pyarrow as pa
+
+        from ..batch import arrow_type
+        from .expressions import Alias
+        from .planner import infer_expr_field
+
+        inner: PhysicalPlan = self.input
+        if self.pre_filter is not None:
+            inner = FilterExec(self.pre_filter, inner)
+        in_schema = inner.schema()
+        exprs: list[Expr] = []
+        names: list[str] = []
+        for i, g in enumerate(self.group_exprs):
+            exprs.append(Alias(g, f"__g{i}"))
+            names.append(f"__g{i}")
+        child_col: list[Optional[str]] = []
+        for j, call in enumerate(self.agg_calls):
+            if call.child is None:
+                child_col.append(None)
+            else:
+                exprs.append(Alias(call.child, f"__a{j}"))
+                names.append(f"__a{j}")
+                child_col.append(f"__a{j}")
+        fields = tuple(
+            dt.Field(nm, infer_expr_field(e.child, in_schema).dtype, True)
+            for e, nm in zip(exprs, names))
+        proj = ProjectExec(exprs, Schema(fields), inner)
+        tabs = [b.to_arrow() for b in proj.batches()]
+        if tabs:
+            tab = pa.Table.from_batches(tabs)
+        else:
+            tab = pa.table({nm: pa.array([], type=arrow_type(f.dtype))
+                            for nm, f in zip(names, fields)})
+        n_group = len(self.group_exprs)
+        gcols = [tab.column(f"__g{i}").to_pylist() for i in range(n_group)]
+        n_rows = tab.num_rows
+        acols = {nm: tab.column(nm).to_pylist()
+                 for nm in names[n_group:]}
+        # exact group-by, first-seen emission order
+        order: dict = {}
+        rows_of: list[list[int]] = []
+        for r in range(n_rows):
+            key = tuple(col[r] for col in gcols)
+            gi = order.get(key)
+            if gi is None:
+                gi = len(rows_of)
+                order[key] = gi
+                rows_of.append([])
+            rows_of[gi].append(r)
+        if not self.group_exprs and not rows_of:
+            rows_of = [[]]
+            order[()] = 0
+        out_fields = self.out_schema.all_fields
+        arrays = []
+        keys_in_order = list(order.keys())
+        for i in range(n_group):
+            vals = [k[i] for k in keys_in_order]
+            arrays.append(pa.array(vals,
+                                   type=arrow_type(out_fields[i].dtype)))
+        for j, call in enumerate(self.agg_calls):
+            cvals = acols.get(child_col[j]) if child_col[j] else None
+            outs = [_holistic_value(call, cvals, rows)
+                    for rows in rows_of]
+            arrays.append(pa.array(
+                outs, type=arrow_type(out_fields[n_group + j].dtype)))
+        rb = pa.record_batch(arrays, names=self.out_schema.names)
+        return Batch.from_arrow(rb, self.out_schema).to_device()
 
     # -- ungrouped ----------------------------------------------------------
 
@@ -220,11 +298,15 @@ class AggregateExec(PhysicalPlan):
         if not device_partials:
             partials = _empty_ungrouped(self.agg_calls)
         else:
-            partials = jax.device_get(device_partials[0])
-            for p in jax.device_get(device_partials[1:]):
+            host = jax.device_get(device_partials)  # ONE sync for the stream
+            partials = host[0]
+            for p in host[1:]:
                 partials = _merge_ungrouped(partials, p, self.agg_calls)
         cols, n = _finalize_ungrouped(partials, self.agg_calls, self.out_schema)
-        return Batch(self.out_schema, cols, np.int32(1)).to_device(capacity=128)
+        # host-resident 1-row result: downstream jit steps accept numpy
+        # inputs, and collect/to_arrow skips a device round-trip (each
+        # blocking transfer costs ~40 ms on a tunneled TPU)
+        return Batch(self.out_schema, cols, np.int32(1))
 
     # -- grouped ------------------------------------------------------------
 
@@ -304,6 +386,14 @@ def _values_for_call(call: AggregateCall, batch: Batch, mask):
     return vals, valid
 
 
+# second-moment family: partial = (Σx, Σx², count) in float64
+_VAR_FNS = ("stddev", "stddev_samp", "stddev_pop", "var", "variance",
+            "var_samp", "var_pop")
+# materialize-everything aggregates (host finalize, like DataFusion's
+# median/array_agg accumulators)
+_HOLISTIC_FNS = ("median", "array_agg", "string_agg")
+
+
 def _partial_for(call: AggregateCall, batch: Batch, mask, gids, num_groups: int):
     """Compute this call's partial; grouped if gids is not None."""
     vals, valid = _values_for_call(call, batch, mask)
@@ -319,6 +409,12 @@ def _partial_for(call: AggregateCall, batch: Batch, mask, gids, num_groups: int)
             m = agg_ops.ungrouped_reduce(vals, valid, fn)
             c = agg_ops.ungrouped_reduce(None, valid, "count")
             return (m, c)
+        if fn in _VAR_FNS:
+            v64 = vals.astype(jnp.float64)
+            s = agg_ops.ungrouped_reduce(v64, valid, "sum")
+            ss = agg_ops.ungrouped_reduce(v64 * v64, valid, "sum")
+            c = agg_ops.ungrouped_reduce(None, valid, "count")
+            return (s, ss, c)
         raise PlanError(f"aggregate {fn} unsupported")
     else:
         if fn == "count":
@@ -331,7 +427,56 @@ def _partial_for(call: AggregateCall, batch: Batch, mask, gids, num_groups: int)
             m = agg_ops.grouped_reduce_codes(gids, valid, vals, fn, num_groups)
             c = agg_ops.grouped_reduce_codes(gids, valid, None, "count", num_groups)
             return (m, c)
+        if fn in _VAR_FNS:
+            v64 = vals.astype(jnp.float64)
+            s = agg_ops.grouped_reduce_codes(gids, valid, v64, "sum", num_groups)
+            ss = agg_ops.grouped_reduce_codes(gids, valid, v64 * v64, "sum",
+                                              num_groups)
+            c = agg_ops.grouped_reduce_codes(gids, valid, None, "count", num_groups)
+            return (s, ss, c)
         raise PlanError(f"aggregate {fn} unsupported")
+
+
+def _holistic_value(call: AggregateCall, cvals, rows: list):
+    """Finalize one group of a holistic aggregate from host values."""
+    import numpy as _np
+
+    fn = call.fn
+    if fn == "count":
+        if cvals is None:
+            return len(rows)
+        return sum(1 for r in rows if cvals[r] is not None)
+    xs = [] if cvals is None else [cvals[r] for r in rows
+                                   if cvals[r] is not None]
+    if fn == "array_agg":
+        return xs if xs else ([] if rows else None)
+    if fn == "string_agg":
+        sep = call.extra[0] if call.extra else ","
+        strs = [x if isinstance(x, str) else str(x) for x in xs]
+        return (sep or "").join(strs) if strs else None
+    if not xs:
+        return None
+    if fn == "median":
+        med = _np.median(_np.asarray(xs, dtype=_np.float64))
+        if all(isinstance(x, (int, _np.integer)) for x in xs):
+            return int(_np.rint(med))
+        return float(med)
+    if fn == "sum":
+        return sum(xs)
+    if fn == "avg":
+        return float(sum(xs)) / len(xs)
+    if fn == "min":
+        return min(xs)
+    if fn == "max":
+        return max(xs)
+    if fn in _VAR_FNS:
+        a = _np.asarray(xs, dtype=_np.float64)
+        pop = fn.endswith("_pop")
+        if (not pop and len(a) < 2) or len(a) < 1:
+            return None
+        var = a.var(ddof=0 if pop else 1)
+        return float(_np.sqrt(var)) if fn.startswith("stddev") else float(var)
+    raise PlanError(f"aggregate {fn} unsupported in holistic path")
 
 
 @jax.tree_util.register_pytree_node_class
@@ -443,6 +588,9 @@ def _merge_partial(call: AggregateCall, gids, mask, cat, cap):
     fn = call.fn
     if fn == "count":
         return agg_ops.grouped_reduce_codes(gids, mask, cat, "sum", cap)
+    if fn in _VAR_FNS:
+        return tuple(agg_ops.grouped_reduce_codes(gids, mask, c, "sum", cap)
+                     for c in cat)
     s_fn = {"sum": "sum", "avg": "sum", "min": "min", "max": "max"}[fn]
     smask = mask
     if fn in ("min", "max"):
@@ -507,6 +655,18 @@ def _jit_finalize_grouped(agg_calls: tuple, out_schema: Schema, n_group: int):
             if call.fn == "count":
                 vals = p[order].astype(npdt)
                 valid = live[order]
+            elif call.fn in _VAR_FNS:
+                s, ss, c = p[0][order], p[1][order], p[2][order]
+                cf = jnp.maximum(c, 1).astype(jnp.float64)
+                m2 = jnp.maximum(ss - s * s / cf, 0.0)
+                pop = call.fn.endswith("_pop")
+                denom = cf if pop else jnp.maximum(cf - 1.0, 1.0)
+                var = m2 / denom
+                vals = jnp.sqrt(var) if call.fn.startswith("stddev") else var
+                vals = vals.astype(npdt)
+                minc = 1 if pop else 2
+                valid = jnp.logical_and(live[order], c >= minc)
+                vals = jnp.where(valid, vals, jnp.zeros((), npdt))
             else:
                 s, c = p[0][order], p[1][order]
                 nonnull = jnp.logical_and(live[order], c > 0)
@@ -625,6 +785,8 @@ def _merge_agg_value(x, y, call: AggregateCall):
     fn = call.fn
     if fn == "count":
         return np.int64(x) + np.int64(y)
+    if fn in _VAR_FNS:
+        return tuple(a + b for a, b in zip(x, y))
     xs, xc = x
     ys, yc = y
     if fn in ("sum", "avg"):
@@ -641,6 +803,8 @@ def _empty_ungrouped(calls):
     for c in calls:
         if c.fn == "count":
             out.append(np.int64(0))
+        elif c.fn in _VAR_FNS:
+            out.append((np.float64(0), np.float64(0), np.int64(0)))
         else:
             out.append((np.float64(0), np.int64(0)))
     return out
@@ -650,6 +814,9 @@ def _finalize_agg_value(p, call: AggregateCall):
     fn = call.fn
     if fn == "count":
         return int(np.asarray(p).item() if hasattr(p, "item") or isinstance(p, np.ndarray) else p)
+    if fn in _VAR_FNS:
+        return _finalize_variance(float(p[0]), float(p[1]),
+                                  int(np.asarray(p[2])), fn)
     s, c = p[0], p[1]
     c = int(np.asarray(c))
     if fn == "avg":
@@ -659,6 +826,15 @@ def _finalize_agg_value(p, call: AggregateCall):
     if fn in ("min", "max"):
         return _np_item(s) if c else None
     raise PlanError(fn)
+
+
+def _finalize_variance(s: float, ss: float, c: int, fn: str):
+    pop = fn.endswith("_pop")
+    if c < (1 if pop else 2):
+        return None
+    m2 = max(ss - s * s / c, 0.0)
+    var = m2 / (c if pop else c - 1)
+    return float(np.sqrt(var)) if fn.startswith("stddev") else float(var)
 
 
 def _np_item(x):

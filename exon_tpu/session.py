@@ -25,6 +25,7 @@ class ExonSession:
         self.tables: dict[str, object] = {}
         # ensure UDFs and indexed providers are registered
         from . import udfs  # noqa: F401
+        from .ops import sqlfuncs  # noqa: F401
         from .providers import register_indexed_providers
 
         register_indexed_providers()

@@ -17,7 +17,12 @@ from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Case, Cast,
 from . import ast as A
 from .lexer import Token, tokenize
 
-AGG_FUNCS = {"count", "sum", "min", "max", "avg"}
+AGG_FUNCS = {"count", "sum", "min", "max", "avg",
+             # second-moment family (device streaming partials)
+             "stddev", "stddev_samp", "stddev_pop",
+             "var", "variance", "var_samp", "var_pop",
+             # holistic (materializing) aggregates
+             "median", "array_agg", "string_agg"}
 
 _TYPE_NAMES = {
     "int": dt.int64, "integer": dt.int64, "bigint": dt.int64,
@@ -541,6 +546,11 @@ class Parser:
             if t.kind == "op" and t.value in ("+", "-"):
                 self.next()
                 e = BinaryOp(t.value, e, self.parse_multiplicative())
+            elif t.kind == "op" and t.value == "||":
+                # SQL string concatenation (NULL-propagating, unlike
+                # concat() which skips NULLs — DataFusion semantics)
+                self.next()
+                e = FunctionCall("concat_op", [e, self.parse_multiplicative()])
             else:
                 return e
 
@@ -704,7 +714,16 @@ class Parser:
             raise SqlError(f"{name}(*) not supported")
         if lname in AGG_FUNCS:
             child = args[0] if args else None
-            return AggregateCall(lname, child, distinct)
+            extra = ()
+            if lname == "string_agg":
+                if len(args) != 2 or not isinstance(args[1], Literal):
+                    raise SqlError(
+                        "string_agg(expr, separator) needs a literal "
+                        "separator")
+                extra = (args[1].value,)
+            elif len(args) > 1:
+                raise SqlError(f"{name} takes one argument")
+            return AggregateCall(lname, child, distinct, extra)
         return FunctionCall(lname, args)
 
     def _maybe_over(self):
