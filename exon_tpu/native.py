@@ -18,6 +18,20 @@ _LIB = None
 _TRIED = False
 
 
+class _FastaScanResult(ctypes.Structure):
+    _fields_ = [
+        ("n_records", ctypes.c_int64),
+        ("header_start", ctypes.POINTER(ctypes.c_int64)),
+        ("name_start", ctypes.POINTER(ctypes.c_int64)),
+        ("name_end", ctypes.POINTER(ctypes.c_int64)),
+        ("desc_start", ctypes.POINTER(ctypes.c_int64)),
+        ("desc_end", ctypes.POINTER(ctypes.c_int64)),
+        ("seq_length", ctypes.POINTER(ctypes.c_int64)),
+        ("prefix", ctypes.POINTER(ctypes.c_uint8)),
+        ("error", ctypes.c_int64),
+    ]
+
+
 class _FastaIndex(ctypes.Structure):
     _fields_ = [
         ("n_records", ctypes.c_int64),
@@ -71,6 +85,28 @@ def get_lib():
                                                ctypes.c_int64]
     except AttributeError:
         pass
+    try:
+        lib.fasta_scan_onepass.restype = ctypes.c_int64
+        lib.fasta_scan_onepass.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(_FastaScanResult)]
+        lib.fasta_scan_result_free.restype = None
+        lib.fasta_scan_result_free.argtypes = [
+            ctypes.POINTER(_FastaScanResult)]
+    except AttributeError:
+        pass
+    try:
+        lib.fasta_shard_bounds.restype = ctypes.c_int64
+        lib.fasta_shard_bounds.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64)]
+        lib.fasta_scan_mt_counted.restype = ctypes.c_int64
+        lib.fasta_scan_mt_counted.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_FastaIndex),
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64)]
+    except AttributeError:
+        pass
     lib.fasta_fill_sequences.restype = ctypes.c_int64
     lib.fasta_fill_sequences.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -109,9 +145,20 @@ def fasta_scan(data, prefix_k: int = 0):
     if lib is None:
         return None
     ptr, n = _as_ptr(data)
-    # capacity from the native record counter (memchr-speed, ≥ true count)
     nt = os.cpu_count() or 1
-    if hasattr(lib, "fasta_count_records_mt"):
+    if hasattr(lib, "fasta_scan_onepass"):
+        return _fasta_scan_onepass(lib, ptr, n, prefix_k, nt)
+    # fallback: two passes (count + scan)
+    bounds = np.zeros(nt + 1, np.int64)
+    counts = np.zeros(nt, np.int64)
+    use_counted = hasattr(lib, "fasta_shard_bounds")
+    if use_counted:
+        cap = int(lib.fasta_shard_bounds(ptr, n, nt, bounds, counts))
+        if cap < 0:
+            from .errors import InvalidSequenceError
+
+            raise InvalidSequenceError("FASTA data before first header")
+    elif hasattr(lib, "fasta_count_records_mt"):
         cap = int(lib.fasta_count_records_mt(ptr, n, nt))
     else:
         cap = int(lib.fasta_count_records(ptr, n))
@@ -127,8 +174,13 @@ def fasta_scan(data, prefix_k: int = 0):
         setattr(idx, k, a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
     k_eff = max(prefix_k, 1)
     prefix = np.zeros((cap, k_eff), np.uint8)
-    n_threads = os.cpu_count() or 1
-    if hasattr(lib, "fasta_scan_mt"):
+    n_threads = nt
+    if use_counted:
+        n_rec = lib.fasta_scan_mt_counted(
+            data, n, ctypes.byref(idx),
+            prefix.ctypes.data_as(ctypes.c_char_p),
+            k_eff if prefix_k > 0 else 0, n_threads, bounds, counts)
+    elif hasattr(lib, "fasta_scan_mt"):
         n_rec = lib.fasta_scan_mt(data, n, ctypes.byref(idx),
                                   prefix.ctypes.data_as(ctypes.c_char_p),
                                   k_eff if prefix_k > 0 else 0, n_threads)
@@ -144,6 +196,36 @@ def fasta_scan(data, prefix_k: int = 0):
     out = {"n": n_rec,
            "prefix": prefix[:n_rec] if prefix_k > 0 else None}
     out.update({k: a[:n_rec] for k, a in arrs.items()})
+    return out
+
+
+def _fasta_scan_onepass(lib, ptr, n: int, prefix_k: int, nt: int):
+    """Single data pass: C++ scans into thread-local buffers; we copy the
+    stitched outputs into numpy and free the native allocation."""
+    res = _FastaScanResult()
+    k_eff = max(prefix_k, 0)
+    rc = lib.fasta_scan_onepass(ptr, n, k_eff, nt, ctypes.byref(res))
+    if rc < 0:
+        from .errors import InvalidSequenceError
+
+        raise InvalidSequenceError("FASTA data before first header")
+    n_rec = int(res.n_records)
+    if n_rec == 0:
+        lib.fasta_scan_result_free(ctypes.byref(res))
+        return {"n": 0}
+    try:
+        out = {"n": n_rec}
+        for k in ("header_start", "name_start", "name_end",
+                  "desc_start", "desc_end", "seq_length"):
+            src = np.ctypeslib.as_array(getattr(res, k), shape=(n_rec,))
+            out[k] = src.copy()
+        if prefix_k > 0:
+            pf = np.ctypeslib.as_array(res.prefix, shape=(n_rec, prefix_k))
+            out["prefix"] = pf.copy()
+        else:
+            out["prefix"] = None
+    finally:
+        lib.fasta_scan_result_free(ctypes.byref(res))
     return out
 
 
