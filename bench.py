@@ -1,12 +1,22 @@
-"""Benchmark harness: headline = FASTA scan+filter+count throughput.
+"""Multi-workload benchmark harness mirroring the reference suite
+(exon-benchmarks/run_benchmarks.py:38-101, BASELINE.md).
 
-Workload parity with the reference's FASTACodonScan benchmark
-(exon-benchmarks/src/main.rs:223-231, run_benchmarks.py:61-80): scan a
-uniprot_sprot-scale FASTA (~560k records, ~250 MB), filter
-``sequence ILIKE 'M%'``, count. Reference baseline: 0.789 s ≈ 0.71 M rows/s
-single-process CPU (BASELINE.md "Derived reference points").
+Workloads:
+  fasta-scan / fasta-scan-gzip / fasta-scan-zstd  - uniprot-scale
+      "sequence ILIKE 'M%'" scan+filter+count (ref 0.789/1.357/0.713 s)
+  fasta-parallel-8  - 8-file parallel scan (ref 1.726 s @ 8 workers)
+  vcf-region-query  - chr1:10000-10000000 on a >=1 GB bgzf VCF via .tbi
+      (ref 0.936 s on its 2.6 GB file; vs_baseline is throughput-scaled)
+  bam-scan / bam-region-query  - ~300 MB BAM count / 20:1e6-1e8 via .bai
+      (ref 2.381 / 2.444 s)
+  sdf-scan  - chembl-style .sdf.gz count (ref 0.445 s, file size unknown
+      -> no vs_baseline)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per workload, then a final headline line (the driver
+records the LAST line): the flagship fasta-scan rows/s, with the full
+per-workload summary in detail.workloads. vs_baseline semantics: ratio of
+OUR throughput to the reference's on its own hardware — (ref_s / our_s) x
+(our_bytes / ref_bytes); >1 means faster per byte.
 """
 
 from __future__ import annotations
@@ -16,85 +26,9 @@ import os
 import sys
 import time
 
-import numpy as np
+BASELINE_ROWS_PER_S = 0.71e6  # reference FASTA scan (headline continuity)
 
-BASELINE_ROWS_PER_S = 0.71e6  # reference exon, uncompressed FASTA scan
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     ".bench_cache")
-N_RECORDS = 560_000
-MEAN_LEN = 400  # ~uniprot_sprot average protein length ≈ 360aa + headers
-
-
-def _make_fixture() -> str:
-    os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"sprot_like_{N_RECORDS}.fasta")
-    if os.path.exists(path) and os.path.getsize(path) > 0:
-        return path
-    rng = np.random.default_rng(42)
-    alphabet = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
-    lens = rng.integers(120, 2 * MEAN_LEN - 120, size=N_RECORDS).astype(np.int64)
-    starts_m = rng.random(N_RECORDS) < 0.23  # ~23% start with M
-    with open(path + ".tmp", "wb") as f:
-        chunk = 40_000
-        for lo in range(0, N_RECORDS, chunk):
-            hi = min(lo + chunk, N_RECORDS)
-            clens = lens[lo:hi]
-            total = int(clens.sum())
-            flat = alphabet[rng.integers(0, 20, size=total)]
-            offs = np.zeros(len(clens) + 1, np.int64)
-            np.cumsum(clens, out=offs[1:])
-            flat[offs[:-1][starts_m[lo:hi]]] = ord("M")
-            # wrap at 60 cols: insert newline positions vectorized by
-            # building an output buffer with per-record slots
-            n_nl = (clens - 1) // 60 + 1  # one newline per 60-char line
-            parts = []
-            for i in range(hi - lo):
-                body = flat[offs[i]:offs[i + 1]].tobytes()
-                wrapped = b"\n".join(body[j:j + 60] for j in range(0, len(body), 60))
-                idx = lo + i
-                parts.append(b">sp|P%06d|PROT%d synthetic protein %d\n" % (idx, idx, idx))
-                parts.append(wrapped)
-                parts.append(b"\n")
-            f.write(b"".join(parts))
-    os.replace(path + ".tmp", path)
-    return path
-
-
-def main() -> None:
-    path = _make_fixture()
-
-    from exon_tpu import ExonSession, col
-
-    ctx = ExonSession.new_exon()
-
-    def run() -> tuple[int, float]:
-        t0 = time.perf_counter()
-        n = ctx.read_fasta(path).filter(col("sequence").ilike("M%")).count()
-        return n, time.perf_counter() - t0
-
-    # warmup (compile)
-    run()
-    times = []
-    for _ in range(3):
-        _n, dt = run()
-        times.append(dt)
-    n, _ = run()
-    best = min(times)
-    rows_per_s = N_RECORDS / best
-    result = {
-        "metric": "fasta_scan_filter_count_rows_per_s",
-        "value": round(rows_per_s, 1),
-        "unit": "rows/s",
-        "vs_baseline": round(rows_per_s / BASELINE_ROWS_PER_S, 3),
-        "detail": {
-            "rows_matched": int(n),
-            "total_rows": N_RECORDS,
-            "best_wall_s": round(best, 4),
-            "file_mb": round(os.path.getsize(path) / 1e6, 1),
-            "backend": _backend(),
-        },
-    }
-    print(json.dumps(result))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _backend() -> str:
@@ -104,6 +38,202 @@ def _backend() -> str:
         return str(jax.devices()[0].device_kind)
     except Exception:
         return "unknown"
+
+
+def _time_best(fn, reps: int = 3, warmup: int = 1):
+    for _ in range(warmup):
+        result = fn()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        result = fn()
+        best = min(best, time.perf_counter() - t0)
+    return result, best
+
+
+def _emit(metric: str, value, unit: str, vs_baseline, detail: dict) -> dict:
+    row = {"metric": metric, "value": value, "unit": unit,
+           "vs_baseline": vs_baseline, "detail": detail}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def run_fasta_workloads(ctx, results: dict) -> None:
+    from benchlib import fixtures as fx
+    from exon_tpu import col
+
+    plain = fx.make_fasta()
+    variants = [("fasta-scan", plain, 0.789)]
+    gz = fx.make_fasta_gzip(plain)
+    variants.append(("fasta-scan-gzip", gz, 1.357))
+    zst = fx.make_fasta_zstd(plain)
+    if zst:
+        variants.append(("fasta-scan-zstd", zst, 0.713))
+    for wid, path, ref_s in variants:
+        n_rows = fx.FASTA_RECORDS
+
+        def q():
+            return ctx.read_fasta(path).filter(
+                col("sequence").ilike("M%")).count()
+
+        matched, best = _time_best(q)
+        rows_s = n_rows / best
+        vs = (ref_s / best)  # same logical file content as the reference's
+        results[wid] = _emit(
+            wid + "_rows_per_s", round(rows_s, 1), "rows/s", round(vs, 3),
+            {"wall_s": round(best, 4), "rows": n_rows,
+             "matched": int(matched),
+             "file_mb": round(os.path.getsize(path) / 1e6, 1),
+             "gb_s": round(os.path.getsize(path) / 1e9 / best, 3),
+             "ref_s": ref_s})
+
+
+def run_fasta_parallel(ctx, results: dict) -> None:
+    from benchlib import fixtures as fx
+    from exon_tpu import col
+
+    files = fx.make_fasta_parallel(8)
+    d = os.path.join(fx.CACHE, "par8")
+    os.makedirs(d, exist_ok=True)
+    for f in files:
+        dst = os.path.join(d, os.path.basename(f))
+        if not os.path.exists(dst):
+            os.link(f, dst)
+    total_rows = fx.FASTA_RECORDS * 8
+
+    def q():
+        return ctx.read_fasta(d).filter(col("sequence").ilike("M%")).count()
+
+    # scaling: 1 worker vs all cores (the reference measures 1..8 workers)
+    os.environ["EXON_TPU_PARTITIONS"] = "1"
+    _m1, t1 = _time_best(q, reps=1, warmup=1)
+    os.environ.pop("EXON_TPU_PARTITIONS", None)
+    matched, best = _time_best(q, reps=2)
+    ncpu = os.cpu_count() or 1
+    eff = (t1 / best) / min(ncpu, 8)
+    results["fasta-parallel-8"] = _emit(
+        "fasta-parallel-8_rows_per_s", round(total_rows / best, 1), "rows/s",
+        round(1.726 / best, 3),
+        {"wall_s": round(best, 4), "wall_1worker_s": round(t1, 4),
+         "rows": total_rows, "matched": int(matched),
+         "workers": ncpu, "scaling_efficiency": round(eff, 3),
+         "ref_s_8workers": 1.726})
+
+
+def run_vcf_region(ctx, results: dict) -> None:
+    from benchlib import fixtures as fx
+
+    path, _tbi = fx.make_vcf_bgzf()
+    size = os.path.getsize(path)
+    region = "chr1:10000-10000000"
+
+    def q():
+        df = ctx.sql("SELECT COUNT(*) FROM vcf_indexed_scan"
+                     f"('{path}', '{region}')")
+        return df.collect_arrow().column(0)[0].as_py()
+
+    matched, best = _time_best(q)
+    ref_s, ref_bytes = 0.936, 2.6e9
+    vs = (ref_s / best) * (size / ref_bytes)
+    results["vcf-region-query"] = _emit(
+        "vcf-region-query_s", round(best, 4), "s", round(vs, 3),
+        {"wall_s": round(best, 4), "matched": int(matched),
+         "file_mb": round(size / 1e6, 1), "region": region,
+         "ref_s": ref_s, "ref_file_gb": 2.6,
+         "rows_total": fx.VCF_RECORDS})
+
+
+def run_bam(ctx, results: dict) -> None:
+    from benchlib import fixtures as fx
+
+    path, _bai = fx.make_bam()
+    size = os.path.getsize(path)
+    ref_bytes = 303e6
+
+    def scan():
+        df = ctx.sql(f"SELECT COUNT(*) FROM bam_scan('{path}')")
+        return df.collect_arrow().column(0)[0].as_py()
+
+    n, best = _time_best(scan)
+    vs = (2.381 / best) * (size / ref_bytes)
+    results["bam-scan"] = _emit(
+        "bam-scan_s", round(best, 4), "s", round(vs, 3),
+        {"wall_s": round(best, 4), "rows": int(n),
+         "file_mb": round(size / 1e6, 1),
+         "gb_s": round(size / 1e9 / best, 3), "ref_s": 2.381})
+
+    region = "20:1000000-40000000"
+
+    def rq():
+        df = ctx.sql("SELECT COUNT(*) FROM bam_indexed_scan"
+                     f"('{path}', '{region}')")
+        return df.collect_arrow().column(0)[0].as_py()
+
+    n, best = _time_best(rq)
+    vs = (2.444 / best) * (size / ref_bytes)
+    results["bam-region-query"] = _emit(
+        "bam-region-query_s", round(best, 4), "s", round(vs, 3),
+        {"wall_s": round(best, 4), "matched": int(n), "region": region,
+         "file_mb": round(size / 1e6, 1), "ref_s": 2.444})
+
+
+def run_sdf(ctx, results: dict) -> None:
+    from benchlib import fixtures as fx
+
+    path = fx.make_sdf_gz()
+    size = os.path.getsize(path)
+
+    def q():
+        return ctx.read_sdf(path).count()
+
+    n, best = _time_best(q)
+    results["sdf-scan"] = _emit(
+        "sdf-scan_s", round(best, 4), "s", None,
+        {"wall_s": round(best, 4), "rows": int(n),
+         "file_mb": round(size / 1e6, 1),
+         "rows_per_s": round(n / best, 1), "ref_s": 0.445,
+         "note": "reference file size unknown; no fair vs_baseline"})
+
+
+def main() -> None:
+    only = set(a for a in sys.argv[1:] if not a.startswith("-"))
+    from exon_tpu import ExonSession
+
+    ctx = ExonSession.new_exon()
+    results: dict = {}
+    steps = [
+        ("fasta", run_fasta_workloads),
+        ("fasta-parallel", run_fasta_parallel),
+        ("vcf", run_vcf_region),
+        ("bam", run_bam),
+        ("sdf", run_sdf),
+    ]
+    for name, fn in steps:
+        if only and not any(name.startswith(o) or o.startswith(name)
+                            for o in only):
+            continue
+        try:
+            fn(ctx, results)
+        except Exception as e:  # a broken workload must not kill the run
+            print(json.dumps({"metric": name, "error":
+                              f"{type(e).__name__}: {e}"}), file=sys.stderr,
+                  flush=True)
+
+    # headline (LAST line — the driver parses this one): flagship FASTA
+    head = results.get("fasta-scan")
+    rows_s = head["value"] if head else 0.0
+    summary = {k: {"value": v["value"], "unit": v["unit"],
+                   "vs_baseline": v["vs_baseline"]}
+               for k, v in results.items()}
+    print(json.dumps({
+        "metric": "fasta_scan_filter_count_rows_per_s",
+        "value": rows_s,
+        "unit": "rows/s",
+        "vs_baseline": round(rows_s / BASELINE_ROWS_PER_S, 3) if rows_s
+        else 0.0,
+        "detail": {"backend": _backend(), "workloads": summary,
+                   **({} if not head else head["detail"])},
+    }))
 
 
 if __name__ == "__main__":

@@ -1,4 +1,4 @@
-"""File compression sniffing + decompression (gzip / bgzf / zstd).
+"""File compression sniffing + decompression (gzip / bgzf / zstd / bz2 / xz).
 
 Mirrors the reference's FileCompressionType inference from extensions
 (exon-core/src/datasources/exon_file_type.rs:25-237). BGZF (block-gzip) is a
@@ -18,6 +18,8 @@ class Compression(enum.Enum):
     GZIP = "gzip"
     ZSTD = "zstd"
     BGZF = "bgzf"
+    BZIP2 = "bzip2"
+    XZ = "xz"
 
 
 _EXT = {
@@ -26,6 +28,10 @@ _EXT = {
     ".zst": Compression.ZSTD,
     ".zstd": Compression.ZSTD,
     ".bgz": Compression.BGZF,
+    # reference parity: exon_file_type.rs:185-212 infers .bz2/.xz too
+    ".bz2": Compression.BZIP2,
+    ".bzip2": Compression.BZIP2,
+    ".xz": Compression.XZ,
 }
 
 
@@ -71,6 +77,14 @@ def decompress(data: bytes, comp: Compression) -> bytes:
         dctx = zstandard.ZstdDecompressor()
         # stream decompress to handle unknown content size
         return dctx.decompressobj().decompress(data)
+    if comp == Compression.BZIP2:
+        import bz2
+
+        return bz2.decompress(data)
+    if comp == Compression.XZ:
+        import lzma
+
+        return lzma.decompress(data)
     raise ValueError(comp)
 
 
@@ -87,4 +101,12 @@ def compress(data: bytes, comp: Compression) -> bytes:
         from . import bgzf
 
         return bgzf.compress_bgzf(data)
+    if comp == Compression.BZIP2:
+        import bz2
+
+        return bz2.compress(data)
+    if comp == Compression.XZ:
+        import lzma
+
+        return lzma.compress(data)
     raise ValueError(comp)

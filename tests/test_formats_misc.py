@@ -90,3 +90,36 @@ def test_fcs_synthetic(ctx, tmp_path):
 def test_read_inferred(ctx, ref_data):
     df = ctx.read_inferred_exon_table(ref_data("gff", "test.gff"))
     assert df.count() == 5000
+
+
+def test_bz2_xz_compression_roundtrip(tmp_path):
+    """Reference parity: exon_file_type.rs:185-212 infers .bz2/.xz."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    from exon_tpu import ExonSession
+
+    content = b">a desc\nACGT\n>b\nGGGT\n"
+    for ext, compress in ((".bz2", _bz2.compress), (".xz", _lzma.compress)):
+        p = tmp_path / f"t.fasta{ext}"
+        p.write_bytes(compress(content))
+        ctx = ExonSession.new_exon()
+        df = ctx.read_fasta(str(p))
+        out = df.collect_arrow().to_pydict()
+        assert out["id"] == ["a", "b"]
+        assert out["sequence"] == ["ACGT", "GGGT"]
+
+
+def test_copy_to_bz2_xz_roundtrip(tmp_path):
+    from exon_tpu import ExonSession
+
+    src = tmp_path / "in.fasta"
+    src.write_text(">x d1\nAACC\n>y d2\nTTGG\n")
+    ctx = ExonSession.new_exon()
+    for ext in (".bz2", ".xz"):
+        dst = tmp_path / f"out.fasta{ext}"
+        ctx.sql(f"COPY (SELECT * FROM fasta_scan('{src}')) "
+                f"TO '{dst}' STORED AS FASTA").collect_arrow()
+        out = ctx.read_fasta(str(dst)).collect_arrow().to_pydict()
+        assert out["id"] == ["x", "y"]
+        assert out["sequence"] == ["AACC", "TTGG"]
