@@ -25,8 +25,8 @@ CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
                      ".bench_cache")
 
 FASTA_RECORDS = 560_000
-VCF_RECORDS = 18_000_000   # ~3 GB text -> >=1 GB bgzf (ref file: 2.6 GB)
-BAM_RECORDS = 2_200_000
+VCF_RECORDS = 25_000_000   # ~4 GB text -> ~1.1 GB bgzf (ref file: 2.6 GB)
+BAM_RECORDS = 2_850_000
 SDF_RECORDS = 210_000
 
 

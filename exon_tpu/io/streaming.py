@@ -1,0 +1,182 @@
+"""Bounded-memory streaming ingest: decompress + record-align in chunks.
+
+The reference streams 8192-row batches without materializing whole files
+(exon-fasta/src/batch_reader.rs:72-111, streaming_bgzf.rs:56-80). Here the
+equivalent is chunk-granular: a compressed file is decompressed
+incrementally (the compressed source stays an mmap view — page cache, not
+RSS) and yielded as ~48 MB chunks cut at format record boundaries, so each
+chunk feeds the existing whole-buffer vectorized decoders unchanged. Peak
+RSS is O(chunk + decoded-chunk), independent of file size.
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+import zlib
+from typing import Callable, Iterator, Optional
+
+from .compression import Compression
+
+DEFAULT_CHUNK = 48 << 20
+
+
+def _iter_decompressed(src, comp: Compression, read_size: int = 8 << 20
+                       ) -> Iterator[bytes]:
+    """Yield decompressed pieces from a bytes/memoryview/ndarray source."""
+    mv = memoryview(src)
+    if comp in (Compression.GZIP, Compression.BGZF):
+        pos = 0
+        d = zlib.decompressobj(31)
+        while pos < len(mv):
+            piece = d.decompress(bytes(mv[pos:pos + read_size]))
+            pos += read_size
+            if piece:
+                yield piece
+            # multi-member gzip (BGZF): restart at member boundaries
+            while d.eof and d.unused_data:
+                tail = d.unused_data
+                d = zlib.decompressobj(31)
+                piece = d.decompress(tail)
+                if piece:
+                    yield piece
+        tail = d.flush()
+        if tail:
+            yield tail
+    elif comp == Compression.ZSTD:
+        import zstandard
+
+        d = zstandard.ZstdDecompressor().decompressobj()
+        pos = 0
+        while pos < len(mv):
+            piece = d.decompress(bytes(mv[pos:pos + read_size]))
+            pos += read_size
+            if piece:
+                yield piece
+    elif comp == Compression.BZIP2:
+        d = bz2.BZ2Decompressor()
+        pos = 0
+        while pos < len(mv):
+            piece = d.decompress(bytes(mv[pos:pos + read_size]))
+            pos += read_size
+            if piece:
+                yield piece
+    elif comp == Compression.XZ:
+        d = lzma.LZMADecompressor()
+        pos = 0
+        while pos < len(mv):
+            piece = d.decompress(bytes(mv[pos:pos + read_size]))
+            pos += read_size
+            if piece:
+                yield piece
+    else:
+        # uncompressed: pass through in read_size pieces
+        pos = 0
+        while pos < len(mv):
+            yield bytes(mv[pos:pos + read_size])
+            pos += read_size
+
+
+# -- record boundary finders -------------------------------------------------
+# Each returns the cut offset (exclusive) within ``buf`` such that
+# buf[:cut] is whole records, or -1 if no safe cut exists yet.
+
+
+def _cut_line(buf: bytes, state: dict) -> int:
+    i = buf.rfind(b"\n")
+    return i + 1 if i >= 0 else -1
+
+
+def _cut_fasta(buf: bytes, state: dict) -> int:
+    i = buf.rfind(b"\n>")
+    return i + 1 if i >= 0 else -1
+
+
+def _cut_fastq(buf: bytes, state: dict) -> int:
+    """Cut at a line boundary where the total emitted line count ≡ 0 mod 4
+    (FASTQ records are exactly 4 lines)."""
+    emitted = state.get("lines", 0)
+    cut = len(buf)
+    lines_here = buf.count(b"\n")
+    # walk the cut back to the latest '\n' making the count divisible by 4
+    while cut > 0:
+        i = buf.rfind(b"\n", 0, cut)
+        if i < 0:
+            return -1
+        if (emitted + _count_nl(buf, i + 1)) % 4 == 0:
+            state["lines"] = emitted + _count_nl(buf, i + 1)
+            return i + 1
+        cut = i
+    return -1
+
+
+def _count_nl(buf: bytes, upto: int) -> int:
+    return buf.count(b"\n", 0, upto)
+
+
+def _cut_sdf(buf: bytes, state: dict) -> int:
+    i = buf.rfind(b"$$$$\n")
+    return i + 5 if i >= 0 else -1
+
+
+_CUTTERS: dict[str, Callable] = {
+    "line": _cut_line,
+    "fasta": _cut_fasta,
+    "fastq": _cut_fastq,
+    "sdf": _cut_sdf,
+}
+
+
+def stream_record_chunks(src, comp: Compression, boundary: str,
+                         header_prefixes: tuple = (),
+                         chunk_size: int = DEFAULT_CHUNK
+                         ) -> Iterator[bytes]:
+    """Yield record-aligned decompressed chunks of ~chunk_size bytes.
+
+    header_prefixes: leading lines starting with any of these bytes (e.g.
+    b"#" for VCF, b"@" for SAM) are captured from the file head and
+    PREPENDED to every subsequent chunk, so schema-bearing headers reach
+    the per-chunk decoder (the reference's readers hold the parsed header
+    in the BatchReader instead).
+    """
+    cutter = _CUTTERS[boundary]
+    state: dict = {}
+    pending = bytearray()
+    header: Optional[bytes] = None if header_prefixes else b""
+    first = True
+    for piece in _iter_decompressed(src, comp):
+        pending += piece
+        while len(pending) >= chunk_size:
+            cut = cutter(bytes(pending[:chunk_size + (1 << 20)]), state)
+            if cut <= 0:
+                break  # no boundary yet — keep accumulating
+            chunk = bytes(pending[:cut])
+            del pending[:cut]
+            if header is None:
+                header = _extract_header(chunk, header_prefixes)
+                yield chunk
+            else:
+                yield (header + chunk) if (header and not first) else chunk
+            first = False
+    if pending:
+        chunk = bytes(pending)
+        if header is None:
+            header = _extract_header(chunk, header_prefixes)
+            yield chunk
+        else:
+            yield (header + chunk) if (header and not first) else chunk
+
+
+def _extract_header(chunk: bytes, prefixes: tuple) -> bytes:
+    """Capture the leading header lines (first chunk only)."""
+    end = 0
+    while end < len(chunk):
+        nl = chunk.find(b"\n", end)
+        if nl < 0:
+            break
+        line = chunk[end:nl]
+        if line[:1] in prefixes:
+            end = nl + 1
+        else:
+            break
+    return chunk[:end]

@@ -629,9 +629,11 @@ class DistributedAggregateExec(PhysicalPlan):
                 val = np.concatenate([p[2] for p in parts])[order]
                 offsets = np.zeros(n + 1, np.int32)
                 np.cumsum(lens, out=offsets[1:])
-                flat = np.zeros(max(int(offsets[-1]), 1), np.uint8)
-                for i in range(n):
-                    flat[offsets[i]:offsets[i + 1]] = pre[i, :lens[i]]
+                # vectorized ragged compaction: row-major boolean mask pick
+                keep = np.arange(pre.shape[1])[None, :] < lens[:, None]
+                flat = pre[keep]
+                if flat.size == 0:
+                    flat = np.zeros(1, np.uint8)
                 cols.append(VarColumn(flat, offsets, val))
             else:
                 vals = np.concatenate([p[0] for p in parts])[order]
@@ -1023,3 +1025,190 @@ def _config_mesh(config) -> Optional[Mesh]:
             return None
         config._mesh = mesh
     return mesh
+
+
+# ---------------------------------------------------------------------------
+# Distributed TopK (ORDER BY … LIMIT k)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistributedTopKExec(PhysicalPlan):
+    """Sort+Limit over the mesh: per-device exact top-K inside shard_map per
+    wave (key eval, radix sort over 8-byte chunks, row gather — all on
+    device); the driver merges only the (waves x n_dev x K) candidate rows
+    with the exact single-device sort. Replaces the role of DataFusion's
+    SortPreservingMerge over repartitioned TopK (config/mod.rs:40-43)."""
+
+    keys: list          # [(Expr, ascending)]
+    fetch: int
+    out_schema: Schema
+    source: Callable[[], Iterator[Batch]]
+    stages: tuple
+    mesh: Mesh
+    fallback: Callable[[], PhysicalPlan]
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def children(self):
+        return []
+
+    def batches(self) -> Iterator[Batch]:
+        yield self._run()
+
+    def _run(self) -> Batch:
+        from ..plan.physical import SortExec
+
+        n_dev = self.mesh.shape["shard"]
+        cands: list[Batch] = []
+        wave: list[Batch] = []
+        for hb in self.source():
+            wave.append(hb)
+            if len(wave) == n_dev:
+                cands.extend(self._wave(wave))
+                wave = []
+        if wave:
+            cands.extend(self._wave(wave))
+        out = list(SortExec(self.keys, _Materialized(self.out_schema, cands),
+                            self.fetch).batches())
+        return out[0]
+
+    def _wave(self, wave: list[Batch]) -> list[Batch]:
+        n_dev = self.mesh.shape["shard"]
+        real = len(wave)
+        cap, vcaps = wave_shape(wave)
+        wave = [pad_host_batch(b, cap, vcaps) for b in wave]
+        while len(wave) < n_dev:
+            wave.append(empty_like_host(wave[0], cap, vcaps))
+        stacked = stack_wave(wave, self.mesh)
+        keys = tuple((e, asc) for e, asc in self.keys)
+        widths = jax.device_get(
+            _key_width_step(self.mesh, self.stages, keys)(stacked))
+        specs = []
+        for (e, asc), (w, is_var) in zip(keys, widths):
+            if int(np.asarray(is_var)[0]):
+                specs.append((e, asc,
+                              max(1, (int(np.asarray(w)[0]) + 7) // 8)))
+            else:
+                specs.append((e, asc, 0))
+        specs = tuple(specs)
+        k = bucket_capacity(min(self.fetch, cap), 128)
+        out = _topk_step(self.mesh, self.stages, specs, k)(stacked)
+        res = []
+        for d in range(real):
+            b = jax.tree.map(lambda x: x[d], out)
+            if b.num_rows_host():
+                res.append(b)
+        return res
+
+
+class _Materialized(PhysicalPlan):
+    def __init__(self, schema: Schema, batches: list[Batch]):
+        self._schema = schema
+        self._batches = batches
+
+    def schema(self) -> Schema:
+        return self._schema
+
+    def children(self):
+        return []
+
+    def batches(self) -> Iterator[Batch]:
+        return iter(self._batches)
+
+
+@functools.cache
+def _key_width_step(mesh: Mesh, stages: tuple, keys: tuple):
+    """Per sort key: (max row length across the wave, is_var flag)."""
+    spec = P("shard")
+
+    def per_device(batch: Batch):
+        b, mask = apply_stages(stages, _squeeze0(batch))
+        outs = []
+        for e, _asc in keys:
+            v = eval_expr(e, b)
+            if isinstance(v, VarColumn):
+                ml = jnp.max(jnp.where(
+                    jnp.logical_and(mask, v.validity),
+                    layout_ops.row_lengths(v.offsets), 0))
+                outs.append((jax.lax.pmax(ml, "shard")[None],
+                             jnp.ones(1, jnp.int32)))
+            else:
+                outs.append((jnp.zeros(1, jnp.int32),
+                             jnp.zeros(1, jnp.int32)))
+        return tuple(outs)
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec,),
+                       out_specs=P())
+    return jax.jit(fn)
+
+
+@functools.cache
+def _topk_step(mesh: Mesh, stages: tuple, specs: tuple, k: int):
+    from ..plan.physical import sort_permutation
+
+    spec = P("shard")
+
+    def per_device(batch: Batch):
+        b, mask = apply_stages(stages, _squeeze0(batch))
+        b = layout_ops.filter_batch(b, mask)
+        perm = sort_permutation(b, specs)
+        cnt = jnp.minimum(jnp.asarray(b.length, jnp.int32), k)
+        out = layout_ops.take_batch(b, perm[:k], cnt)
+        return _expand0(out)
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec)
+    return jax.jit(fn)
+
+
+MAX_DIST_TOPK = 1 << 16
+
+
+def plan_distributed_topk(sort_plan, fetch: int, config
+                          ) -> Optional[PhysicalPlan]:
+    """Lower Sort(keys)+Limit(fetch) over a scan chain to the mesh."""
+    from ..plan import logical as L
+    from ..plan.planner import create_physical_plan
+
+    mesh = _config_mesh(config)
+    if mesh is None or mesh.shape["shard"] <= 1:
+        return None
+    if fetch is None or fetch > MAX_DIST_TOPK:
+        return None
+    stages = []
+    node = sort_plan.input
+    while isinstance(node, (L.Filter, L.Project)):
+        if isinstance(node, L.Filter):
+            if contains_host_fn(node.predicate):
+                return None
+            stages.append(("filter", node.predicate, None))
+        else:
+            if any(contains_host_fn(e) for e in node.exprs):
+                return None
+            stages.append(("project", tuple(node.exprs), node.schema()))
+        node = node.input
+    if not isinstance(node, L.Scan):
+        return None
+    if any(contains_host_fn(e) for e, _ in sort_plan.keys):
+        return None
+    scan_exec = _host_scan_exec(node)
+    if scan_exec is None:
+        return None
+    for f in scan_exec.out_schema.all_fields:
+        if f.dtype.kind.value in ("list", "struct", "map"):
+            return None
+
+    def fallback():
+        return create_physical_plan(sort_plan)
+
+    return DistributedTopKExec(
+        keys=list(sort_plan.keys),
+        fetch=fetch,
+        out_schema=sort_plan.schema(),
+        source=scan_exec.source,
+        stages=tuple(reversed(stages)),
+        mesh=mesh,
+        fallback=fallback,
+    )

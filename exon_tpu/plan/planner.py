@@ -516,9 +516,25 @@ def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
         return P.AggregateExec(plan.group_exprs, plan.agg_exprs, plan.schema(),
                                child, pre_filter=pre_filter)
     if isinstance(plan, L.Sort):
+        if plan.fetch is not None and config is not None and \
+                getattr(config, "distributed", False):
+            from ..parallel.distributed import plan_distributed_topk
+
+            dist = plan_distributed_topk(plan, plan.fetch, config)
+            if dist is not None:
+                return dist
         return P.SortExec(plan.keys, create_physical_plan(plan.input, config),
                           plan.fetch)
     if isinstance(plan, L.Limit):
+        # Sort+Limit → distributed TopK over the mesh when enabled
+        if plan.fetch is not None and isinstance(plan.input, L.Sort) and \
+                config is not None and getattr(config, "distributed", False):
+            from ..parallel.distributed import plan_distributed_topk
+
+            dist = plan_distributed_topk(plan.input, plan.skip + plan.fetch,
+                                         config)
+            if dist is not None:
+                return P.LimitExec(plan.skip, plan.fetch, dist)
         return P.LimitExec(plan.skip, plan.fetch,
                            create_physical_plan(plan.input, config))
     if isinstance(plan, L.Window):

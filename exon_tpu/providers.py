@@ -1125,13 +1125,14 @@ class FastaTable(FileTable):
         return "exact" if R.is_region_filter(expr) else "none"
 
     def scan(self, projection=None, filters=(), limit=None,
-             prefix_hints=None) -> PhysicalPlan:
+             prefix_hints=None, host_batches=False) -> PhysicalPlan:
         regions = R.infer_regions_from_filters(filters)
         options = self.options
         if getattr(options, "regions", None):
             regions = list(options.regions) + regions
         if not regions:
-            return super().scan(projection, filters, limit, prefix_hints)
+            return super().scan(projection, filters, limit, prefix_hints,
+                                host_batches=host_batches)
         from urllib.parse import urlparse
 
         from .batch import batch_from_host, utf8_column

@@ -91,11 +91,37 @@ class FileTable(TableProvider):
                 data = decompress(store.get(meta.path), comp)
             return list(decode(data, options, projection))
 
+        def stream_file(store, meta) -> Iterator[Batch]:
+            """Bounded-memory path: decompress + decode in record-aligned
+            chunks (the reference's streaming BatchReader analog,
+            exon-fasta/src/batch_reader.rs:72-111). Peak RSS is
+            O(chunk), not O(file)."""
+            from .io import streaming as _st
+
+            _stem, comp = infer_compression(meta.path)
+            src = store.get_view(meta.path) if hasattr(store, "get_view") \
+                else store.get(meta.path)
+            boundary, hdr = fmt.stream
+            for chunk in _st.stream_record_chunks(
+                    src, comp, boundary, hdr, chunk_size=_st.DEFAULT_CHUNK):
+                yield from decode(chunk, options, projection)
+
         n_workers = _scan_workers()
 
         def source() -> Iterator[Batch]:
+            from .io.compression import Compression
+            from .io.streaming import DEFAULT_CHUNK
+
             produced = 0
-            for b in parallel_file_batches(files, decode_file, n_workers):
+            # large single compressed file + streamable format → chunked
+            # bounded-memory scan; otherwise per-file parallel decode
+            use_stream = (fmt.stream is not None and len(files) == 1
+                          and infer_compression(files[0][1].path)[1]
+                          != Compression.NONE
+                          and files[0][1].size > DEFAULT_CHUNK // 4)
+            gen = (stream_file(*files[0]) if use_stream else
+                   parallel_file_batches(files, decode_file, n_workers))
+            for b in gen:
                 yield b
                 if limit is not None:
                     produced += b.num_rows_host()
@@ -161,6 +187,9 @@ class FormatSpec:
     device_decode: Optional[callable] = None
     # decode accepts a zero-copy uint8 mmap view instead of bytes
     supports_view: bool = False
+    # bounded-memory streaming: (boundary_kind, header_prefixes) — see
+    # io/streaming.py. None → whole-file decode only.
+    stream: Optional[tuple] = None
 
 
 _FORMATS: dict[str, FormatSpec] = {}
@@ -197,6 +226,7 @@ def _register_builtin_formats() -> None:
         extension=".fasta",
         device_decode=fasta_dev.decode_fasta_device,
         supports_view=True,
+        stream=("fasta", ()),
     ))
 
     from .formats import fastq as fastq_mod
@@ -208,6 +238,7 @@ def _register_builtin_formats() -> None:
         default_options=fastq_mod.FastqOptions,
         extension=".fastq",
         device_decode=fastq_mod.decode_device,
+        stream=("fastq", ()),
     ))
 
     from .formats import bed as bed_mod
@@ -219,6 +250,7 @@ def _register_builtin_formats() -> None:
         decode=gff_mod.decode_host,
         default_options=gff_mod.GffOptions,
         extension=".gff",
+        stream=("line", ()),
     ))
     register_format(FormatSpec(
         name="GTF",
@@ -226,6 +258,7 @@ def _register_builtin_formats() -> None:
         decode=gff_mod.decode_host,
         default_options=gff_mod.GtfOptions,
         extension=".gtf",
+        stream=("line", ()),
     ))
     register_format(FormatSpec(
         name="BED",
@@ -233,6 +266,7 @@ def _register_builtin_formats() -> None:
         decode=bed_mod.decode_host,
         default_options=bed_mod.BedOptions,
         extension=".bed",
+        stream=("line", ()),
     ))
 
     from .formats import vcf as vcf_mod
@@ -243,6 +277,7 @@ def _register_builtin_formats() -> None:
         decode=vcf_mod.decode_host,
         default_options=vcf_mod.VcfOptions,
         extension=".vcf",
+        stream=("line", (b"#",)),
     ))
 
     from .formats import bcf as bcf_mod
@@ -270,6 +305,7 @@ def _register_builtin_formats() -> None:
         decode=sam_mod.decode_host,
         default_options=sam_mod.SamOptions,
         extension=".sam",
+        stream=("line", (b"@",)),
     ))
     from .formats import sdf as sdf_mod
 
@@ -279,6 +315,7 @@ def _register_builtin_formats() -> None:
         decode=sdf_mod.decode_host,
         default_options=sdf_mod.SdfOptions,
         extension=".sdf",
+        stream=("sdf", ()),
     ))
 
     from .formats import fcs as fcs_mod
@@ -329,6 +366,7 @@ def _register_builtin_formats() -> None:
         decode=hmm_mod.decode_host,
         default_options=hmm_mod.HmmDomTabOptions,
         extension=".hmmdomtab",
+        stream=("line", (b"#",)),
     ))
 
     from .formats import cram as cram_mod

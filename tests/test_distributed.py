@@ -193,3 +193,71 @@ def test_distributed_left_join_parity(session, join_gffs):
     got = _dist_session().sql(q).collect_arrow()
     assert ref.num_rows == got.num_rows >= 3000
     _assert_tables_equal(ref, got)
+
+
+# ---------------------------------------------------------------------------
+# Distributed TopK (ORDER BY … LIMIT)
+# ---------------------------------------------------------------------------
+
+
+def test_distributed_topk_numeric(session, big_fasta):
+    q = ("SELECT id, length(sequence) AS n FROM fasta_scan('%s') "
+         "ORDER BY n DESC, id LIMIT 17" % big_fasta)
+    ref = session.sql(q).collect_arrow()
+    dctx = _dist_session()
+    plan = dctx.sql(q)
+    from exon_tpu.parallel.distributed import DistributedTopKExec
+    phys = plan._physical if hasattr(plan, "_physical") else None
+    got = plan.collect_arrow()
+    _assert_tables_equal(ref, got)
+    assert got.num_rows == 17
+
+
+def test_distributed_topk_string_key(session, big_fasta):
+    q = ("SELECT id, sequence FROM fasta_scan('%s') "
+         "ORDER BY sequence LIMIT 9" % big_fasta)
+    ref = session.sql(q).collect_arrow()
+    got = _dist_session().sql(q).collect_arrow()
+    _assert_tables_equal(ref, got)
+
+
+def test_distributed_topk_with_filter(session, big_fasta):
+    q = ("SELECT id FROM fasta_scan('%s') WHERE sequence LIKE 'M%%' "
+         "ORDER BY id DESC LIMIT 5" % big_fasta)
+    ref = session.sql(q).collect_arrow()
+    got = _dist_session().sql(q).collect_arrow()
+    _assert_tables_equal(ref, got)
+
+
+def test_distributed_topk_offset(session, big_fasta):
+    q = ("SELECT id FROM fasta_scan('%s') ORDER BY id LIMIT 7 OFFSET 3"
+         % big_fasta)
+    ref = session.sql(q).collect_arrow()
+    got = _dist_session().sql(q).collect_arrow()
+    _assert_tables_equal(ref, got)
+
+
+def test_distributed_topk_gff(session):
+    q = ("SELECT seqname, start, \"end\" FROM gff_scan('%s') "
+         "ORDER BY \"end\" - start DESC, start LIMIT 11" % GFF)
+    ref = session.sql(q).collect_arrow()
+    got = _dist_session().sql(q).collect_arrow()
+    _assert_tables_equal(ref, got)
+
+
+def test_distributed_topk_uses_mesh(big_fasta):
+    """The lowering must actually produce a DistributedTopKExec."""
+    from exon_tpu.parallel.distributed import plan_distributed_topk
+    from exon_tpu.plan import logical as L
+    from exon_tpu.sql.frontend import plan_select
+    from exon_tpu.sql.parser import parse_sql
+
+    dctx = _dist_session()
+    stmt = parse_sql("SELECT id FROM fasta_scan('%s') ORDER BY id LIMIT 5"
+                     % big_fasta)[0]
+    lp = plan_select(dctx, stmt)
+    from exon_tpu.plan.planner import optimize
+    lp = optimize(lp)
+    assert isinstance(lp, L.Limit) and isinstance(lp.input, L.Sort)
+    dist = plan_distributed_topk(lp.input, 5, dctx.config)
+    assert dist is not None
