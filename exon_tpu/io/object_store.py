@@ -154,6 +154,16 @@ def get_store(url: str) -> tuple[ObjectStore, str]:
     key = f"{parsed.scheme}://{parsed.netloc}"
     if key in _REGISTRY:
         return _REGISTRY[key], parsed.path.lstrip("/")
+    if parsed.scheme in ("s3", "gs"):
+        # auto-register a real cloud client when env supplies endpoint or
+        # credentials (exon_register_object_store_url analog,
+        # exon-core/src/runtime_env/exon_runtime_env_ext.rs:50-89)
+        from .cloud import build_store_for_url
+
+        store = build_store_for_url(url)
+        if store is not None:
+            _REGISTRY[key] = store
+            return store, parsed.path.lstrip("/")
     raise ValueError(
         f"no object store registered for {key}; call register_store() "
         "(remote cloud credentials are resolved at registration time)")
