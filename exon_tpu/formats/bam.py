@@ -95,6 +95,12 @@ def parse_bam_header(data: bytes) -> BamHeader:
 def scan_record_offsets(data: bytes, start: int, end: Optional[int] = None
                         ) -> np.ndarray:
     """Record start offsets (pointing at block_size) in [start, end)."""
+    if end is None or end >= len(data):
+        from .. import native
+
+        offs = native.bam_record_offsets(data, start)
+        if offs is not None:
+            return offs
     end = len(data) if end is None else min(end, len(data))
     offsets = []
     off = start

@@ -60,9 +60,29 @@ def read_block(buf: bytes, offset: int) -> BlockInfo:
     return BlockInfo(offset, bsize, data)
 
 
-def decompress_range(buf: bytes, vstart: int, vend: int) -> bytes:
+def block_size_at(buf, offset: int) -> int:
+    """Total compressed size of the BGZF block at ``offset`` (BSIZE+1),
+    parsed from the header only — no decompression."""
+    if bytes(buf[offset:offset + 2]) != b"\x1f\x8b":
+        raise ValueError(f"not a gzip block at {offset}")
+    xlen = struct.unpack_from("<H", buf, offset + 10)[0]
+    i = offset + 12
+    end = i + xlen
+    while i + 4 <= end:
+        si1, si2 = buf[i], buf[i + 1]
+        slen = struct.unpack_from("<H", buf, i + 2)[0]
+        if si1 == 66 and si2 == 67:
+            return struct.unpack_from("<H", buf, i + 4)[0] + 1
+        i += 4 + slen
+    raise ValueError(f"missing BGZF BC subfield at {offset}")
+
+
+def decompress_range(buf, vstart: int, vend: int) -> bytes:
     """Decompress the uncompressed byte range [vstart, vend) given the
     containing compressed buffer (virtual positions)."""
+    native_out = _decompress_range_native(buf, vstart, vend)
+    if native_out is not None:
+        return native_out
     out = []
     pos = coffset(vstart)
     first = True
@@ -82,11 +102,60 @@ def decompress_range(buf: bytes, vstart: int, vend: int) -> bytes:
     return b"".join(out)
 
 
-def decompress_all(buf: bytes) -> bytes:
+def _decompress_range_native(buf, vstart: int, vend: int):
+    """Parallel libdeflate decode of the block slice covering
+    [vstart, vend): header-hop to find the slice bounds (no inflate), one
+    native multithreaded gunzip, trim by the within-block offsets."""
+    from .. import native
+
+    if not native.available():
+        return None
+    start_off = coffset(vstart)
+    end_blk = coffset(vend)
+    pos = start_off
+    last_size = 0
+    try:
+        while pos < len(buf):
+            size = block_size_at(buf, pos)
+            if size == 0:
+                break
+            if pos >= end_blk:
+                if pos > end_blk:
+                    return None  # vend not on a block boundary: fallback
+                last_size = size
+                break
+            pos += size
+    except ValueError:
+        return None
+    slice_end = min(pos + last_size, len(buf)) if last_size else min(pos, len(buf))
+    import numpy as np
+
+    seg = buf[start_off:slice_end]
+    if isinstance(seg, (bytes, bytearray, memoryview)):
+        seg = np.frombuffer(seg, np.uint8)
+    data = native.gunzip(seg)
+    if data is None:
+        return None
+    lo = uoffset(vstart)
+    if last_size and end_blk < len(buf):
+        # bytes contributed by the final block beyond vend
+        blk = read_block(buf, end_blk)
+        hi = len(data) - (len(blk.data) - uoffset(vend))
+    else:
+        hi = len(data)
+    return data[lo:hi].tobytes()
+
+
+def decompress_all(buf) -> bytes:
     """Decompress a whole BGZF stream (multi-member gzip fast path)."""
+    from .. import native
+
+    out = native.gunzip(buf)
+    if out is not None:
+        return out.tobytes()
     import gzip
 
-    return gzip.decompress(buf)
+    return gzip.decompress(bytes(buf))
 
 
 def compress_bgzf(data: bytes, block_size: int = 0xFF00, level: int = 6) -> bytes:

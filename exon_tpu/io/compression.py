@@ -68,15 +68,25 @@ def decompress(data: bytes, comp: Compression) -> bytes:
         # gzip magic with no suffix is almost certainly a mislabeled file.
         return data
     if comp in (Compression.GZIP, Compression.BGZF):
+        from .. import native
+
+        out = native.gunzip(data)  # libdeflate; BGZF blocks in parallel
+        if out is not None:
+            return out.tobytes()
         # multi-member gzip (BGZF is many members); zlib handles concatenation
         # via gzip.decompress
-        return gzip.decompress(data)
+        return gzip.decompress(bytes(data))
     if comp == Compression.ZSTD:
+        from .. import native
+
+        out = native.zstd_decompress(data)
+        if out is not None:
+            return out.tobytes()
         import zstandard
 
         dctx = zstandard.ZstdDecompressor()
         # stream decompress to handle unknown content size
-        return dctx.decompressobj().decompress(data)
+        return dctx.decompressobj().decompress(bytes(data))
     if comp == Compression.BZIP2:
         import bz2
 
@@ -86,6 +96,28 @@ def decompress(data: bytes, comp: Compression) -> bytes:
 
         return lzma.decompress(data)
     raise ValueError(comp)
+
+
+def decompress_view(data, comp: Compression):
+    """Like :func:`decompress` but returns a uint8 ndarray without the
+    final bytes copy — the zero-copy handoff for decoders that accept
+    buffer views (FormatSpec.supports_view)."""
+    import numpy as np
+
+    if comp == Compression.NONE:
+        return data if isinstance(data, np.ndarray) else \
+            np.frombuffer(data, np.uint8)
+    from .. import native
+
+    if comp in (Compression.GZIP, Compression.BGZF):
+        out = native.gunzip(data)
+        if out is not None:
+            return out
+    elif comp == Compression.ZSTD:
+        out = native.zstd_decompress(data)
+        if out is not None:
+            return out
+    return np.frombuffer(decompress(bytes(data), comp), np.uint8)
 
 
 def compress(data: bytes, comp: Compression) -> bytes:

@@ -21,29 +21,104 @@ from .compression import Compression
 DEFAULT_CHUNK = 48 << 20
 
 
+def prefetch(gen: Iterator, depth: int = 2) -> Iterator:
+    """Run ``gen`` in a background thread with a bounded queue so the
+    producer (decompression) overlaps the consumer (decode + device
+    compute). Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    DONE, ERR = object(), object()
+
+    def pump():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(DONE)
+        except BaseException as e:  # noqa: BLE001 - re-raised consumer-side
+            q.put((ERR, e))
+
+    t = threading.Thread(target=pump, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is DONE:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+            raise item[1]
+        yield item
+
+
+def _iter_gzip_zlib(mv: memoryview, read_size: int) -> Iterator[bytes]:
+    pos = 0
+    d = zlib.decompressobj(31)
+    while pos < len(mv):
+        piece = d.decompress(bytes(mv[pos:pos + read_size]))
+        pos += read_size
+        if piece:
+            yield piece
+        # multi-member gzip (BGZF): restart at member boundaries
+        while d.eof and d.unused_data:
+            tail = d.unused_data
+            d = zlib.decompressobj(31)
+            piece = d.decompress(tail)
+            if piece:
+                yield piece
+    tail = d.flush()
+    if tail:
+        yield tail
+
+
+def _iter_bgzf_native(src, target_out: int = 32 << 20
+                      ) -> Optional[Iterator[bytes]]:
+    """BGZF members are independent deflate streams: group blocks into
+    ~target_out-sized slices and inflate each slice natively with all
+    cores (libdeflate). Returns None when the source isn't wholly BGZF
+    or the native library is absent."""
+    import numpy as np
+
+    from .. import native
+
+    if not native.available():
+        return None
+    arr = src if isinstance(src, np.ndarray) else np.frombuffer(src, np.uint8)
+    table = native.bgzf_blocks(arr)
+    if table is None:
+        return None
+    in_off, in_size, out_size = table
+
+    def gen() -> Iterator[bytes]:
+        n = len(in_off)
+        i = 0
+        while i < n:
+            j, out_total = i, 0
+            while j < n and (out_total < target_out or j == i):
+                out_total += int(out_size[j])
+                j += 1
+            lo = int(in_off[i])
+            hi = int(in_off[j - 1] + in_size[j - 1])
+            piece = native.gunzip(arr[lo:hi])
+            if piece is None:  # corrupt mid-file: surface as zlib would
+                raise zlib.error(f"bad BGZF block near offset {lo}")
+            yield piece.tobytes()
+            i = j
+
+    return gen()
+
+
 def _iter_decompressed(src, comp: Compression, read_size: int = 8 << 20
                        ) -> Iterator[bytes]:
     """Yield decompressed pieces from a bytes/memoryview/ndarray source."""
-    mv = memoryview(src)
     if comp in (Compression.GZIP, Compression.BGZF):
-        pos = 0
-        d = zlib.decompressobj(31)
-        while pos < len(mv):
-            piece = d.decompress(bytes(mv[pos:pos + read_size]))
-            pos += read_size
-            if piece:
-                yield piece
-            # multi-member gzip (BGZF): restart at member boundaries
-            while d.eof and d.unused_data:
-                tail = d.unused_data
-                d = zlib.decompressobj(31)
-                piece = d.decompress(tail)
-                if piece:
-                    yield piece
-        tail = d.flush()
-        if tail:
-            yield tail
-    elif comp == Compression.ZSTD:
+        native_gen = _iter_bgzf_native(src)
+        if native_gen is not None:
+            yield from native_gen
+        else:
+            yield from _iter_gzip_zlib(memoryview(src), read_size)
+        return
+    mv = memoryview(src)
+    if comp == Compression.ZSTD:
         import zstandard
 
         d = zstandard.ZstdDecompressor().decompressobj()

@@ -119,6 +119,27 @@ def get_lib():
                                np.ctypeslib.ndpointer(np.int64),
                                np.ctypeslib.ndpointer(np.int64),
                                ctypes.c_int64]
+    try:
+        lib.exon_gzip_out_size.restype = ctypes.c_int64
+        lib.exon_gzip_out_size.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.exon_gunzip.restype = ctypes.c_int64
+        lib.exon_gunzip.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                    ctypes.c_char_p, ctypes.c_int64,
+                                    ctypes.c_int32]
+        lib.exon_bgzf_blocks.restype = ctypes.c_int64
+        lib.exon_bgzf_blocks.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64]
+        lib.exon_zstd_decompress.restype = ctypes.c_int64
+        lib.exon_zstd_decompress.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                             ctypes.c_char_p, ctypes.c_int64]
+        lib.exon_bam_record_offsets.restype = ctypes.c_int64
+        lib.exon_bam_record_offsets.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64]
+    except AttributeError:
+        pass
     _LIB = lib
     return _LIB
 
@@ -244,6 +265,98 @@ def fasta_fill_sequences(data: bytes, header_start: np.ndarray,
     if wrote != total:
         return None
     return out
+
+
+def gunzip(data, n_threads: int = 0):
+    """Decompress gzip/BGZF via libdeflate — BGZF members inflate in
+    parallel across all cores (the TPU-ingest analog of noodles-bgzf's
+    per-block reader, streaming_bgzf.rs:56-118). Returns a uint8 ndarray,
+    or None when the native path can't size/handle the stream (caller
+    falls back to zlib)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_gunzip"):
+        return None
+    ptr, n = _as_ptr(data)
+    if n < 18:
+        return None
+    size = int(lib.exon_gzip_out_size(ptr, n))
+    if size < 0:
+        return None
+    for _ in range(3):
+        out = np.empty(max(size, 1), np.uint8)
+        wrote = int(lib.exon_gunzip(ptr, n, out.ctypes.data_as(
+            ctypes.c_char_p), out.size, n_threads))
+        if wrote >= 0:
+            return out[:wrote]
+        if wrote == -2:  # size hint short (>4GiB ISIZE wrap / multi-member)
+            size = out.size * 4 + (64 << 20)
+            continue
+        return None
+    return None
+
+
+def bgzf_blocks(data):
+    """(in_offset, in_size, out_size) int64 arrays for a wholly-BGZF
+    buffer, or None. Lets streaming ingest cut chunk boundaries on block
+    edges and decompress each slice natively in parallel."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_bgzf_blocks"):
+        return None
+    ptr, n = _as_ptr(data)
+    cap = max(16, n // 1024)  # BGZF blocks are <=64KiB; start generous
+    while True:
+        in_off = np.empty(cap, np.int64)
+        in_size = np.empty(cap, np.int64)
+        out_size = np.empty(cap, np.int64)
+        count = int(lib.exon_bgzf_blocks(ptr, n, in_off, in_size, out_size,
+                                         cap))
+        if count < 0:
+            return None
+        if count <= cap:
+            return in_off[:count], in_size[:count], out_size[:count]
+        cap = count
+
+
+def bam_record_offsets(data, start: int):
+    """Record start offsets of BAM alignment blocks (block_size hops in
+    C). Returns int64 ndarray, None if unavailable, or raises on a
+    malformed record length."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_bam_record_offsets"):
+        return None
+    ptr, n = _as_ptr(data)
+    cap = max(16, (n - start) // 44 + 16)
+    while True:
+        out = np.empty(cap, np.int64)
+        count = int(lib.exon_bam_record_offsets(ptr, n, start, out, cap))
+        if count < 0:
+            from .errors import ExonError
+
+            raise ExonError(f"malformed BAM record length near offset {start}")
+        if count <= cap:
+            return out[:count]
+        cap = count
+
+
+def zstd_decompress(data, size_hint: int = 0):
+    """Streaming zstd decompress via libzstd (no frame-content-size
+    requirement). Returns uint8 ndarray or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_zstd_decompress"):
+        return None
+    ptr, n = _as_ptr(data)
+    cap = max(size_hint, 4 * n, 1 << 20)
+    for _ in range(4):
+        out = np.empty(cap, np.uint8)
+        wrote = int(lib.exon_zstd_decompress(
+            ptr, n, out.ctypes.data_as(ctypes.c_char_p), out.size))
+        if wrote >= 0:
+            return out[:wrote]
+        if wrote == -2:
+            cap *= 4
+            continue
+        return None
+    return None
 
 
 def scan_lines(data, comment: int = 0):

@@ -288,6 +288,22 @@ class AggregateExec(PhysicalPlan):
     # -- ungrouped ----------------------------------------------------------
 
     def _ungrouped(self) -> Batch:
+        if (self.pre_filter is None and isinstance(self.input, ScanExec)
+                and all(c.fn == "count" and c.child is None
+                        for c in self.agg_calls)):
+            # COUNT(*) over a bare scan evaluates no columns: sum row
+            # counts during ingest (DataFusion's count-over-scan shape).
+            # No device program, no transfers — the scan stays pure host
+            # ingest and the tunneled-TPU program-load cost vanishes.
+            total = 0
+            for hb in self.input.source():
+                n = hb.length
+                total += int(n) if isinstance(n, (int, np.integer)) \
+                    else hb.num_rows_host()
+            partials = [np.int64(total) for _ in self.agg_calls]
+            cols, _n = _finalize_ungrouped(partials, self.agg_calls,
+                                           self.out_schema)
+            return Batch(self.out_schema, cols, np.int32(1))
         step = _jit_ungrouped_partial(tuple(self.agg_calls), self.pre_filter)
         # accumulate per-batch partials as *device* values — dispatch stays
         # async, one host sync at the end (critical on tunneled TPUs where

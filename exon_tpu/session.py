@@ -19,6 +19,44 @@ from .plan import logical as L
 from .tables import FileTable, get_format, registered_formats
 
 
+_PREWARMED = False
+
+
+def _prewarm_backend() -> None:
+    """Fire a tiny multi-input jit program in a daemon thread at session
+    creation. Tunneled TPU runtimes (axon) pay a one-time multi-minute
+    initialization on the FIRST multi-argument executable of a process;
+    issuing it immediately lets that server-side wait overlap host-side
+    ingest/decode instead of blocking the user's first real query.
+    Measured 2026-08: first 2-arg program 150-430 s, every later program
+    <1 s; single-arg programs never trigger it."""
+    global _PREWARMED
+    if _PREWARMED:
+        return
+    _PREWARMED = True
+    import os
+    import threading
+
+    if os.environ.get("EXON_TPU_NO_PREWARM"):
+        return
+
+    def warm():
+        try:
+            import jax
+            import numpy as np
+
+            if jax.default_backend() == "cpu":
+                return
+            a = jax.device_put(np.arange(8, dtype=np.int64))
+            b = jax.device_put(np.arange(8, dtype=np.int64))
+            jax.block_until_ready(jax.jit(lambda x, y: (x + y).sum())(a, b))
+        except Exception:  # pragma: no cover - prewarm is best-effort
+            pass
+
+    threading.Thread(target=warm, daemon=True,
+                     name="exon-tpu-prewarm").start()
+
+
 class ExonSession:
     def __init__(self, config: Optional[SessionConfig] = None):
         self.config = config or new_exon_config()
@@ -29,6 +67,7 @@ class ExonSession:
         from .providers import register_indexed_providers
 
         register_indexed_providers()
+        _prewarm_backend()
 
     # -- constructors (parity names) ---------------------------------------
 

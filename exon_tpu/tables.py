@@ -78,15 +78,16 @@ class FileTable(TableProvider):
         decode = fmt.device_decode if use_device else fmt.decode
 
         def decode_file(store, meta) -> list:
-            from .io.compression import Compression
+            from .io.compression import Compression, decompress_view
             from .tracing import logger as _log
 
             _log.debug("scan open fmt=%s path=%s size=%d", fmt.name,
                        meta.path, meta.size)
             _stem, comp = infer_compression(meta.path)
-            if comp == Compression.NONE and fmt.supports_view and \
-                    hasattr(store, "get_view"):
-                data = store.get_view(meta.path)
+            if fmt.supports_view and hasattr(store, "get_view"):
+                # zero-copy mmap view; compressed files decompress natively
+                # (parallel BGZF / libdeflate) straight into a uint8 array
+                data = decompress_view(store.get_view(meta.path), comp)
             else:
                 data = decompress(store.get(meta.path), comp)
             return list(decode(data, options, projection))
@@ -102,23 +103,30 @@ class FileTable(TableProvider):
             src = store.get_view(meta.path) if hasattr(store, "get_view") \
                 else store.get(meta.path)
             boundary, hdr = fmt.stream
-            for chunk in _st.stream_record_chunks(
-                    src, comp, boundary, hdr, chunk_size=_st.DEFAULT_CHUNK):
+            chunks = _st.stream_record_chunks(
+                src, comp, boundary, hdr, chunk_size=_st.DEFAULT_CHUNK)
+            # decompress chunk k+1 while decoding chunk k
+            for chunk in _st.prefetch(chunks, depth=1):
                 yield from decode(chunk, options, projection)
 
         n_workers = _scan_workers()
 
         def source() -> Iterator[Batch]:
             from .io.compression import Compression
-            from .io.streaming import DEFAULT_CHUNK
 
             produced = 0
-            # large single compressed file + streamable format → chunked
-            # bounded-memory scan; otherwise per-file parallel decode
-            use_stream = (fmt.stream is not None and len(files) == 1
-                          and infer_compression(files[0][1].path)[1]
-                          != Compression.NONE
-                          and files[0][1].size > DEFAULT_CHUNK // 4)
+            # single compressed file whose DECOMPRESSED size would blow the
+            # memory budget → chunked bounded-memory scan; otherwise
+            # whole-file native decompress (faster: one-shot libdeflate /
+            # parallel BGZF) with per-file parallel decode
+            use_stream = False
+            if fmt.stream is not None and len(files) == 1:
+                comp = infer_compression(files[0][1].path)[1]
+                if comp != Compression.NONE:
+                    est_out = files[0][1].size * 4
+                    budget = int(_os.environ.get(
+                        "EXON_TPU_STREAM_THRESHOLD", 1 << 30))
+                    use_stream = est_out > budget
             gen = (stream_file(*files[0]) if use_stream else
                    parallel_file_batches(files, decode_file, n_workers))
             for b in gen:

@@ -2,5 +2,6 @@
 # Build the native ingest library.
 set -e
 cd "$(dirname "$0")"
-g++ -O3 -march=native -fPIC -shared -pthread -o libexon_native.so fasta_scan.cpp
+g++ -O3 -march=native -fPIC -shared -pthread -o libexon_native.so \
+    fasta_scan.cpp decomp.cpp -ldeflate -lzstd
 echo "built $(pwd)/libexon_native.so"
