@@ -44,64 +44,165 @@ def sdf_schema(options=None, data_keys: tuple[str, ...] = ("canonical_smiles",)
     )
 
 
-def _split_records(data: bytes) -> list[list[bytes]]:
-    """Record line-lists split on '$$$$' terminator lines."""
-    lines = data.split(b"\n")
-    records: list[list[bytes]] = []
-    cur: list[bytes] = []
-    for line in lines:
-        if line.endswith(b"\r"):
-            line = line[:-1]
-        if line.strip() == b"$$$$":
-            records.append(cur)
-            cur = []
-        else:
-            cur.append(line)
-    if any(l.strip() for l in cur):
-        records.append(cur)
-    return records
+def _record_line_spans(arr: np.ndarray, li: LineIndex
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(first_line, terminator_line) per record, split on '$$$$' lines.
+
+    Vectorized replacement for the per-line split: candidate terminators
+    are found with one numpy pass; only candidates with trailing bytes get
+    a (rare) python whitespace check.
+    """
+    starts, ends = li.starts, li.ends
+    lens = ends - starts
+    nl = len(starts)
+    idx = np.flatnonzero(lens >= 4)
+    if len(idx):
+        s = starts[idx]
+        is4 = ((arr[s] == 36) & (arr[s + 1] == 36)
+               & (arr[s + 2] == 36) & (arr[s + 3] == 36))
+        cand = idx[is4]
+    else:
+        cand = idx
+    exact = lens[cand] == 4
+    term_list = cand[exact]
+    loose = cand[~exact]
+    if len(loose):  # '$$$$' with trailing whitespace only (rare)
+        keep = [i for i in loose
+                if not bytes(arr[starts[i] + 4:ends[i]]).strip()]
+        term_list = np.sort(np.concatenate(
+            [term_list, np.asarray(keep, dtype=term_list.dtype)]))
+    term = term_list.astype(np.int64)
+    first = np.empty(len(term), np.int64)
+    if len(term):
+        first[0] = 0
+        first[1:] = term[:-1] + 1
+    # trailing lines after the last terminator form a record iff any is
+    # non-blank (matches the reference's tail handling)
+    tail_start = int(term[-1]) + 1 if len(term) else 0
+    if tail_start < nl:
+        tail_nonblank = False
+        for i in range(tail_start, nl):
+            if bytes(arr[starts[i]:ends[i]]).strip():
+                tail_nonblank = True
+                break
+        if tail_nonblank:
+            first = np.append(first, tail_start)
+            term = np.append(term, nl)
+    return first, term
+
+
+def _parse_counts(arr: np.ndarray, li: LineIndex, first: np.ndarray,
+                  term: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized %3d%3d counts-line parse (line 4 of each record)."""
+    n = len(first)
+    atom = np.zeros(n, np.int64)
+    bond = np.zeros(n, np.int64)
+    has = first + 3 < term  # record has >3 lines
+    rows = np.flatnonzero(has)
+    if not len(rows):
+        return atom.astype(np.uint32), bond.astype(np.uint32)
+    cl = first[rows] + 3
+    cs, ce = li.starts[cl], li.ends[cl]
+    ok = (ce - cs) >= 6
+    vals = []
+    for fld in range(2):
+        v = np.zeros(len(rows), np.int64)
+        seen = np.zeros(len(rows), bool)
+        for k in range(3):
+            pos = np.minimum(cs + 3 * fld + k, len(arr) - 1)
+            ch = arr[pos]
+            digit = (ch >= 48) & (ch <= 57)
+            ok &= digit | (ch == 32)
+            v = np.where(digit, v * 10 + (ch - 48), v)
+            seen |= digit
+        ok &= seen
+        vals.append(v)
+    if not ok.all():
+        bad = int(rows[np.flatnonzero(~ok)[0]])
+        line = bytes(arr[li.starts[first[bad] + 3]:li.ends[first[bad] + 3]])
+        raise ExonError(f"invalid SDF counts line: {line!r}")
+    atom[rows], bond[rows] = vals
+    return atom.astype(np.uint32), bond.astype(np.uint32)
+
+
+def _headers(arr: np.ndarray, li: LineIndex, first: np.ndarray,
+             term: np.ndarray) -> list[str]:
+    """First 3 lines per record, stripped, non-empty joined with '\\n'."""
+    starts, ends = li.starts, li.ends
+    out = []
+    for f, t in zip(first, term):
+        hi = min(f + 3, t)
+        parts = [bytes(arr[starts[j]:ends[j]]).strip().decode(
+            "utf-8", "replace") for j in range(f, hi)]
+        out.append("\n".join(p for p in parts if p))
+    return out
+
+
+def _data_sections(arr: np.ndarray, li: LineIndex, first: np.ndarray,
+                   term: np.ndarray, atom: np.ndarray, bond: np.ndarray
+                   ) -> tuple[list[dict], list[str]]:
+    """'> <key>' property sections per record (values until blank line)."""
+    starts, ends = li.starts, li.ends
+    lens = ends - starts
+    n = len(first)
+    # candidate key lines: start with '>'
+    gt = np.flatnonzero((lens >= 1) & (arr[np.minimum(
+        starts, len(arr) - 1)] == 62))
+    rec_of = np.searchsorted(term, gt, side="right")
+    data_maps: list[dict] = [dict() for _ in range(n)]
+    key_order: list[str] = []
+    seen_keys: set = set()
+    blank = lens == 0  # post-strip blank (LineIndex strips \r already)
+    # a line of spaces also terminates a value block
+    for j, r in zip(gt, rec_of):
+        if r >= n:
+            continue
+        body_start = first[r] + 4 + int(atom[r]) + int(bond[r])
+        if j < body_start or j >= term[r]:
+            continue
+        m = _KEY_RE.match(bytes(arr[starts[j]:ends[j]]))
+        if not m:
+            continue
+        key = m.group(1).decode("utf-8", "replace")
+        vals = []
+        k = j + 1
+        while k < term[r]:
+            if blank[k] or not bytes(arr[starts[k]:ends[k]]).strip():
+                break
+            vals.append(bytes(arr[starts[k]:ends[k]]).decode(
+                "utf-8", "replace"))
+            k += 1
+        data_maps[r][key] = "\n".join(vals)
+        if key not in seen_keys:
+            seen_keys.add(key)
+            key_order.append(key)
+    return data_maps, key_order
 
 
 def decode_host(data: bytes, options: SdfOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
-    records = _split_records(data)
-    n = len(records)
+    arr = to_u8(data)
+    li = LineIndex(arr)
+    first, term = _record_line_spans(arr, li)
+    n = len(first)
     if n == 0:
         return
-    headers: list[str] = []
-    atom_counts = np.zeros(n, np.uint32)
-    bond_counts = np.zeros(n, np.uint32)
-    data_maps: list[dict] = []
+    # column work is projection-gated: a COUNT(*) scan parses nothing
+    # beyond record spans; counts parse only when needed
+    need_keys = options.data_keys is None
+    proj_set = set(projection) if projection is not None else None
+    want = lambda c: proj_set is None or c in proj_set
+    need_counts = want("atom_count") or want("bond_count") or want("data")
+    if need_counts:
+        atom_counts, bond_counts = _parse_counts(arr, li, first, term)
+    else:
+        atom_counts = bond_counts = np.zeros(n, np.uint32)
+    headers = _headers(arr, li, first, term) if want("header") else None
+    data_maps: Optional[list[dict]] = None
     key_order: list[str] = []
-    seen_keys = set()
-    for i, lines in enumerate(records):
-        hdr = [l.strip().decode("utf-8", "replace") for l in lines[:3]]
-        headers.append("\n".join(h for h in hdr if h))
-        if len(lines) > 3:
-            counts = lines[3]
-            try:
-                atom_counts[i] = int(counts[0:3])
-                bond_counts[i] = int(counts[3:6])
-            except (ValueError, IndexError):
-                raise ExonError(f"invalid SDF counts line: {counts!r}")
-        props: dict = {}
-        j = 4 + int(atom_counts[i]) + int(bond_counts[i])
-        while j < len(lines):
-            m = _KEY_RE.match(lines[j])
-            if m:
-                key = m.group(1).decode("utf-8", "replace")
-                vals = []
-                j += 1
-                while j < len(lines) and lines[j].strip():
-                    vals.append(lines[j].decode("utf-8", "replace"))
-                    j += 1
-                props[key] = "\n".join(vals)
-                if key not in seen_keys:
-                    seen_keys.add(key)
-                    key_order.append(key)
-            j += 1
-        data_maps.append(props)
-
+    if want("data") or need_keys:
+        data_maps, key_order = _data_sections(arr, li, first, term,
+                                              atom_counts, bond_counts)
     keys = options.data_keys or (tuple(key_order) if key_order
                                  else ("canonical_smiles",))
     schema = sdf_schema(options, keys)

@@ -335,22 +335,35 @@ class SdfTable(TableProvider):
     _keys: Optional[tuple] = None
 
     def _infer_keys(self) -> tuple:
+        """Data-struct keys from the FIRST record of the first file — the
+        reference's behavior (sdf/table_provider.rs:146-181 reads one
+        record into SDFSchemaBuilder). Only a prefix of the file is
+        decompressed."""
         if self._keys is None:
             import re
 
-            from .io.compression import decompress, infer_compression
+            from .io.compression import infer_compression
+            from .io.streaming import _iter_decompressed
 
             keys: list[str] = []
-            seen = set()
             rx = re.compile(rb"^>\s*<(.*?)>", re.M)
-            for store, meta in self.files():
-                _stem, comp = infer_compression(meta.path)
-                data = decompress(store.get(meta.path), comp)
-                for m in rx.finditer(data):
-                    k = m.group(1).decode("utf-8", "replace")
-                    if k not in seen:
-                        seen.add(k)
-                        keys.append(k)
+            store, meta = self.files()[0]
+            _stem, comp = infer_compression(meta.path)
+            head = bytearray()
+            src = store.get_view(meta.path) if hasattr(store, "get_view") \
+                else store.get(meta.path)
+            for piece in _iter_decompressed(src, comp, read_size=1 << 20):
+                head += piece
+                if b"$$$$" in head or len(head) > (64 << 20):
+                    break
+            cut = head.find(b"$$$$")
+            first_rec = bytes(head[:cut if cut >= 0 else len(head)])
+            seen = set()
+            for m in rx.finditer(first_rec):
+                k = m.group(1).decode("utf-8", "replace")
+                if k not in seen:
+                    seen.add(k)
+                    keys.append(k)
             self._keys = tuple(keys) or ("canonical_smiles",)
         return self._keys
 
@@ -369,7 +382,7 @@ class SdfTable(TableProvider):
 
     def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
         from .formats.sdf import decode_host
-        from .io.compression import decompress, infer_compression
+        from .io.compression import decompress_view, infer_compression
 
         schema = self.schema()
         proj = list(projection) if projection is not None else schema.names
@@ -382,7 +395,9 @@ class SdfTable(TableProvider):
         def source() -> Iterator[Batch]:
             for store, meta in files:
                 _stem, comp = infer_compression(meta.path)
-                data = decompress(store.get(meta.path), comp)
+                src = store.get_view(meta.path) \
+                    if hasattr(store, "get_view") else store.get(meta.path)
+                data = decompress_view(src, comp)
                 yield from decode_host(data, options, proj)
 
         return ScanExec(scan_schema, source)
