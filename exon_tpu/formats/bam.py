@@ -112,6 +112,82 @@ def scan_record_offsets(data: bytes, start: int, end: Optional[int] = None
     return np.asarray(offsets, dtype=np.int64)
 
 
+def record_spans(data, offsets: np.ndarray
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ref_id, start_1based, end_1based) per record — the cheap subset of
+    decode used for host-side region filtering after an index seek (the
+    reference's SemiLazyRecord::alignment_end + intersects,
+    exon-bam/src/indexed_async_batch_stream.rs:40-88)."""
+    from .textutil import to_u8
+
+    arr = to_u8(data)
+    body = offsets + 4
+    ref_id = _i32(arr, body)
+    pos0 = _i32(arr, body + 4)
+    n_cigar = _u16(arr, body + 12)
+    l_read_name = arr[body + 8].astype(np.int64)
+    cigar_start = body + 32 + l_read_name
+    cig_offs = cumsum_exclusive(n_cigar)
+    total_ops = int(cig_offs[-1])
+    spans = np.zeros(len(offsets), np.int64)
+    if total_ops:
+        rep = np.repeat(np.arange(len(offsets)), n_cigar)
+        op_idx = np.repeat(cigar_start - 4 * cig_offs[:-1], n_cigar) + \
+            4 * np.arange(total_ops, dtype=np.int64)
+        opv = (arr[op_idx].astype(np.int64)
+               | arr[op_idx + 1].astype(np.int64) << 8
+               | arr[op_idx + 2].astype(np.int64) << 16
+               | arr[op_idx + 3].astype(np.int64) << 24)
+        ref_consumed = (opv >> 4) * CIGAR_CONSUMES_REF[
+            np.clip(opv & 0xF, 0, 8)]
+        np.add.at(spans, rep, ref_consumed)
+    start = pos0 + 1
+    return ref_id, start, start + spans - 1
+
+
+def region_intersect_mask(data, offsets: np.ndarray, rid: int,
+                          rstart: Optional[int], rend: Optional[int]
+                          ) -> np.ndarray:
+    """Mask of records on reference `rid` intersecting the 1-based
+    inclusive interval [rstart, rend] (None = open end). Unmapped records
+    (pos < 0) never match."""
+    ref_id, start, end = record_spans(data, offsets)
+    mask = (ref_id == rid) & (start >= 1)
+    if rend is not None:
+        mask &= start <= rend
+    if rstart is not None:
+        mask &= end >= rstart
+    return mask
+
+
+def read_header_prefix(raw) -> "BamHeader":
+    """Parse the BAM header by decompressing only leading BGZF blocks
+    (doubling until the header parses) — not the whole file."""
+    from ..io import bgzf as bgzf_mod
+
+    n = len(raw)
+    take = 1 << 18
+    while True:
+        # cut at a block boundary <= take
+        pos = 0
+        try:
+            while pos < n:
+                size = bgzf_mod.block_size_at(raw, pos)
+                if size == 0 or pos + size > take:
+                    break
+                pos += size
+        except ValueError:
+            pos = n  # not BGZF-framed beyond here; use what we have
+        data = bgzf_mod.decompress_all(bytes(raw[:pos])) if pos < n \
+            else bgzf_mod.decompress_all(raw)
+        try:
+            return parse_bam_header(data)
+        except (struct.error, IndexError, ExonError):
+            if pos >= n:
+                raise
+            take *= 4
+
+
 def _i32(arr: np.ndarray, offs: np.ndarray) -> np.ndarray:
     return (arr[offs].astype(np.int64)
             | arr[offs + 1].astype(np.int64) << 8

@@ -161,9 +161,40 @@ def _split_list_field(arr, s, e, sep: int) -> ListColumn:
     return ListColumn(child, list_offs.astype(np.int32), ~null)
 
 
+_FIELD_IDX = {"chrom": 0, "pos": 1, "id": 2, "ref": 3, "alt": 4, "qual": 5,
+              "filter": 6, "info": 7, "formats": 8}
+
+
+def region_row_mask(arr: np.ndarray, fs: np.ndarray, fe: np.ndarray,
+                    region) -> np.ndarray:
+    """Rows whose CHROM equals region.name and POS lies in the 1-based
+    inclusive [region.start, region.end] (None = open). The exact
+    post-index-seek row filter (vcf/table_provider.rs region residual),
+    vectorized over the already-split fields."""
+    from .textutil import parse_int_fields
+
+    nb = region.name.encode()
+    s0, e0 = fs[:, 0], fe[:, 0]
+    keep = (e0 - s0) == len(nb)
+    lim = max(len(arr) - 1, 0)
+    for k, ch in enumerate(nb):
+        keep &= arr[np.minimum(s0 + k, lim)] == ch
+    rstart = getattr(region, "start", None)
+    rend = getattr(region, "end", None)
+    if rstart is not None or rend is not None:
+        pos, ok = parse_int_fields(arr, fs[:, 1], fe[:, 1])
+        keep &= ok
+        if rstart is not None:
+            keep &= pos >= rstart
+        if rend is not None:
+            keep &= pos <= rend
+    return keep
+
+
 def decode_host(data: bytes, options: VcfOptions,
                 projection: Optional[list[str]] = None,
-                with_header: Optional[VcfHeader] = None) -> Iterator[Batch]:
+                with_header: Optional[VcfHeader] = None,
+                region=None) -> Iterator[Batch]:
     arr = to_u8(data)
     if len(arr) == 0:
         return
@@ -182,10 +213,27 @@ def decode_host(data: bytes, options: VcfOptions,
         return
     typed_formats = getattr(options, "parse_formats", False) and \
         header.formats
-    n_fields = 9 if (header.samples or "formats" in proj) else 8
     if typed_formats:
         n_fields = 9 + max(len(header.samples), 1)
-    fs, fe, present = split_fields(arr, li.starts, li.ends, max(n_fields, 8))
+    elif header.samples or "formats" in proj:
+        n_fields = 9
+    else:
+        # split only as many fields as the projection (and region mask)
+        # touch — the tail fields' boundary bookkeeping is dead weight on
+        # narrow scans like COUNT
+        needed = [_FIELD_IDX[c] for c in proj if c in _FIELD_IDX]
+        if region is not None:
+            needed.append(1)
+        n_fields = min(8, max(needed, default=0) + 2)
+    fs, fe, present = split_fields(arr, li.starts, li.ends, max(n_fields, 2))
+    if region is not None:
+        keep = region_row_mask(arr, fs, fe, region)
+        if not keep.all():
+            li = li.select(keep)
+            fs, fe, present = fs[keep], fe[keep], present[keep]
+            n = len(li)
+        if n == 0:
+            return
 
     bs = options.batch_size
     for lo in range(0, n, bs):
@@ -305,8 +353,7 @@ def _typed_formats_column(arr, fs, fe, present, lo, hi, header: VcfHeader):
 
 def _decode_vcf_col(name, arr, fs, fe, present, lo, hi, li,
                     header: VcfHeader, options=None):
-    idx = {"chrom": 0, "pos": 1, "id": 2, "ref": 3, "alt": 4, "qual": 5,
-           "filter": 6, "info": 7, "formats": 8}[name]
+    idx = _FIELD_IDX[name]
     if name == "formats":
         if options is not None and getattr(options, "parse_formats", False) \
                 and header.formats:

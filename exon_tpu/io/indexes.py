@@ -11,6 +11,7 @@ Regions are 1-based inclusive (`docs/vcf_expression_rewriting.md:92`).
 
 from __future__ import annotations
 
+import functools
 import re
 import struct
 from dataclasses import dataclass
@@ -179,7 +180,13 @@ class TabixIndex:
 
 
 def parse_tabix(data: bytes) -> TabixIndex:
-    """Parse a .tbi file (bgzf-compressed binary)."""
+    """Parse a .tbi file (bgzf-compressed binary). Cached by content —
+    repeated region queries against the same table skip the re-parse."""
+    return _parse_tabix_cached(bytes(data))
+
+
+@functools.lru_cache(maxsize=32)
+def _parse_tabix_cached(data: bytes) -> "TabixIndex":
     raw = decompress_all(data)
     if raw[:4] != b"TBI\x01":
         raise ValueError("not a tabix index")
@@ -315,7 +322,12 @@ class BaiIndex:
 
 
 def parse_bai(data: bytes) -> BaiIndex:
-    """Parse a .bai file (plain binary, NOT bgzf)."""
+    """Parse a .bai file (plain binary, NOT bgzf). Content-cached."""
+    return _parse_bai_cached(bytes(data))
+
+
+@functools.lru_cache(maxsize=32)
+def _parse_bai_cached(data: bytes) -> "BaiIndex":
     if data[:4] != b"BAI\x01":
         raise ValueError("not a BAI index")
     (n_ref,) = struct.unpack_from("<i", data, 4)

@@ -52,12 +52,12 @@ class VcfTable(TableProvider):
 
         if getattr(self.options, "parse_info", False) or \
                 getattr(self.options, "parse_formats", False):
-            from .io.compression import decompress, infer_compression
+            from .io.compression import infer_compression
 
             store, meta = self.files()[0]
             _stem, comp = infer_compression(meta.path)
-            header = parse_header_only(decompress(store.get(meta.path),
-                                                  comp))
+            header = parse_header_only(
+                _decompress_header_prefix(store, meta, comp))
             return vcf_schema(self.options, header)
         return vcf_schema(self.options)
 
@@ -91,7 +91,15 @@ class VcfTable(TableProvider):
         schema = self.schema()
         proj = list(projection) if projection is not None else schema.names
         scan_proj = list(proj)
-        if regions:
+        # indexed chunks are row-filtered exactly host-side; only the
+        # unindexed fallback needs chrom/pos in the scan for a residual
+        # FilterExec
+        all_indexed = bool(regions) and all(
+            infer_compression(meta.path)[1] in (Compression.BGZF,
+                                                Compression.GZIP)
+            and store.exists(meta.path + ".tbi")
+            for store, meta in self.files())
+        if regions and not all_indexed:
             for need in ("chrom", "pos"):
                 if need not in scan_proj:
                     scan_proj.append(need)
@@ -105,10 +113,13 @@ class VcfTable(TableProvider):
                         and store.exists(meta.path + ".tbi"):
                     tbi = parse_tabix(store.get(meta.path + ".tbi"))
                     for region in regions:
-                        for chunk in tbi.query(region):
+                        for chunk in _coalesce_chunks(tbi.query(region)):
                             text = read_bgzf_chunk(store, meta.path, chunk,
                                                    meta.size)
-                            yield from decode_host(text, options, scan_proj)
+                            # exact host row filter after the index seek —
+                            # no residual device filter needed
+                            yield from decode_host(text, options, scan_proj,
+                                                   region=region)
                 else:
                     from .io.compression import decompress
 
@@ -116,7 +127,7 @@ class VcfTable(TableProvider):
                     yield from decode_host(data, options, scan_proj)
 
         plan: PhysicalPlan = ScanExec(scan_schema, source)
-        if regions:
+        if regions and not all_indexed:
             exprs = [R.region_to_point_expr(r, "chrom", "pos") for r in regions]
             pred = exprs[0]
             for e in exprs[1:]:
@@ -182,62 +193,53 @@ class BamTable(TableProvider):
             regions = list(options.regions) + regions
         schema = self.schema()
         proj = list(projection) if projection is not None else schema.names
-        scan_proj = list(proj)
-        if regions:
-            for need in ("reference", "start", "end"):
-                if need not in scan_proj:
-                    scan_proj.append(need)
-        scan_schema = schema.project(scan_proj)
+        scan_schema = schema.project(proj)
         files = self.files()
 
         def source() -> Iterator[Batch]:
+            from .formats.bam import (read_header_prefix,
+                                      region_intersect_mask)
+
             for store, meta in files:
-                raw = store.get(meta.path)
+                raw = store.get_view(meta.path) \
+                    if hasattr(store, "get_view") else store.get(meta.path)
                 if regions and store.exists(meta.path + ".bai"):
                     bai = parse_bai(store.get(meta.path + ".bai"))
-                    # header from the start of the file
                     from .io import bgzf as bgzf_mod
 
-                    head_data = decompress_all(raw)
-                    header = parse_bam_header(head_data)
+                    header = read_header_prefix(raw)
                     for region in regions:
                         try:
                             rid = header.ref_names.index(region.name)
                         except ValueError:
                             continue
-                        for chunk in bai.query(rid, region):
-                            vs = bgzf_mod.make_vpos(0, bgzf_mod.uoffset(chunk.vstart))
+                        for chunk in _coalesce_chunks(bai.query(rid, region)):
+                            vs = bgzf_mod.make_vpos(
+                                0, bgzf_mod.uoffset(chunk.vstart))
                             ve = bgzf_mod.make_vpos(
-                                bgzf_mod.coffset(chunk.vend) - bgzf_mod.coffset(chunk.vstart),
+                                bgzf_mod.coffset(chunk.vend)
+                                - bgzf_mod.coffset(chunk.vstart),
                                 bgzf_mod.uoffset(chunk.vend))
-                            buf = raw[bgzf_mod.coffset(chunk.vstart):]
+                            buf = bytes(
+                                raw[bgzf_mod.coffset(chunk.vstart):])
                             data = bgzf_mod.decompress_range(buf, vs, ve)
                             offsets = scan_record_offsets(data, 0)
-                            yield from decode_records(data, offsets, header,
-                                                      options, scan_proj)
+                            # exact row filter HOST-side after the index
+                            # seek (indexed_async_batch_stream.rs:66-88);
+                            # downstream sees only matching rows, so
+                            # COUNT(*) needs no device program at all
+                            keep = region_intersect_mask(
+                                data, offsets, rid, region.start, region.end)
+                            yield from decode_records(data, offsets[keep],
+                                                      header, options, proj)
                 else:
                     data = decompress_all(raw)
                     header = parse_bam_header(data)
                     offsets = scan_record_offsets(data, header.header_end)
                     yield from decode_records(data, offsets, header,
-                                              options, scan_proj)
+                                              options, proj)
 
-        plan: PhysicalPlan = ScanExec(scan_schema, source)
-        if regions:
-            exprs = [R.region_to_interval_expr(r, "reference", "start", "end")
-                     for r in regions]
-            pred = exprs[0]
-            for e in exprs[1:]:
-                from .plan.expressions import BinaryOp
-
-                pred = BinaryOp("or", pred, e)
-            plan = FilterExec(pred, plan)
-            if scan_proj != proj and proj:
-                from .plan.expressions import col
-
-                plan = ProjectExec([col(n) for n in proj],
-                                   schema.project(proj), plan)
-        return plan
+        return ScanExec(scan_schema, source)
 
 
 def make_bam_provider(url: str, options, config):
@@ -322,6 +324,49 @@ def make_vcf_provider(url: str, options, config):
             parse_info=getattr(config, "vcf_parse_info", False),
             parse_formats=getattr(config, "vcf_parse_formats", False))
     return VcfTable(url, options, config)
+
+
+def _decompress_header_prefix(store, meta, comp) -> bytes:
+    """Decompress only enough of a '#'-headered text file to cover its
+    header lines (the schema pass must not inflate a multi-GB file)."""
+    from .io.streaming import _iter_decompressed
+
+    src = store.get_view(meta.path) if hasattr(store, "get_view") \
+        else store.get(meta.path)
+    buf = bytearray()
+    for piece in _iter_decompressed(src, comp, read_size=1 << 20):
+        buf += piece
+        # complete non-header line present? (header lines start with '#')
+        start = 0
+        done = False
+        while True:
+            nl = buf.find(b"\n", start)
+            if nl < 0:
+                break
+            if buf[start:start + 1] != b"#":
+                done = True
+                break
+            start = nl + 1
+        if done or len(buf) > (256 << 20):
+            break
+    return bytes(buf)
+
+
+def _coalesce_chunks(chunks, max_gap: int = 1 << 20):
+    """Merge index chunks whose compressed ranges are within ``max_gap``
+    bytes — one decompress_range + one decode per run instead of one per
+    bin chunk. Safe only when the caller row-filters exactly afterwards
+    (records in the gaps are dropped by the intersect mask)."""
+    from .io.indexes import Chunk
+
+    out: list = []
+    for c in sorted(chunks, key=lambda c: c.vstart):
+        if out and (c.vstart >> 16) - (out[-1].vend >> 16) <= max_gap:
+            if c.vend > out[-1].vend:
+                out[-1] = Chunk(out[-1].vstart, c.vend)
+        else:
+            out.append(Chunk(c.vstart, c.vend))
+    return out
 
 
 @dataclasses.dataclass
