@@ -35,6 +35,9 @@ class SessionConfig:
     # the mesh's 'shard' axis with an all_to_all partial exchange.
     distributed: bool = False
     n_shards: int = 0                          # 0 → all visible devices
+    # joins: partition BOTH sides by key hash over the mesh (all_to_all)
+    # instead of broadcasting the build side — for large⋈large joins
+    partitioned_join: bool = False
 
     def __post_init__(self):
         if self.target_partitions <= 0:
@@ -43,7 +46,8 @@ class SessionConfig:
             self.distributed = True
 
     _EXON_FLAGS = ("vcf_parse_info", "vcf_parse_formats", "sam_parse_tags",
-                   "bam_parse_tags", "cram_parse_tags", "distributed")
+                   "bam_parse_tags", "cram_parse_tags", "distributed",
+                   "partitioned_join")
 
     def set_option(self, key: str, value: str) -> None:
         if key.startswith("exon."):

@@ -17,6 +17,23 @@ correctness-tested (interpreter mode in CI, verified on hardware) as the
 substrate for future fusions where the balance flips — e.g. multi-query SW
 batching where the MXU one-hot matmul formulation applies — but the engine
 defaults to the XLA paths everywhere. Profile before switching defaults.
+
+Round-3 remeasurement (same chip, per-call synced — scripts/
+pallas_substr_bench.py): the engine's hot op mix is already at or near
+roofline under XLA, so a hand kernel has nothing to win on these paths:
+  * substring LIKE '%pat%' (k=7 shifted-AND over an 8 MiB flat buffer):
+    0.043 ms ≈ 197 GB/s; jnp.roll variant 0.034 ms ≈ 250 GB/s — XLA fuses
+    the k shifts into one HBM pass (a Pallas halo-tile kernel could at
+    best ~2x this, and Mosaic rejects the 1-D byte concatenate needed for
+    the halo; per-dispatch overhead dominates at batch shapes anyway).
+  * scatter-add grouped count 4M rows → 1024 groups: 0.055 ms (~300 GB/s);
+    one-hot MXU dot formulation 0.026 ms — both far below dispatch cost.
+  * The one genuine XLA weakness found: large sorts — jnp.sort of 16M
+    int32 runs 61 ms (~1 GB/s, bitonic). A Pallas radix sort is the
+    standing candidate; the blocker is TPU's lack of vectorized scatter
+    in-kernel (stable rank placement serializes). Engine sorts are
+    per-8192-row-batch (sub-ms) except SortExec breakers, so this is not
+    on the benchmark critical path today.
 """
 
 from __future__ import annotations

@@ -1212,3 +1212,266 @@ def plan_distributed_topk(sort_plan, fetch: int, config
         mesh=mesh,
         fallback=fallback,
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned (non-broadcast) join: all_to_all by key hash
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistributedPartitionedJoinExec(PhysicalPlan):
+    """Equi-join with BOTH sides hash-partitioned over the mesh.
+
+    The broadcast-probe DistributedJoinExec replicates the whole build side
+    to every device — wrong shape when both sides are large. Here each side
+    is partitioned by a splittable hash of the join key inside ``shard_map``
+    and exchanged with one ``lax.all_to_all``, so every key group lands
+    wholly on one device and the match computation parallelizes with no
+    replication (the TPU analog of DataFusion's Partitioned hash-join mode,
+    exon-core/src/config/mod.rs:31).
+
+    Late materialization keeps ICI traffic minimal: only (key-hash i64,
+    row-id i32) pairs ride the exchange; matching emits (left_row,
+    right_row) index pairs, and rows materialize host-side with one
+    vectorized Arrow ``take`` per side. Output ordering is normalized to
+    probe-stream order (stable lexsort of the pair list), so results are
+    IDENTICAL to the single-device JoinExec, row order included.
+
+    Key equality uses the engine's 64-bit content hash for var-width keys —
+    the same guarantee the grouped aggregate documents (collision odds
+    ~ n²/2⁻⁶⁴, plan/physical.py _group_key_i64).
+    """
+
+    left: PhysicalPlan
+    right: PhysicalPlan
+    on: list
+    how: str  # inner | left
+    filter: Optional[object]
+    out_schema: Schema
+    mesh: Mesh
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def children(self):
+        return [self.left, self.right]
+
+    def batches(self) -> Iterator[Batch]:
+        import pyarrow as pa
+
+        from ..plan.physical import FilterExec
+
+        lexprs = tuple(l for l, _ in self.on)
+        rexprs = tuple(r for _, r in self.on)
+        ltab, lkeys, lvalid = _collect_side(self.left, lexprs)
+        rtab, rkeys, rvalid = _collect_side(self.right, rexprs)
+        nL = len(lkeys)
+        if nL == 0:
+            return
+        lidx = np.flatnonzero(lvalid).astype(np.int32)
+        ridx = np.flatnonzero(rvalid).astype(np.int32)
+        pairs = _exchange_match_pairs(self.mesh, lkeys[lidx], lidx,
+                                      rkeys[ridx], ridx, self.how)
+        if self.how == "left":
+            inv = np.flatnonzero(~lvalid).astype(np.int32)
+            if len(inv):
+                extra = np.stack([inv, np.full(len(inv), -1, np.int32)], 1)
+                pairs = np.concatenate([pairs, extra]) if len(pairs) \
+                    else extra
+        if len(pairs) == 0:
+            return
+        # normalize to probe order; within a probe row, build-row order
+        # (matches JoinExec's stable sorted-build emission)
+        order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+        pairs = pairs[order]
+        l_take = pa.array(pairs[:, 0].astype(np.int64))
+        rvals = pairs[:, 1].astype(np.int64)
+        r_take = pa.array(rvals, mask=rvals < 0)
+        ltaken = ltab.take(l_take)
+        rtaken = rtab.take(r_take)
+        arrays = list(ltaken.columns) + list(rtaken.columns)
+        out = pa.table(dict(zip(self.out_schema.names,
+                                [a.combine_chunks() for a in arrays])))
+        bs = 8192
+        out_batches = []
+        for lo in range(0, out.num_rows, bs):
+            rb = out.slice(lo, min(bs, out.num_rows - lo)).to_batches()
+            for b in rb:
+                if b.num_rows:
+                    out_batches.append(
+                        Batch.from_arrow(b, self.out_schema))
+        inner = _Materialized(self.out_schema, out_batches)
+        plan = FilterExec(self.filter, inner) if self.filter is not None \
+            else inner
+        yield from plan.batches()
+
+
+def _collect_side(side: PhysicalPlan, key_exprs: tuple):
+    """Stream a side once: host Arrow table + int64 content key + valid
+    mask per row (keys evaluated on device, only keys transferred back)."""
+    import pyarrow as pa
+
+    from ..batch import arrow_type
+
+    schema = side.schema()
+    rbs, keys, valids = [], [], []
+    for b in side.batches():
+        step = _pjoin_key_step(key_exprs)
+        k, m = step(b)
+        k, m = jax.device_get((k, m))
+        n = b.num_rows_host()
+        keys.append(np.asarray(k)[:n])
+        valids.append(np.asarray(m)[:n])
+        rbs.append(b.to_arrow())
+    if rbs:
+        tab = pa.Table.from_batches(rbs)
+        return (tab, np.concatenate(keys), np.concatenate(valids))
+    tab = pa.table({f.name: pa.array([], type=arrow_type(f.dtype))
+                    for f in schema.all_fields})
+    return tab, np.zeros(0, np.int64), np.zeros(0, bool)
+
+
+@functools.cache
+def _pjoin_key_step(key_exprs: tuple):
+    from ..plan.physical import _group_key_i64
+
+    @jax.jit
+    def step(b: Batch):
+        return _group_key_i64(key_exprs, b), b.row_mask()
+
+    return step
+
+
+def _exchange_match_pairs(mesh: Mesh, lkeys, lrow, rkeys, rrow, how: str,
+                          max_tries: int = 3) -> np.ndarray:
+    """Partition both key lists over the mesh, match per device, return
+    (left_row, right_row) pairs (right −1 = unmatched left, how='left')."""
+    n_dev = mesh.shape["shard"]
+    spec = NamedSharding(mesh, P("shard"))
+
+    def stage(keys, rows):
+        chunk = max(1, -(-len(keys) // n_dev))
+        pad = chunk * n_dev - len(keys)
+        k = np.pad(keys, (0, pad)).reshape(n_dev, chunk)
+        r = np.pad(rows, (0, pad)).reshape(n_dev, chunk)
+        m = np.arange(chunk)[None, :] + np.arange(n_dev)[:, None] * chunk \
+            < len(keys)
+        return (jax.device_put(k, spec), jax.device_put(r.astype(np.int32),
+                                                        spec),
+                jax.device_put(m, spec))
+
+    lk, lr, lm = stage(lkeys, lrow)
+    rk, rr, rm = stage(rkeys, rrow)
+    bucket_cap = int(bucket_capacity(
+        max(64, 2 * max(len(lkeys), len(rkeys), 1) // max(n_dev, 1) + 64)))
+    for attempt in range(max_tries):
+        count_step = _pjoin_count_step(mesh, how, bucket_cap)
+        totals, ovf = jax.device_get(count_step(lk, lr, lm, rk, rr, rm))
+        if bool(ovf.any()):
+            bucket_cap *= 4
+            continue
+        max_total = int(np.max(totals, initial=0))
+        if max_total == 0:
+            return np.zeros((0, 2), np.int32)
+        out_cap = int(bucket_capacity(max_total))
+        emit_step = _pjoin_emit_step(mesh, how, bucket_cap, out_cap)
+        pairs, npairs = jax.device_get(emit_step(lk, lr, lm, rk, rr, rm))
+        out = [pairs[d, :int(npairs[d])] for d in range(n_dev)]
+        return np.concatenate(out) if out else np.zeros((0, 2), np.int32)
+    raise StateOverflowError(
+        f"partitioned join bucket overflow at cap {bucket_cap} "
+        f"(pathological key skew); use the broadcast join")
+
+
+def _pjoin_local(axis, how: str, bucket_cap: int, lk, lr, lm, rk, rr, rm):
+    """Inside shard_map: exchange both sides, locally match. Returns
+    (recv left row/mask, counts, lo, sorted right rows, n_out)."""
+    from .shuffle import hash_partition_shuffle
+
+    lk2, lm2, (lr2,), ovl = hash_partition_shuffle(
+        axis, lk, lm, [lr], bucket_cap)
+    rk2, rm2, (rr2,), ovr = hash_partition_shuffle(
+        axis, rk, rm, [rr], bucket_cap)
+    big = jnp.int64(1) << jnp.int64(62)
+    rk_s = jnp.where(rm2, rk2, big)
+    perm = jnp.argsort(rk_s, stable=True).astype(jnp.int32)
+    rk_sorted = rk_s[perm]
+    rr_sorted = rr2[perm]
+    lo = jnp.searchsorted(rk_sorted, lk2, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(rk_sorted, lk2, side="right").astype(jnp.int32)
+    counts = jnp.where(lm2, hi - lo, 0).astype(jnp.int32)
+    out_counts = jnp.maximum(counts, lm2.astype(jnp.int32)) \
+        if how == "left" else counts
+    return lm2, lr2, counts, out_counts, lo, rr_sorted, ovl | ovr
+
+
+def _pjoin_count_step(mesh: Mesh, how: str, bucket_cap: int):
+    spec = P("shard")
+
+    def per_device(lk, lr, lm, rk, rr, rm):
+        res = _pjoin_local("shard", how, bucket_cap, lk[0], lr[0], lm[0],
+                           rk[0], rr[0], rm[0])
+        _lm2, _lr2, _counts, out_counts, _lo, _rr_s, ovf = res
+        return jnp.sum(out_counts)[None], ovf[None]
+
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(spec,) * 6, out_specs=spec)
+    return jax.jit(fn)
+
+
+def _pjoin_emit_step(mesh: Mesh, how: str, bucket_cap: int, out_cap: int):
+    spec = P("shard")
+
+    def per_device(lk, lr, lm, rk, rr, rm):
+        lm2, lr2, counts, out_counts, lo, rr_sorted, _ovf = _pjoin_local(
+            "shard", how, bucket_cap, lk[0], lr[0], lm[0],
+            rk[0], rr[0], rm[0])
+        cum = jnp.cumsum(out_counts)
+        starts = cum - out_counts
+        slot = jnp.arange(out_cap, dtype=jnp.int32)
+        li = jnp.searchsorted(cum, slot, side="right").astype(jnp.int32)
+        li_c = jnp.clip(li, 0, lm2.shape[0] - 1)
+        within = slot - starts[li_c]
+        n_out = cum[-1] if cum.shape[0] else jnp.int32(0)
+        valid = slot < n_out
+        r_sorted_idx = jnp.clip(lo[li_c] + within, 0,
+                                rr_sorted.shape[0] - 1)
+        matched = counts[li_c] > 0
+        rout = jnp.where(matched, rr_sorted[r_sorted_idx], -1)
+        lout = lr2[li_c]
+        pairs = jnp.stack([jnp.where(valid, lout, 0),
+                           jnp.where(valid, rout, 0)], axis=1)
+        return pairs[None], n_out.astype(jnp.int32)[None]
+
+    fn = jax.shard_map(per_device, mesh=mesh,
+                       in_specs=(spec,) * 6, out_specs=spec)
+    return jax.jit(fn)
+
+
+def plan_distributed_partitioned_join(join_plan, config
+                                      ) -> Optional[PhysicalPlan]:
+    """Planner hook: SET exon.partitioned_join = true selects the
+    partitioned exchange over the default broadcast-probe join."""
+    from ..plan import logical as L
+    from ..plan.planner import create_physical_plan
+
+    mesh = _config_mesh(config)
+    if mesh is None or mesh.shape["shard"] <= 1:
+        return None
+    if join_plan.how not in ("inner", "left"):
+        return None
+    exprs = [x for pair in join_plan.on for x in pair]
+    if join_plan.filter is not None:
+        exprs.append(join_plan.filter)
+    if any(contains_host_fn(e) for e in exprs):
+        return None
+    return DistributedPartitionedJoinExec(
+        left=create_physical_plan(join_plan.left, config),
+        right=create_physical_plan(join_plan.right, config),
+        on=join_plan.on,
+        how=join_plan.how,
+        filter=join_plan.filter,
+        out_schema=join_plan.schema(),
+        mesh=mesh,
+    )

@@ -551,6 +551,13 @@ def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
         from .join_exec import JoinExec
 
         if config is not None and getattr(config, "distributed", False):
+            if getattr(config, "partitioned_join", False):
+                from ..parallel.distributed import \
+                    plan_distributed_partitioned_join
+
+                dist = plan_distributed_partitioned_join(plan, config)
+                if dist is not None:
+                    return dist
             from ..parallel.distributed import plan_distributed_join
 
             dist = plan_distributed_join(plan, config)

@@ -261,3 +261,82 @@ def test_distributed_topk_uses_mesh(big_fasta):
     assert isinstance(lp, L.Limit) and isinstance(lp.input, L.Sort)
     dist = plan_distributed_topk(lp.input, 5, dctx.config)
     assert dist is not None
+
+
+# ---------------------------------------------------------------------------
+# Partitioned (non-broadcast) join
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def join_tables(tmp_path):
+    """Two GFF-derived CSV-ish fixtures via memory tables."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 4000, 1500
+    lk = rng.integers(0, 800, size=n_l)
+    left = pa.table({
+        "k": lk.astype(np.int64),
+        "lval": rng.integers(0, 1000, size=n_l).astype(np.int64),
+        "name": pa.array([f"row{i}" for i in range(n_l)]),
+    })
+    rk = rng.integers(0, 1000, size=n_r)
+    right = pa.table({
+        "k": rk.astype(np.int64),
+        "rval": rng.integers(0, 1000, size=n_r).astype(np.int64),
+    })
+    return left, right
+
+
+def _run_join(cfg_kwargs, left, right, sql):
+    from exon_tpu.sql.frontend import MemTable
+
+    ctx = ExonSession.with_config_exon(new_exon_config(**cfg_kwargs))
+    ctx.register_table("l", MemTable(left))
+    ctx.register_table("r", MemTable(right))
+    return ctx.sql(sql).collect_arrow()
+
+
+@pytest.mark.parametrize("how_sql", [
+    "SELECT l.k, lval, rval FROM l JOIN r ON l.k = r.k",
+    "SELECT l.k, lval, rval FROM l LEFT JOIN r ON l.k = r.k",
+    "SELECT l.name, rval FROM l JOIN r ON l.k = r.k WHERE rval > 500",
+])
+def test_partitioned_join_parity(join_tables, how_sql):
+    left, right = join_tables
+    base = _run_join({}, left, right, how_sql)
+    part = _run_join({"distributed": True, "partitioned_join": True},
+                     left, right, how_sql)
+    _assert_tables_equal(base, part)
+
+
+def test_partitioned_join_string_keys(tmp_path):
+    import pyarrow as pa
+
+    rng = np.random.default_rng(3)
+    names = [f"chr{i}" for i in range(1, 23)]
+    left = pa.table({
+        "c": pa.array([names[i % len(names)] for i in range(3000)]),
+        "v": pa.array(np.arange(3000, dtype=np.int64)),
+    })
+    right = pa.table({
+        "c": pa.array([names[i % 7] for i in range(300)]),
+        "w": pa.array(np.arange(300, dtype=np.int64) * 10),
+    })
+    sql = "SELECT l.c, v, w FROM l JOIN r ON l.c = r.c"
+    base = _run_join({}, left, right, sql)
+    part = _run_join({"distributed": True, "partitioned_join": True},
+                     left, right, sql)
+    _assert_tables_equal(base, part)
+
+
+def test_partitioned_join_left_nulls(join_tables):
+    left, right = join_tables
+    sql = ("SELECT l.k, rval FROM l LEFT JOIN r ON l.k = r.k")
+    base = _run_join({}, left, right, sql)
+    part = _run_join({"distributed": True, "partitioned_join": True},
+                     left, right, sql)
+    _assert_tables_equal(base, part)
+    # unmatched keys (800..999 absent on left; keys >= 800 only on right)
+    assert base.num_rows >= 4000
