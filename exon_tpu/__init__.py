@@ -19,9 +19,29 @@ _jax.config.update("jax_enable_x64", True)
 # Persistent XLA compilation cache: TPU kernel compiles are expensive
 # (10-40s each on some runtimes); caching makes every query shape pay that
 # once per machine, not once per process.
+def _machine_tag() -> str:
+    # key the cache by CPU feature set: XLA:CPU AOT artifacts compiled on
+    # a different microarchitecture fail to load (cpu_aot_loader "machine
+    # type doesn't match" errors) and can even SIGILL
+    import hashlib
+    import platform as _pf
+
+    tag = _pf.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += hashlib.md5(line.encode()).hexdigest()[:8]
+                    break
+    except OSError:
+        pass
+    return tag
+
+
 _cache_dir = _os.environ.get(
     "EXON_TPU_XLA_CACHE",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "exon_tpu_xla"))
+    _os.path.join(_os.path.expanduser("~"), ".cache",
+                  "exon_tpu_xla_" + _machine_tag()))
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     _jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -1,0 +1,58 @@
+"""Served engine (exon_tpu.serve) + exon-py-analog client round trip."""
+
+import numpy as np
+import pytest
+
+from exon_tpu import ExonSession
+from exon_tpu.client import ExonClient, ExonClientError
+from exon_tpu.serve import ExonServer
+
+FASTA = "/root/reference/exon/exon-core/test-data/datasources/fasta/test.fasta"
+
+
+@pytest.fixture(scope="module")
+def server():
+    with ExonServer() as srv:
+        yield srv
+
+
+def test_health(server):
+    assert ExonClient(server.address).health()
+    assert not ExonClient("http://127.0.0.1:1").health()
+
+
+def test_sql_roundtrip(server):
+    client = ExonClient(server.address)
+    tab = client.sql("SELECT 1 AS one, 'x' AS s")
+    assert tab.column_names == ["one", "s"]
+    assert tab.column("one").to_pylist() == [1]
+    assert tab.column("s").to_pylist() == ["x"]
+
+
+def test_sql_scan_through_server(server):
+    client = ExonClient(server.address)
+    tab = client.sql(f"SELECT id, sequence FROM fasta_scan('{FASTA}') "
+                     f"ORDER BY id")
+    assert tab.num_rows == 2
+    assert tab.column("id").to_pylist() == ["a", "b"]
+    df = client.sql_df(f"SELECT COUNT(*) AS n FROM fasta_scan('{FASTA}')")
+    assert int(df["n"][0]) == 2
+
+
+def test_sql_error_surface(server):
+    client = ExonClient(server.address)
+    with pytest.raises(ExonClientError):
+        client.sql("SELECT definitely_not_a_function(1)")
+
+
+def test_server_shares_session_state():
+    ctx = ExonSession.new_exon()
+    with ExonServer(session=ctx) as srv:
+        client = ExonClient(srv.address)
+        client.sql(f"CREATE EXTERNAL TABLE seqs STORED AS FASTA "
+                   f"LOCATION '{FASTA}'")
+        tab = client.sql("SELECT COUNT(*) AS n FROM seqs")
+        assert tab.column("n").to_pylist() == [2]
+        # the registered table is visible on the embedded session too
+        assert ctx.sql("SELECT COUNT(*) FROM seqs").collect_arrow() \
+            .column(0).to_pylist() == [2]
