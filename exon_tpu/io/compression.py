@@ -98,6 +98,55 @@ def decompress(data: bytes, comp: Compression) -> bytes:
     raise ValueError(comp)
 
 
+class _Identity:
+    def compress(self, data: bytes) -> bytes:
+        return data
+
+    def flush(self) -> bytes:
+        return b""
+
+
+class _BgzfStream:
+    """Incremental BGZF: each compress() call emits whole blocks; flush()
+    appends the EOF marker."""
+
+    def compress(self, data: bytes) -> bytes:
+        from . import bgzf
+
+        out = bgzf.compress_bgzf(data)
+        return out[:-len(bgzf.BGZF_EOF)]
+
+    def flush(self) -> bytes:
+        from . import bgzf
+
+        return bgzf.BGZF_EOF
+
+
+def stream_compressor(comp: Compression):
+    """Incremental compressor with .compress(bytes)->bytes / .flush()
+    (COPY TO writes batch-by-batch instead of buffering the result)."""
+    if comp == Compression.NONE:
+        return _Identity()
+    if comp == Compression.GZIP:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co
+    if comp == Compression.BGZF:
+        return _BgzfStream()
+    if comp == Compression.ZSTD:
+        import zstandard
+
+        return zstandard.ZstdCompressor().compressobj()
+    if comp == Compression.BZIP2:
+        import bz2
+
+        return bz2.BZ2Compressor()
+    if comp == Compression.XZ:
+        import lzma
+
+        return lzma.LZMACompressor()
+    raise ValueError(comp)
+
+
 def decompress_view(data, comp: Compression):
     """Like :func:`decompress` but returns a uint8 ndarray without the
     final bytes copy — the zero-copy handoff for decoders that accept

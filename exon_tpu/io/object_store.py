@@ -48,6 +48,12 @@ class ObjectStore:
     def put(self, path: str, data: bytes) -> None:
         raise NotImplementedError
 
+    def put_stream(self, path: str, chunks) -> None:
+        """Write an object from an iterator of byte chunks. Default
+        accumulates (remote stores need one-shot uploads); LocalStore
+        writes incrementally so COPY TO never buffers the whole file."""
+        self.put(path, b"".join(chunks))
+
 
 class LocalStore(ObjectStore):
     def __init__(self, root: str = "/"):
@@ -95,6 +101,15 @@ class LocalStore(ObjectStore):
         os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
         with open(p, "wb") as f:
             f.write(data)
+
+    def put_stream(self, path: str, chunks) -> None:
+        p = self._abs(path)
+        os.makedirs(os.path.dirname(p) or ".", exist_ok=True)
+        tmp = p + ".exon-tmp"
+        with open(tmp, "wb") as f:
+            for c in chunks:
+                f.write(c)
+        os.replace(tmp, p)
 
     def get_view(self, path: str):
         """Zero-copy uint8 view of the file (mmap) — the hot ingest path

@@ -74,46 +74,78 @@ class CopyToExec(PhysicalPlan):
         return Schema.of(dt.Field("count", dt.int64, False))
 
     def batches(self) -> Iterator[Batch]:
+        """Streaming write: each input batch serializes and flows through
+        an incremental compressor into store.put_stream — peak memory is
+        O(batch), not O(result) (the reference's SimpleRecordSink streams
+        the same way, simple_record_sink.rs:81-140)."""
         import pyarrow as pa
 
-        rbs = [b.to_arrow() for b in self.input.batches()]
-        rbs = [rb for rb in rbs if rb.num_rows]
-        if rbs:
-            table = pa.Table.from_batches(rbs)
-        else:
-            from ..plan.physical import _empty_batch
+        from ..io.compression import stream_compressor
+        from ..plan.physical import _empty_batch
 
-            table = pa.Table.from_batches([_empty_batch(self.input_schema).to_arrow()])
-        n = table.num_rows
         fmt = self.file_format.upper()
         store, path = get_store(self.target_url)
         _stem, comp = infer_compression(self.target_url)
+        n = 0
 
-        if fmt == "FASTA":
-            payload = compress(serialize_fasta(table), comp)
-            store.put(path, payload)
-        elif fmt == "FASTQ":
-            payload = compress(serialize_fastq(table), comp)
-            store.put(path, payload)
-        elif fmt == "CSV":
-            import pyarrow.csv as pacsv
+        def tables() -> Iterator:
+            nonlocal n
+            any_rows = False
+            for b in self.input.batches():
+                rb = b.to_arrow()
+                if rb.num_rows == 0:
+                    continue
+                any_rows = True
+                n += rb.num_rows
+                yield pa.Table.from_batches([rb])
+            if not any_rows:
+                yield pa.Table.from_batches(
+                    [_empty_batch(self.input_schema).to_arrow()])
 
-            buf = io.BytesIO()
-            pacsv.write_csv(table, buf)
-            store.put(path, compress(buf.getvalue(), comp))
-        elif fmt == "PARQUET":
+        if fmt == "PARQUET":
             import pyarrow.parquet as pq
 
             buf = io.BytesIO()
-            pq.write_table(table, buf)
+            writer = None
+            for t in tables():
+                if writer is None:
+                    writer = pq.ParquetWriter(buf, t.schema)
+                writer.write_table(t)
+            writer.close()
             store.put(path, buf.getvalue())
-        elif fmt == "JSON":
-            buf = io.StringIO()
-            for row in table.to_pylist():
-                import json
+        elif fmt in ("FASTA", "FASTQ", "CSV", "JSON"):
+            co = stream_compressor(comp)
 
-                buf.write(json.dumps(row) + "\n")
-            store.put(path, compress(buf.getvalue().encode(), comp))
+            def chunks() -> Iterator[bytes]:
+                first = True
+                for t in tables():
+                    if fmt == "FASTA":
+                        payload = serialize_fasta(t)
+                    elif fmt == "FASTQ":
+                        payload = serialize_fastq(t)
+                    elif fmt == "CSV":
+                        import pyarrow.csv as pacsv
+
+                        buf = io.BytesIO()
+                        pacsv.write_csv(
+                            t, buf, write_options=pacsv.WriteOptions(
+                                include_header=first))
+                        payload = buf.getvalue()
+                    else:
+                        import json
+
+                        payload = "".join(
+                            json.dumps(row) + "\n"
+                            for row in t.to_pylist()).encode()
+                    first = False
+                    out = co.compress(payload)
+                    if out:
+                        yield out
+                tail = co.flush()
+                if tail:
+                    yield tail
+
+            store.put_stream(path, chunks())
         else:
             raise ExecutionError(f"COPY format {fmt} not supported")
 
