@@ -52,16 +52,17 @@ def first_record_tags(data: bytes, header: "BamHeader") -> list[tuple]:
     offsets = scan_record_offsets(data, header.header_end)
     if len(offsets) == 0:
         return []
-    arr = np.frombuffer(data, np.uint8)
     off = int(offsets[0])
     (block_size,) = struct.unpack_from("<i", data, off)
-    body = off + 4
-    l_read_name = data[body + 8]
-    (n_cigar,) = struct.unpack_from("<H", data, body + 12)
-    (l_seq,) = struct.unpack_from("<i", data, body + 16)
+    # materialize just the first record (data may be an ndarray view)
+    rec = bytes(memoryview(data)[off:off + 4 + block_size])
+    body = 4
+    l_read_name = rec[body + 8]
+    (n_cigar,) = struct.unpack_from("<H", rec, body + 12)
+    (l_seq,) = struct.unpack_from("<i", rec, body + 16)
     aux_start = body + 32 + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 \
         + l_seq
-    return parse_bam_aux(data, aux_start, off + 4 + block_size)
+    return parse_bam_aux(rec, aux_start, len(rec))
 
 
 @dataclass
@@ -72,19 +73,23 @@ class BamHeader:
     header_end: int  # offset of first alignment record in decompressed data
 
 
-def parse_bam_header(data: bytes) -> BamHeader:
-    if data[:4] != b"BAM\x01":
+def parse_bam_header(data) -> BamHeader:
+    """Parse the BAM header. ``data`` may be bytes or a uint8 ndarray (the
+    zero-copy decompression view); only header bytes are materialized."""
+    if bytes(memoryview(data)[:4]) != b"BAM\x01":
         raise ExonError("not a BAM file (bad magic)")
     (l_text,) = struct.unpack_from("<i", data, 4)
-    text = data[8:8 + l_text].split(b"\x00", 1)[0].decode("utf-8", "replace")
+    text = bytes(memoryview(data)[8:8 + l_text]).split(b"\x00", 1)[0] \
+        .decode("utf-8", "replace")
     off = 8 + l_text
     (n_ref,) = struct.unpack_from("<i", data, off)
     off += 4
     names, lengths = [], []
+    mv = memoryview(data)
     for _ in range(n_ref):
         (l_name,) = struct.unpack_from("<i", data, off)
         off += 4
-        names.append(data[off:off + l_name - 1].decode())
+        names.append(bytes(mv[off:off + l_name - 1]).decode())
         off += l_name
         (l_ref,) = struct.unpack_from("<i", data, off)
         lengths.append(l_ref)
@@ -118,8 +123,14 @@ def record_spans(data, offsets: np.ndarray
     decode used for host-side region filtering after an index seek (the
     reference's SemiLazyRecord::alignment_end + intersects,
     exon-bam/src/indexed_async_batch_stream.rs:40-88)."""
+    from .. import native
     from .textutil import to_u8
 
+    spans_native = native.bam_spans(to_u8(data), offsets)
+    if spans_native is not None:
+        rid, s, e = spans_native
+        return (rid.astype(np.int64), s.astype(np.int64),
+                e.astype(np.int64))
     arr = to_u8(data)
     body = offsets + 4
     ref_id = _i32(arr, body)
@@ -189,6 +200,11 @@ def read_header_prefix(raw) -> "BamHeader":
 
 
 def _i32(arr: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    out = native.gather_le(arr, offs, 0, 4)
+    if out is not None:
+        return out.astype(np.int64)
     return (arr[offs].astype(np.int64)
             | arr[offs + 1].astype(np.int64) << 8
             | arr[offs + 2].astype(np.int64) << 16
@@ -196,6 +212,11 @@ def _i32(arr: np.ndarray, offs: np.ndarray) -> np.ndarray:
 
 
 def _u16(arr: np.ndarray, offs: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    out = native.gather_le(arr, offs, 0, 2)
+    if out is not None:
+        return out.astype(np.int64)
     return (arr[offs].astype(np.int64) | arr[offs + 1].astype(np.int64) << 8)
 
 
@@ -219,52 +240,88 @@ def decode_records(data: bytes, offsets: np.ndarray, header: BamHeader,
         return
     arr = np.frombuffer(data, np.uint8)
     bs = options.batch_size
+    _tag_cache: list = []
+
+    def _tag_data():
+        # parse_bam_aux needs real bytes; convert the file at most once
+        if not _tag_cache:
+            _tag_cache.append(data if isinstance(data, (bytes, bytearray))
+                              else arr.tobytes())
+        return _tag_cache[0]
+
+    # per-field decode requirements: everything below is computed lazily so
+    # a narrow projection (COUNT(*) projects one fixed column) touches only
+    # the bytes it needs — the gathers dominate host decode time
     for lo in range(0, n_total, bs):
         hi = min(lo + bs, n_total)
         offs = offsets[lo:hi]
         n = hi - lo
         body = offs + 4  # past block_size
-        ref_id = _i32(arr, body)
-        pos0 = _i32(arr, body + 4)  # 0-based
-        l_read_name = arr[body + 8].astype(np.int64)
-        mapq = arr[body + 9].astype(np.int64)
-        n_cigar = _u16(arr, body + 12)
-        flag = _u16(arr, body + 14)
-        l_seq = _i32(arr, body + 16)
-        next_ref_id = _i32(arr, body + 20)
+        memo: dict = {}
 
-        name_start = body + 32
-        cigar_start = name_start + l_read_name
-        seq_start = cigar_start + 4 * n_cigar
-        qual_start = seq_start + (l_seq + 1) // 2
-
-        # CIGAR: flatten all ops, compute per-record ref span
-        cig_offs = cumsum_exclusive(n_cigar)
-        total_ops = int(cig_offs[-1])
-        if total_ops:
-            rep = np.repeat(np.arange(n), n_cigar)
-            op_idx = np.repeat(cigar_start - 4 * cig_offs[:-1], n_cigar) + \
-                4 * np.arange(total_ops, dtype=np.int64)
-            opv = (arr[op_idx].astype(np.int64)
-                   | arr[op_idx + 1].astype(np.int64) << 8
-                   | arr[op_idx + 2].astype(np.int64) << 16
-                   | arr[op_idx + 3].astype(np.int64) << 24)
-            op_len = opv >> 4
-            op_code = (opv & 0xF).astype(np.int64)
-            ref_consumed = op_len * CIGAR_CONSUMES_REF[np.clip(op_code, 0, 8)]
-            spans = np.zeros(n, np.int64)
-            np.add.at(spans, rep, ref_consumed)
-        else:
-            rep = np.zeros(0, np.int64)
-            op_len = op_code = np.zeros(0, np.int64)
-            spans = np.zeros(n, np.int64)
-
-        has_start = pos0 >= 0
-        start = pos0 + 1
+        def F(key, _memo=memo, _body=body, _n=n):
+            v = _memo.get(key)
+            if v is not None:
+                return v
+            if key == "ref_id":
+                v = _i32(arr, _body)
+            elif key == "pos0":
+                v = _i32(arr, _body + 4)  # 0-based
+            elif key == "l_read_name":
+                v = arr[_body + 8].astype(np.int64)
+            elif key == "mapq":
+                v = arr[_body + 9].astype(np.int64)
+            elif key == "n_cigar":
+                v = _u16(arr, _body + 12)
+            elif key == "flag":
+                v = _u16(arr, _body + 14)
+            elif key == "l_seq":
+                v = _i32(arr, _body + 16)
+            elif key == "next_ref_id":
+                v = _i32(arr, _body + 20)
+            elif key == "name_start":
+                v = _body + 32
+            elif key == "cigar_start":
+                v = F("name_start") + F("l_read_name")
+            elif key == "seq_start":
+                v = F("cigar_start") + 4 * F("n_cigar")
+            elif key == "qual_start":
+                v = F("seq_start") + (F("l_seq") + 1) // 2
+            elif key == "cigar_walk":
+                n_cigar = F("n_cigar")
+                cigar_start = F("cigar_start")
+                cig_offs = cumsum_exclusive(n_cigar)
+                total_ops = int(cig_offs[-1])
+                if total_ops:
+                    rep = np.repeat(np.arange(_n), n_cigar)
+                    op_idx = np.repeat(cigar_start - 4 * cig_offs[:-1],
+                                       n_cigar) + \
+                        4 * np.arange(total_ops, dtype=np.int64)
+                    opv = (arr[op_idx].astype(np.int64)
+                           | arr[op_idx + 1].astype(np.int64) << 8
+                           | arr[op_idx + 2].astype(np.int64) << 16
+                           | arr[op_idx + 3].astype(np.int64) << 24)
+                    op_len = opv >> 4
+                    op_code = (opv & 0xF).astype(np.int64)
+                    ref_consumed = op_len * CIGAR_CONSUMES_REF[
+                        np.clip(op_code, 0, 8)]
+                    spans = np.zeros(_n, np.int64)
+                    np.add.at(spans, rep, ref_consumed)
+                else:
+                    rep = np.zeros(0, np.int64)
+                    op_len = op_code = np.zeros(0, np.int64)
+                    spans = np.zeros(_n, np.int64)
+                v = (rep, op_len, op_code, spans)
+            else:
+                raise KeyError(key)
+            _memo[key] = v
+            return v
 
         cols = []
         for name in proj:
             if name == "name":
+                name_start = F("name_start")
+                l_read_name = F("l_read_name")
                 # name excludes trailing NUL
                 from .textutil import gather_slices
 
@@ -273,29 +330,33 @@ def decode_records(data: bytes, offsets: np.ndarray, header: BamHeader,
                 valid = l_read_name > 1
                 cols.append(VarColumn(v, o.astype(np.int32), valid))
             elif name == "flag":
-                cols.append(FixedColumn(flag.astype(np.int32),
+                cols.append(FixedColumn(F("flag").astype(np.int32),
                                         np.ones(n, bool)))
             elif name in ("reference", "mate_reference"):
-                rid = ref_id if name == "reference" else next_ref_id
+                rid = F("ref_id") if name == "reference" else F("next_ref_id")
                 valid = (rid >= 0) & (rid < len(header.ref_names))
                 codes = np.clip(rid, 0, max(len(header.ref_names) - 1, 0))
                 cols.append(DictColumn(codes.astype(np.int32), valid,
                                        tuple(header.ref_names)))
             elif name == "start":
-                cols.append(FixedColumn(start, has_start.copy()))
+                cols.append(FixedColumn(F("pos0") + 1, F("pos0") >= 0))
             elif name == "end":
-                cols.append(FixedColumn(start + spans - 1, has_start.copy()))
+                spans = F("cigar_walk")[3]
+                cols.append(FixedColumn(F("pos0") + spans, F("pos0") >= 0))
             elif name == "mapping_quality":
-                cols.append(_int_to_utf8(mapq, null_value=255))
+                cols.append(_int_to_utf8(F("mapq"), null_value=255))
             elif name == "cigar":
                 # render ops to text: digits + op letter per op
-                cols.append(_render_cigar(n, rep, op_len, op_code, n_cigar))
+                rep, op_len, op_code, _spans = F("cigar_walk")
+                cols.append(_render_cigar(n, rep, op_len, op_code,
+                                          F("n_cigar")))
             elif name == "sequence":
-                cols.append(_decode_seq(arr, seq_start, l_seq))
+                cols.append(_decode_seq(arr, F("seq_start"), F("l_seq")))
             elif name == "quality_score":
                 from .textutil import gather_slices
 
-                v, o = gather_slices(arr, qual_start, qual_start + l_seq)
+                qual_start = F("qual_start")
+                v, o = gather_slices(arr, qual_start, qual_start + F("l_seq"))
                 # 0xFF means missing quality ('*')
                 cols.append(VarColumn(v.astype(np.int64), o.astype(np.int32),
                                       np.ones(n, bool)))
@@ -303,10 +364,11 @@ def decode_records(data: bytes, offsets: np.ndarray, header: BamHeader,
                 from .samtags import (parse_bam_aux, tags_list_column,
                                       tags_struct_column)
 
-                aux_start = qual_start + l_seq
+                aux_start = F("qual_start") + F("l_seq")
                 block_size = _i32(arr, offs)
                 rec_end = offs + 4 + block_size
-                per_row = [parse_bam_aux(data, int(aux_start[i]),
+                tag_data = _tag_data()
+                per_row = [parse_bam_aux(tag_data, int(aux_start[i]),
                                          int(rec_end[i]))
                            for i in range(n)]
                 if tag_fields is not None:

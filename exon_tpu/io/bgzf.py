@@ -37,9 +37,9 @@ class BlockInfo:
     data: bytes  # decompressed
 
 
-def read_block(buf: bytes, offset: int) -> BlockInfo:
+def read_block(buf, offset: int) -> BlockInfo:
     """Parse + decompress one BGZF block starting at ``offset``."""
-    if buf[offset:offset + 2] != b"\x1f\x8b":
+    if bytes(memoryview(buf)[offset:offset + 2]) != b"\x1f\x8b":
         raise ValueError(f"not a gzip block at {offset}")
     xlen = struct.unpack_from("<H", buf, offset + 10)[0]
     extra = buf[offset + 12: offset + 12 + xlen]
@@ -80,6 +80,14 @@ def block_size_at(buf, offset: int) -> int:
 def decompress_range(buf, vstart: int, vend: int) -> bytes:
     """Decompress the uncompressed byte range [vstart, vend) given the
     containing compressed buffer (virtual positions)."""
+    out = decompress_range_view(buf, vstart, vend)
+    return out.tobytes() if not isinstance(out, bytes) else out
+
+
+def decompress_range_view(buf, vstart: int, vend: int):
+    """Like decompress_range but returns a zero-copy uint8 ndarray view of
+    the (pooled huge-page) decompression buffer when the native path is
+    available — the hot indexed-scan path avoids a full output copy."""
     native_out = _decompress_range_native(buf, vstart, vend)
     if native_out is not None:
         return native_out
@@ -143,7 +151,7 @@ def _decompress_range_native(buf, vstart: int, vend: int):
         hi = len(data) - (len(blk.data) - uoffset(vend))
     else:
         hi = len(data)
-    return data[lo:hi].tobytes()
+    return data[lo:hi]
 
 
 def decompress_all(buf) -> bytes:
@@ -156,6 +164,21 @@ def decompress_all(buf) -> bytes:
     import gzip
 
     return gzip.decompress(bytes(buf))
+
+
+def decompress_all_view(buf):
+    """Decompress a whole BGZF stream into a zero-copy uint8 ndarray
+    (huge-page pooled buffer) — callers that do numpy field gathers over
+    the output (BAM/VCF decode) skip the bytes copy entirely."""
+    from .. import native
+
+    out = native.gunzip(buf)
+    if out is not None:
+        return out
+    import gzip
+    import numpy as np
+
+    return np.frombuffer(gzip.decompress(bytes(buf)), np.uint8)
 
 
 def compress_bgzf(data: bytes, block_size: int = 0xFF00, level: int = 6) -> bytes:

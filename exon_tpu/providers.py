@@ -199,6 +199,7 @@ class BamTable(TableProvider):
         def source() -> Iterator[Batch]:
             from .formats.bam import (read_header_prefix,
                                       region_intersect_mask)
+            from .io.bgzf import decompress_all_view
 
             for store, meta in files:
                 raw = store.get_view(meta.path) \
@@ -220,9 +221,10 @@ class BamTable(TableProvider):
                                 bgzf_mod.coffset(chunk.vend)
                                 - bgzf_mod.coffset(chunk.vstart),
                                 bgzf_mod.uoffset(chunk.vend))
-                            buf = bytes(
-                                raw[bgzf_mod.coffset(chunk.vstart):])
-                            data = bgzf_mod.decompress_range(buf, vs, ve)
+                            buf = raw[bgzf_mod.coffset(chunk.vstart):]
+                            if not isinstance(buf, (bytes, np.ndarray)):
+                                buf = bytes(buf)
+                            data = bgzf_mod.decompress_range_view(buf, vs, ve)
                             offsets = scan_record_offsets(data, 0)
                             # exact row filter HOST-side after the index
                             # seek (indexed_async_batch_stream.rs:66-88);
@@ -233,9 +235,22 @@ class BamTable(TableProvider):
                             yield from decode_records(data, offsets[keep],
                                                       header, options, proj)
                 else:
-                    data = decompress_all(raw)
+                    data = decompress_all_view(raw)
                     header = parse_bam_header(data)
                     offsets = scan_record_offsets(data, header.header_end)
+                    if regions:
+                        # no .bai for this file: the planner dropped the
+                        # region predicate (pushdown reported "exact"), so
+                        # the decode-time intersect mask must still apply
+                        keep = np.zeros(len(offsets), bool)
+                        for region in regions:
+                            try:
+                                rid = header.ref_names.index(region.name)
+                            except ValueError:
+                                continue
+                            keep |= region_intersect_mask(
+                                data, offsets, rid, region.start, region.end)
+                        offsets = offsets[keep]
                     yield from decode_records(data, offsets, header,
                                               options, proj)
 

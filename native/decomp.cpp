@@ -253,6 +253,72 @@ int64_t exon_bam_record_offsets(const uint8_t *data, int64_t n, int64_t start,
   return count;
 }
 
+// Per-record BAM alignment spans: ref_id, 1-based start, 1-based
+// inclusive end (pos + CIGAR reference span), walking the packed CIGAR
+// ops in one sequential pass. Replaces the numpy repeat/add.at walk on
+// the indexed-scan row-filter path (SemiLazyRecord::alignment_end,
+// exon-bam/src/indexed_async_batch_stream.rs:40-88). Two-thread split.
+int64_t exon_bam_spans(const uint8_t *data, int64_t n, const int64_t *offsets,
+                       int64_t count, int32_t *ref_id, int32_t *start,
+                       int32_t *end, int32_t n_threads) {
+  static const int64_t consumes_ref = 0x18D;  // bits for ops M D N = X
+  std::atomic<int> bad(0);
+  auto work = [&](int64_t lo, int64_t hi) {
+    for (int64_t i = lo; i < hi; i++) {
+      int64_t body = offsets[i] + 4;
+      if (body + 32 > n) { bad.store(1); return; }
+      int32_t rid = (int32_t)le32(data + body);
+      int32_t pos = (int32_t)le32(data + body + 4);
+      uint8_t l_read_name = data[body + 8];
+      uint16_t n_cigar = le16(data + body + 12);
+      const uint8_t *cig = data + body + 32 + l_read_name;
+      int64_t span = 0;
+      for (uint16_t c = 0; c < n_cigar; c++) {
+        uint32_t op = le32(cig + 4 * c);
+        if ((consumes_ref >> (op & 0xF)) & 1) span += op >> 4;
+      }
+      ref_id[i] = rid;
+      start[i] = pos + 1;
+      end[i] = pos + (int32_t)span;
+    }
+  };
+  int nt = n_threads > 0 ? n_threads : (int)std::thread::hardware_concurrency();
+  if (nt < 1) nt = 1;
+  if (nt > 1 && count > 65536) {
+    int64_t half = count / 2;
+    std::thread t(work, 0, half);
+    work(half, count);
+    t.join();
+  } else {
+    work(0, count);
+  }
+  return bad.load() ? -1 : count;
+}
+
+// Gather little-endian fixed-width ints at data[idx[i] + delta] — the
+// field loads of BAM decode (numpy fancy-index gathers cost ~10x this).
+// width: 1, 2, or 4 bytes; output widened to int32.
+int64_t exon_gather_le(const uint8_t *data, int64_t n, const int64_t *idx,
+                       int64_t count, int64_t delta, int32_t width,
+                       int32_t *out) {
+  switch (width) {
+    case 1:
+      for (int64_t i = 0; i < count; i++) out[i] = data[idx[i] + delta];
+      break;
+    case 2:
+      for (int64_t i = 0; i < count; i++)
+        out[i] = le16(data + idx[i] + delta);
+      break;
+    case 4:
+      for (int64_t i = 0; i < count; i++)
+        out[i] = (int32_t)le32(data + idx[i] + delta);
+      break;
+    default:
+      return -1;
+  }
+  return count;
+}
+
 // Streaming zstd decompress (frames of unknown content size). Returns
 // bytes written, -1 on error, -2 if out_cap too small.
 int64_t exon_zstd_decompress(const uint8_t *in, int64_t n, uint8_t *out,
