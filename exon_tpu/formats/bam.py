@@ -233,7 +233,7 @@ def decode_records(data: bytes, offsets: np.ndarray, header: BamHeader,
                                  header.ref_lengths, first_off)
         tag_fields = infer_tag_fields(first_record_tags(data, schema_probe))
     schema = bam_schema(options, tag_fields)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     n_total = len(offsets)
     if n_total == 0:

@@ -305,7 +305,7 @@ def records_to_batches(records: list[BcfRecord], options: BcfOptions,
     if n == 0:
         return
     schema = vcf_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     bs = options.batch_size
     for lo in range(0, n, bs):

@@ -56,7 +56,7 @@ def bed_schema(options: BedOptions = None) -> Schema:
 def decode_host(data: bytes, options: BedOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
     schema = bed_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     arr = to_u8(data)
     if len(arr) == 0:

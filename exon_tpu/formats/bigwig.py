@@ -340,7 +340,7 @@ def decode_value_host(data: bytes, options: BigWigValueOptions,
                       ) -> Iterator[Batch]:
     bbi = parse_bbi(data)
     schema = bigwig_value_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     regions = list(getattr(options, "regions", ()) or ())
     if regions:
         queries = [_chrom_query(bbi, r) for r in regions]
@@ -368,7 +368,7 @@ def decode_zoom_host(data: bytes, options: BigWigZoomOptions,
                      ) -> Iterator[Batch]:
     bbi = parse_bbi(data)
     schema = bigwig_zoom_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     regions = list(getattr(options, "regions", ()) or ())
     if regions:
         queries = [_chrom_query(bbi, r) for r in regions]

@@ -129,7 +129,7 @@ def decode_fasta_device(data: bytes, options: FastaOptions,
                         ) -> Iterator[Batch]:
     """Decode raw FASTA bytes into device batches via on-device parsing."""
     schema = fasta_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     schema = schema.project(proj)
     want_hdr = ("id" in proj) or ("description" in proj)
     encode = options.sequence_data_type if options.sequence_data_type.startswith(

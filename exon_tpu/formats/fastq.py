@@ -43,7 +43,7 @@ def decode_host(data: bytes, options: FastqOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
     arr = to_u8(data)
     schema = fastq_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     schema = schema.project(proj)
     if len(arr) == 0:
         return
@@ -151,7 +151,7 @@ def _device_decode(arr, length, row_cap: int, vcap_out: int, want: tuple):
 def decode_device(data: bytes, options: FastqOptions,
                   projection: Optional[list[str]] = None) -> Iterator[Batch]:
     schema = fastq_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     schema = schema.project(proj)
     if not data:
         return

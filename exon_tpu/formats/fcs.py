@@ -86,7 +86,7 @@ def decode_host(data: bytes, options: FcsOptions,
     mat = mat[: n_events * n_par].reshape(n_events, n_par).astype(np.float32)
 
     schema = Schema(tuple(dt.Field(c, dt.float32, False) for c in channels))
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     idx = [schema.index_of(p) for p in proj]
     bs = options.batch_size

@@ -164,7 +164,7 @@ def parse_records(data: bytes) -> list[dict]:
 def decode_host(data: bytes, options: GenbankOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
     schema = genbank_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     records = parse_records(data)
     n = len(records)

@@ -75,7 +75,7 @@ def decode_host(data: bytes, options, projection: Optional[list[str]] = None
                 ) -> Iterator[Batch]:
     style = getattr(options, "style", "gff")
     schema = gtf_schema() if style == "gtf" else gff_schema()
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     arr = to_u8(data)
     if len(arr) == 0:

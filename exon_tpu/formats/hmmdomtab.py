@@ -91,7 +91,7 @@ def split_whitespace_fields(arr: np.ndarray, starts: np.ndarray,
 def decode_host(data: bytes, options: HmmDomTabOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
     schema = hmmdomtab_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     arr = to_u8(data)
     if len(arr) == 0:

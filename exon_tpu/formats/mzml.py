@@ -143,7 +143,7 @@ def _f64_list_struct(field: str, values: list, n: int) -> StructColumn:
 def decode_host(data: bytes, options: MzmlOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
     schema = mzml_schema(options)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     spectra = parse_spectra(data)
     n = len(spectra)

@@ -113,7 +113,7 @@ def decode_host(data: bytes, options: SamOptions,
             if present[0, 11] else []
         tag_fields = infer_tag_fields(first)
     schema = sam_schema(options, tag_fields)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
 
     def is_star(s, e):

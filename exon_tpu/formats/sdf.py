@@ -46,32 +46,28 @@ def sdf_schema(options=None, data_keys: tuple[str, ...] = ("canonical_smiles",)
 
 def _record_line_spans(arr: np.ndarray, li: LineIndex
                        ) -> tuple[np.ndarray, np.ndarray]:
-    """(first_line, terminator_line) per record, split on '$$$$' lines.
+    """(first_line, terminator_line) per record, split on lines that are
+    exactly '$$$$' (CR already stripped) — the reference terminates a
+    record only on ``buf.ends_with(b"$$$$\\n"|b"$$$$\\r\\n")``
+    (exon-sdf/src/io.rs:34-46), so leading/trailing whitespace does NOT
+    make a terminator."""
+    from .. import native
 
-    Vectorized replacement for the per-line split: candidate terminators
-    are found with one numpy pass; only candidates with trailing bytes get
-    a (rare) python whitespace check.
-    """
     starts, ends = li.starts, li.ends
     lens = ends - starts
     nl = len(starts)
-    idx = np.flatnonzero(lens >= 4)
-    if len(idx):
-        s = starts[idx]
-        is4 = ((arr[s] == 36) & (arr[s + 1] == 36)
-               & (arr[s + 2] == 36) & (arr[s + 3] == 36))
-        cand = idx[is4]
+    is_term = native.sdf_terms(arr, starts, ends)
+    if is_term is not None:
+        term = np.flatnonzero(is_term).astype(np.int64)
     else:
-        cand = idx
-    exact = lens[cand] == 4
-    term_list = cand[exact]
-    loose = cand[~exact]
-    if len(loose):  # '$$$$' with trailing whitespace only (rare)
-        keep = [i for i in loose
-                if not bytes(arr[starts[i] + 4:ends[i]]).strip()]
-        term_list = np.sort(np.concatenate(
-            [term_list, np.asarray(keep, dtype=term_list.dtype)]))
-    term = term_list.astype(np.int64)
+        idx = np.flatnonzero(lens == 4)
+        if len(idx):
+            s = starts[idx]
+            is4 = ((arr[s] == 36) & (arr[s + 1] == 36)
+                   & (arr[s + 2] == 36) & (arr[s + 3] == 36))
+            term = idx[is4].astype(np.int64)
+        else:
+            term = idx.astype(np.int64)
     first = np.empty(len(term), np.int64)
     if len(term):
         first[0] = 0
@@ -107,15 +103,19 @@ def _parse_counts(arr: np.ndarray, li: LineIndex, first: np.ndarray,
     vals = []
     for fld in range(2):
         v = np.zeros(len(rows), np.int64)
-        seen = np.zeros(len(rows), bool)
+        digits = []
         for k in range(3):
             pos = np.minimum(cs + 3 * fld + k, len(arr) - 1)
             ch = arr[pos]
             digit = (ch >= 48) & (ch <= 57)
             ok &= digit | (ch == 32)
             v = np.where(digit, v * 10 + (ch - 48), v)
-            seen |= digit
-        ok &= seen
+            digits.append(digit)
+        ok &= digits[0] | digits[1] | digits[2]
+        # reference trims then parses the 3-char field
+        # (record.rs parse_counts_line), so interleaved digits/spaces
+        # like '1 2' are a parse error, not 12
+        ok &= ~(digits[0] & ~digits[1] & digits[2])
         vals.append(v)
     if not ok.all():
         bad = int(rows[np.flatnonzero(~ok)[0]])
@@ -181,8 +181,26 @@ def _data_sections(arr: np.ndarray, li: LineIndex, first: np.ndarray,
 
 def decode_host(data: bytes, options: SdfOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
+    from .. import native
+
     arr = to_u8(data)
-    li = LineIndex(arr)
+    if projection == [] and options.data_keys is not None:
+        # COUNT(*): record count needs only the terminator scan — one
+        # native pass, no line table, no field parse
+        total = native.sdf_count(arr)
+        if total is not None:
+            schema = sdf_schema(options, options.data_keys)
+            empty = schema.project([])
+            bs = options.batch_size
+            for lo in range(0, total, bs):
+                yield batch_from_host(empty, [], min(bs, total - lo))
+            return
+    scan = native.tsv_scan(arr, keep_empty=True)
+    if scan is not None:
+        li = LineIndex.__new__(LineIndex)
+        li.arr, (li.starts, li.ends, _d) = arr, scan
+    else:
+        li = LineIndex(arr)
     first, term = _record_line_spans(arr, li)
     n = len(first)
     if n == 0:
@@ -206,7 +224,7 @@ def decode_host(data: bytes, options: SdfOptions,
     keys = options.data_keys or (tuple(key_order) if key_order
                                  else ("canonical_smiles",))
     schema = sdf_schema(options, keys)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     bs = options.batch_size
     for lo in range(0, n, bs):

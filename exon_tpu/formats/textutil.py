@@ -131,6 +131,39 @@ def split_fields(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray,
     return fstarts, fends, present
 
 
+def scan_tsv_lines(arr: np.ndarray, n_fields: int, comment: int = 0,
+                   delim: int = TAB):
+    """One native threaded pass = LineIndex + split_fields: line bounds
+    (comment/empty lines skipped, CR stripped) and per-line field
+    boundaries with split_fields semantics (last field runs to line end).
+
+    Returns (starts, ends, fstarts, fends, present) or None when the
+    native library is unavailable."""
+    from .. import native
+
+    res = native.tsv_scan(arr, 0, comment, delim, max(n_fields - 1, 0))
+    if res is None:
+        return None
+    starts, ends, dpos = res
+    n = len(starts)
+    fstarts = np.empty((n, n_fields), dtype=np.int64)
+    fends = np.empty((n, n_fields), dtype=np.int64)
+    present = np.zeros((n, n_fields), dtype=bool)
+    fstarts[:, 0] = starts
+    present[:, 0] = ends > starts
+    for k in range(n_fields):
+        if k > 0:
+            has_prev = dpos[:, k - 1] >= 0
+            fstarts[:, k] = np.where(has_prev, dpos[:, k - 1] + 1, ends)
+            present[:, k] = has_prev
+        if k < n_fields - 1:
+            has_k = dpos[:, k] >= 0
+            fends[:, k] = np.where(has_k, dpos[:, k], ends)
+        else:
+            fends[:, k] = ends
+    return starts, ends, fstarts, fends, present
+
+
 def parse_int_fields(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray,
                      default: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Parse decimal ints (optional leading '-') from byte slices. Vectorized
@@ -138,6 +171,14 @@ def parse_int_fields(arr: np.ndarray, starts: np.ndarray, ends: np.ndarray,
 
     Returns (values int64, ok bool) — ok False for empty/non-numeric slices.
     """
+    from .. import native
+
+    res = native.parse_ints(to_u8(arr), starts, ends)
+    if res is not None:
+        vals, ok = res
+        if default != 0:
+            vals = np.where(ok, vals, default)
+        return vals, ok
     starts = starts.astype(np.int64)
     ends = ends.astype(np.int64)
     vals, offsets = gather_slices(arr, starts, ends)

@@ -191,26 +191,37 @@ def region_row_mask(arr: np.ndarray, fs: np.ndarray, fe: np.ndarray,
     return keep
 
 
+def _leading_header_lines(arr: np.ndarray) -> list[bytes]:
+    """The '#'-prefixed header block at the top of the buffer."""
+    lines: list[bytes] = []
+    pos = 0
+    n = len(arr)
+    while pos < n and arr[pos] == ord("#"):
+        nl = arr[pos:pos + (1 << 20)]
+        hits = np.flatnonzero(nl == 10)
+        if len(hits) == 0:
+            lines.append(bytes(arr[pos:]))
+            pos = n
+            break
+        end = pos + int(hits[0])
+        lines.append(bytes(arr[pos:end]))
+        pos = end + 1
+    return lines
+
+
 def decode_host(data: bytes, options: VcfOptions,
                 projection: Optional[list[str]] = None,
                 with_header: Optional[VcfHeader] = None,
                 region=None) -> Iterator[Batch]:
+    from .textutil import scan_tsv_lines
+
     arr = to_u8(data)
     if len(arr) == 0:
         return
-    li = LineIndex(arr)
-    fb = li.first_bytes()
-    hdr_mask = fb == ord("#")
-    header_lines = [bytes(arr[li.starts[k]:li.ends[k]])
-                    for k in np.flatnonzero(hdr_mask)]
-    header = with_header or VcfHeader.parse(header_lines)
+    header = with_header or VcfHeader.parse(_leading_header_lines(arr))
     schema = vcf_schema(options, header)
-    proj = projection or schema.names
+    proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
-    li = li.select(~hdr_mask & (li.ends > li.starts))
-    n = len(li)
-    if n == 0:
-        return
     typed_formats = getattr(options, "parse_formats", False) and \
         header.formats
     if typed_formats:
@@ -225,7 +236,23 @@ def decode_host(data: bytes, options: VcfOptions,
         if region is not None:
             needed.append(1)
         n_fields = min(8, max(needed, default=0) + 2)
-    fs, fe, present = split_fields(arr, li.starts, li.ends, max(n_fields, 2))
+    n_fields = max(n_fields, 2)
+    scan = scan_tsv_lines(arr, n_fields, comment=ord("#"))
+    if scan is not None:
+        starts, ends, fs, fe, present = scan
+        li = LineIndex.__new__(LineIndex)
+        li.arr, li.starts, li.ends = arr, starts, ends
+        n = len(starts)
+        if n == 0:
+            return
+    else:
+        li = LineIndex(arr)
+        hdr_mask = li.first_bytes() == ord("#")
+        li = li.select(~hdr_mask & (li.ends > li.starts))
+        n = len(li)
+        if n == 0:
+            return
+        fs, fe, present = split_fields(arr, li.starts, li.ends, n_fields)
     if region is not None:
         keep = region_row_mask(arr, fs, fe, region)
         if not keep.all():

@@ -201,6 +201,33 @@ def get_lib():
     except AttributeError:
         pass
     try:
+        lib.exon_tsv_scan.restype = ctypes.c_int64
+        lib.exon_tsv_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint8, ctypes.c_uint8, ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            ctypes.c_int64, ctypes.c_int32]
+        lib.exon_sdf_count.restype = ctypes.c_int64
+        lib.exon_sdf_count.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                       ctypes.c_int32]
+        lib.exon_sdf_terms.restype = ctypes.c_int64
+        lib.exon_sdf_terms.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint8)]
+        lib.exon_parse_ints.restype = ctypes.c_int64
+        lib.exon_parse_ints.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.uint8)]
+    except AttributeError:
+        pass
+    try:
         lib.exon_bam_spans.restype = ctypes.c_int64
         lib.exon_bam_spans.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -412,6 +439,74 @@ def bam_record_offsets(data, start: int):
         if count <= cap:
             return out[:count]
         cap = count
+
+
+def tsv_scan(data, start: int = 0, comment: int = 0, delim: int = 9,
+             n_delims: int = 0, line_hint: int = 0,
+             keep_empty: bool = False):
+    """Threaded line + first-K-delimiter scan of a text buffer.
+
+    Returns (line_start, line_end, dpos[n, n_delims]) with comment-prefixed
+    lines skipped (and empty lines too unless keep_empty) and CR stripped,
+    or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_tsv_scan"):
+        return None
+    ptr, n = _as_ptr(data)
+    cap = max(line_hint, min(max((n - start) // 32, 16), 1 << 22))
+    while True:
+        line_start = np.empty(cap, np.int64)
+        line_end = np.empty(cap, np.int64)
+        dpos = np.empty(cap * max(n_delims, 1), np.int64) \
+            if n_delims > 0 else np.empty(1, np.int64)
+        total = int(lib.exon_tsv_scan(ptr, n, start, comment, delim,
+                                      n_delims, 1 if keep_empty else 0,
+                                      line_start, line_end, dpos,
+                                      cap, 0))
+        if total <= cap:
+            d = dpos[:total * n_delims].reshape(total, n_delims) \
+                if n_delims > 0 else None
+            return line_start[:total], line_end[:total], d
+        cap = total
+
+
+def sdf_count(data):
+    """Number of SDF records ('$$$$'-terminated, plus a non-blank tail),
+    or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_sdf_count"):
+        return None
+    ptr, n = _as_ptr(data)
+    return int(lib.exon_sdf_count(ptr, n, 0))
+
+
+def sdf_terms(data, starts: np.ndarray, ends: np.ndarray):
+    """bool[nl] mask of lines that are exactly '$$$$', or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_sdf_terms"):
+        return None
+    ptr, n = _as_ptr(data)
+    nl = len(starts)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    out = np.empty(nl, np.uint8)
+    lib.exon_sdf_terms(ptr, n, starts, ends, nl, out)
+    return out.astype(bool)
+
+
+def parse_ints(data, starts: np.ndarray, ends: np.ndarray):
+    """(values int64, ok bool) decimal parse of byte slices, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_parse_ints"):
+        return None
+    ptr, n = _as_ptr(data)
+    count = len(starts)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    out = np.empty(count, np.int64)
+    ok = np.empty(count, np.uint8)
+    lib.exon_parse_ints(ptr, n, starts, ends, count, out, ok)
+    return out, ok.astype(bool)
 
 
 def bam_spans(data, offsets: np.ndarray):

@@ -377,11 +377,18 @@ class AggregateExec(PhysicalPlan):
 def _jit_ungrouped_partial(agg_calls: tuple, pre_filter=None):
     @jax.jit
     def step(batch: Batch):
+        out = []
+        if pre_filter is None and all(
+                c.fn == "count" and c.child is None for c in agg_calls):
+            # COUNT(*): the row count IS the partial — no mask reduction,
+            # and it stays correct for zero-column (projection-free) batches
+            # whose capacity is 0
+            n = jnp.asarray(batch.length, jnp.int64)
+            return [n for _ in agg_calls]
         mask = batch.row_mask()
         if pre_filter is not None:
             mask = jnp.logical_and(
                 mask, as_bool_mask(eval_expr(pre_filter, batch), batch))
-        out = []
         for call in agg_calls:
             out.append(_partial_for(call, batch, mask, None, 1))
         return out

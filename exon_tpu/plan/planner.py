@@ -390,6 +390,22 @@ def _push_projection(plan: L.LogicalPlan) -> L.LogicalPlan:
             need = set()
             for e in list(p.group_exprs) + list(p.agg_exprs):
                 need |= expr_columns(e)
+            # COUNT(*) over a bare scan needs NO columns at all: the
+            # ungrouped-count fast path (physical.py _ungrouped) only reads
+            # batch lengths, so the provider can skip field decode entirely
+            # (pushed-down Scan.filters are fine: providers that plan a
+            # residual FilterExec widen their internal scan projection
+            # themselves, e.g. VcfTable chrom/pos)
+            if (not p.group_exprs and not need and p.agg_exprs
+                    and isinstance(p.input, L.Scan)
+                    and all(getattr(e, "fn", None) == "count"
+                            and getattr(e, "child", True) is None
+                            for e in p.agg_exprs)):
+                s = p.input
+                scan = L.Scan(s.provider, s.table_name, [], s.filters,
+                              s.fetch)
+                return L.Aggregate(p.group_exprs, p.agg_exprs, p.agg_names,
+                                   scan)
             return L.Aggregate(p.group_exprs, p.agg_exprs, p.agg_names,
                                required(p.input, need))
         if isinstance(p, L.Sort):

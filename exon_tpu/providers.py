@@ -22,6 +22,7 @@ from .io.compression import Compression, infer_compression
 from .io.indexes import Chunk, Region, TabixIndex, parse_tabix
 from .io.object_store import ObjectStore, get_store, resolve_table_files
 from .plan import regions as R
+from .parallel.mesh import iter_scan_files
 from .plan.expressions import Expr, conjoin
 from .plan.physical import FilterExec, PhysicalPlan, ProjectExec, ScanExec
 from .tables import TableProvider
@@ -107,7 +108,7 @@ class VcfTable(TableProvider):
         files = self.files()
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 _stem, comp = infer_compression(meta.path)
                 if regions and comp in (Compression.BGZF, Compression.GZIP) \
                         and store.exists(meta.path + ".tbi"):
@@ -201,7 +202,7 @@ class BamTable(TableProvider):
                                       region_intersect_mask)
             from .io.bgzf import decompress_all_view
 
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 raw = store.get_view(meta.path) \
                     if hasattr(store, "get_view") else store.get(meta.path)
                 if regions and store.exists(meta.path + ".bai"):
@@ -317,7 +318,7 @@ class SamTable(TableProvider):
         options = self.options
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 _stem, comp = infer_compression(meta.path)
                 data = decompress(store.get(meta.path), comp)
                 yield from decode_host(data, options, proj)
@@ -453,7 +454,7 @@ class SdfTable(TableProvider):
         options = dataclasses.replace(options, data_keys=self._infer_keys())
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 _stem, comp = infer_compression(meta.path)
                 src = store.get_view(meta.path) \
                     if hasattr(store, "get_view") else store.get(meta.path)
@@ -502,7 +503,7 @@ class FcsTable(TableProvider):
         options = self.options
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 _stem, comp = infer_compression(meta.path)
                 data = decompress(store.get(meta.path), comp)
                 yield from decode_host(data, options, proj)
@@ -559,7 +560,7 @@ class BcfTable(TableProvider):
         files = self.files()
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 raw = store.get(meta.path)
                 data = bgzf_mod.decompress_all(raw)
                 header, str_dict, contigs, start = parse_bcf_header(data)
@@ -651,7 +652,7 @@ class BigWigTable(TableProvider):
         decode = decode_zoom_host if self.zoom else decode_value_host
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 yield from decode(store.get(meta.path), options, proj)
 
         return ScanExec(schema.project(proj), source)
@@ -761,7 +762,7 @@ class CramTable(TableProvider):
                     getattr(options, "parse_tags", False))
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 offsets = None
                 if regions and getattr(options, "indexed", False) and \
                         store.exists(meta.path + ".crai"):
@@ -1021,7 +1022,7 @@ class ParquetTable(TableProvider):
         files = self.files()
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 tbl = self._read(store, meta).select(proj)
                 for rb in tbl.to_batches(max_chunksize=8192):
                     yield _Batch.from_arrow(rb, out_schema)
@@ -1147,7 +1148,7 @@ class GffTable(FileTable):
             return data[bgzf.uoffset(chunk.vstart):]
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 _stem, comp = infer_compression(meta.path)
                 if comp in (Compression.BGZF, Compression.GZIP) and \
                         store.exists(meta.path + ".tbi"):
@@ -1265,7 +1266,7 @@ class FastaTable(FileTable):
                         s[lo:hi].decode("ascii", "replace")
 
         def source() -> Iterator[Batch]:
-            for store, meta in files:
+            for store, meta in iter_scan_files(files):
                 rows = list(region_rows(store, meta))
                 if not rows:
                     continue

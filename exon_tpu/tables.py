@@ -113,22 +113,26 @@ class FileTable(TableProvider):
 
         def source() -> Iterator[Batch]:
             from .io.compression import Compression
+            from .parallel.mesh import iter_scan_files
 
             produced = 0
+            my_files = iter_scan_files(files)  # multi-host: this process's shard
+            if not my_files:
+                return
             # single compressed file whose DECOMPRESSED size would blow the
             # memory budget → chunked bounded-memory scan; otherwise
             # whole-file native decompress (faster: one-shot libdeflate /
             # parallel BGZF) with per-file parallel decode
             use_stream = False
-            if fmt.stream is not None and len(files) == 1:
-                comp = infer_compression(files[0][1].path)[1]
+            if fmt.stream is not None and len(my_files) == 1:
+                comp = infer_compression(my_files[0][1].path)[1]
                 if comp != Compression.NONE:
-                    est_out = files[0][1].size * 4
+                    est_out = my_files[0][1].size * 4
                     budget = int(_os.environ.get(
                         "EXON_TPU_STREAM_THRESHOLD", 1 << 30))
                     use_stream = est_out > budget
-            gen = (stream_file(*files[0]) if use_stream else
-                   parallel_file_batches(files, decode_file, n_workers))
+            gen = (stream_file(*my_files[0]) if use_stream else
+                   parallel_file_batches(my_files, decode_file, n_workers))
             for b in gen:
                 yield b
                 if limit is not None:
