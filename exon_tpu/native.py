@@ -46,7 +46,9 @@ def _pool_put(m: mmap.mmap, size: int) -> None:
     global _pool_bytes
     with _pool_lock:
         if _pool_bytes + size > _POOL_CAP:
-            m.close()
+            # numpy's buffer export may still be mid-release when this
+            # finalizer fires, so close() can raise BufferError; dropping
+            # the reference unmaps on dealloc either way
             return
         _pool.setdefault(size, []).append(m)
         _pool_bytes += size
@@ -251,6 +253,16 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def default_threads() -> int:
+    """Thread width for native kernels. EXON_TPU_PARTITIONS caps it so a
+    '1-worker' configuration is honestly single-threaded end to end (the
+    reference's workers-N measures real single-core baselines)."""
+    env = os.environ.get("EXON_TPU_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 1
+
+
 def _as_ptr(data) -> tuple:
     """(c_char_p pointer, length) from bytes or a uint8 array (mmap view)."""
     if isinstance(data, np.ndarray):
@@ -269,7 +281,7 @@ def fasta_scan(data, prefix_k: int = 0):
     if lib is None:
         return None
     ptr, n = _as_ptr(data)
-    nt = os.cpu_count() or 1
+    nt = default_threads()
     if hasattr(lib, "fasta_scan_onepass"):
         return _fasta_scan_onepass(lib, ptr, n, prefix_k, nt)
     # fallback: two passes (count + scan)
@@ -388,7 +400,8 @@ def gunzip(data, n_threads: int = 0):
     for _ in range(3):
         out = alloc_buffer(max(size, 1))
         wrote = int(lib.exon_gunzip(ptr, n, out.ctypes.data_as(
-            ctypes.c_char_p), out.size, n_threads))
+            ctypes.c_char_p), out.size,
+            n_threads if n_threads > 0 else default_threads()))
         if wrote >= 0:
             return out[:wrote]
         if wrote == -2:  # size hint short (>4GiB ISIZE wrap / multi-member)
@@ -462,7 +475,7 @@ def tsv_scan(data, start: int = 0, comment: int = 0, delim: int = 9,
         total = int(lib.exon_tsv_scan(ptr, n, start, comment, delim,
                                       n_delims, 1 if keep_empty else 0,
                                       line_start, line_end, dpos,
-                                      cap, 0))
+                                      cap, default_threads()))
         if total <= cap:
             d = dpos[:total * n_delims].reshape(total, n_delims) \
                 if n_delims > 0 else None
@@ -477,7 +490,7 @@ def sdf_count(data):
     if lib is None or not hasattr(lib, "exon_sdf_count"):
         return None
     ptr, n = _as_ptr(data)
-    return int(lib.exon_sdf_count(ptr, n, 0))
+    return int(lib.exon_sdf_count(ptr, n, default_threads()))
 
 
 def sdf_terms(data, starts: np.ndarray, ends: np.ndarray):
@@ -522,7 +535,7 @@ def bam_spans(data, offsets: np.ndarray):
     start = np.empty(count, np.int32)
     end = np.empty(count, np.int32)
     rc = int(lib.exon_bam_spans(ptr, n, offsets, count, ref_id, start, end,
-                                0))
+                                default_threads()))
     if rc < 0:
         return None
     return ref_id, start, end

@@ -231,11 +231,32 @@ def empty_like_host(b: Batch, cap: int, vcaps: dict[int, int]) -> Batch:
 
 
 def stack_wave(batches: list[Batch], mesh: Mesh) -> Batch:
-    """Stack n_dev host batches leaf-wise and place sharded over 'shard'."""
+    """Stack host batches leaf-wise and place sharded over 'shard'.
+
+    Single-process: ``batches`` covers the whole shard axis. Multi-host:
+    each process passes only its LOCAL batches (one per addressable shard
+    row) and the global array assembles from per-process shards without any
+    cross-host data movement (``make_array_from_process_local_data``)."""
     stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x) for x in xs]),
                            *batches)
     sharding = NamedSharding(mesh, P("shard"))
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            stacked)
     return jax.device_put(stacked, sharding)
+
+
+def gather_full(tree, mesh: Mesh):
+    """Fetch a shard-sharded pytree to host numpy with the FULL global
+    value. Single-process: plain device_get. Multi-host: a jitted identity
+    with replicated out_shardings all-gathers over DCN first, so every
+    process can read the complete result locally."""
+    if jax.process_count() <= 1:
+        return jax.device_get(tree)
+    rep = NamedSharding(mesh, P())
+    out = jax.jit(lambda t: t, out_shardings=rep)(tree)
+    return jax.device_get(out)
 
 
 def _squeeze0(tree):
@@ -525,24 +546,40 @@ class DistributedAggregateExec(PhysicalPlan):
     # -- main loop ----------------------------------------------------------
 
     def _run(self) -> Batch:
+        import contextlib
+        import itertools
+
+        from .mesh import local_shard_count, scan_shard_context
+
         n_dev = self.mesh.shape["shard"]
+        multi = jax.process_count() > 1
+        n_local = local_shard_count(self.mesh) if multi else n_dev
         grouped = bool(self.group_exprs)
-        wave: list[Batch] = []
         state = None
         global_rank = 0
-        template: Optional[Batch] = None
-        for hb in self.source():
-            template = template or hb
-            wave.append(hb)
-            if len(wave) == n_dev:
+        # multi-host: this process decodes only its file shard; waves are
+        # built from n_local local batches and assembled into the global
+        # shard axis without cross-host data movement
+        ctx = scan_shard_context(jax.process_index(), jax.process_count()) \
+            if multi else contextlib.nullcontext()
+        with ctx:
+            it = iter(self.source())
+            while True:
+                wave = list(itertools.islice(it, n_local))
+                have = len(wave) > 0
+                if multi:
+                    # all processes must step in lockstep: continue while
+                    # ANY process still has data (others feed empty waves)
+                    from jax.experimental import multihost_utils
+
+                    total = multihost_utils.process_allgather(
+                        np.asarray([1 if have else 0], np.int32))
+                    if int(np.sum(total)) == 0:
+                        break
+                elif not have:
+                    break
                 state, global_rank = self._flush(state, wave, global_rank,
                                                  grouped)
-                wave = []
-        if wave:
-            cap, vcaps = wave_shape(wave)
-            while len(wave) < n_dev:
-                wave.append(empty_like_host(wave[0], cap, vcaps))
-            state, global_rank = self._flush(state, wave, global_rank, grouped)
         if state is None:
             if grouped:
                 return _empty_batch(self.out_schema)
@@ -551,8 +588,43 @@ class DistributedAggregateExec(PhysicalPlan):
             return self._finalize_grouped(state)
         return self._finalize_ungrouped(state)
 
+    def _pad_wave(self, wave: list[Batch], n_slots: int):
+        """Pad to n_slots batches with wave-shape caps synchronized across
+        processes (jit steps must see identical shapes everywhere)."""
+        if wave:
+            cap, vcaps = wave_shape(wave)
+        else:
+            cap, vcaps = 1, {}
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            ncols = len(wave[0].columns) if wave else 64
+            vec = np.zeros(ncols + 1, np.int64)
+            vec[0] = cap
+            for i, v in vcaps.items():
+                if i + 1 <= ncols:
+                    vec[i + 1] = v
+            allv = multihost_utils.process_allgather(vec)
+            vec = np.max(np.asarray(allv).reshape(-1, ncols + 1), axis=0)
+            cap = int(vec[0])
+            vcaps = {i: int(vec[i + 1]) for i in range(ncols)
+                     if vec[i + 1] > 0}
+        if not wave:
+            raise ExecutionError(
+                "multi-host wave padding without a local template batch "
+                "(process has no files); give every process at least one "
+                "file or lower the process count")
+        while len(wave) < n_slots:
+            wave.append(empty_like_host(wave[0], cap, vcaps))
+        return wave, cap, vcaps
+
     def _flush(self, state, wave: list[Batch], global_rank: int, grouped):
-        cap, vcaps = wave_shape(wave)
+        multi = jax.process_count() > 1
+        n_dev = self.mesh.shape["shard"]
+        from .mesh import local_shard_count
+
+        n_slots = local_shard_count(self.mesh) if multi else n_dev
+        wave, cap, vcaps = self._pad_wave(wave, n_slots)
         wave = [pad_host_batch(b, cap, vcaps) for b in wave]
         stacked = stack_wave(wave, self.mesh)
         if grouped:
@@ -564,7 +636,7 @@ class DistributedAggregateExec(PhysicalPlan):
             else:
                 state = step(state, stacked, jnp.int64(global_rank),
                              jnp.int32(cap))
-            flags = jax.device_get((state.overflow, state.too_long))
+            flags = gather_full((state.overflow, state.too_long), self.mesh)
             if bool(np.any(flags[1])):
                 raise RepTooLongError(
                     f"group key exceeds rep_w={self.rep_w} bytes")
@@ -576,14 +648,16 @@ class DistributedAggregateExec(PhysicalPlan):
                                         self.stages)
             part = step(stacked)
             state = (state or []) + [part]
-        return state, global_rank + cap * len(wave)
+        # rank space advances by the FULL shard axis (devices across all
+        # processes), not just this process's local slots
+        return state, global_rank + cap * n_dev
 
     # -- finalize -----------------------------------------------------------
 
     def _finalize_grouped(self, state: DistAggState) -> Batch:
         fin = _final_exchange(self.mesh, tuple(self.agg_calls))
         merged = fin(state)  # sharded [n_dev, n_dev*scap]
-        host = jax.device_get(merged)
+        host = gather_full(merged, self.mesh)
         if bool(np.any(host.too_long)):
             raise RepTooLongError("group key exceeds rep_w bytes")
         if bool(np.any(host.overflow)):
@@ -668,7 +742,7 @@ class DistributedAggregateExec(PhysicalPlan):
             partials = _empty_ungrouped(self.agg_calls)
         else:
             n_dev = self.mesh.shape["shard"]
-            host = jax.device_get(parts)  # list of per-wave [n_dev,…] pytrees
+            host = gather_full(parts, self.mesh)  # per-wave [n_dev,…] pytrees
             partials = None
             for wave_part in host:
                 for d in range(n_dev):
@@ -725,10 +799,19 @@ def _wave_step_grouped(mesh: Mesh, group_exprs: tuple, agg_calls: tuple,
 def _wave_step_ungrouped(mesh: Mesh, agg_calls: tuple, stages: tuple):
     spec = P("shard")
 
+    has_filter = any(k == "filter" for k, _p, _s in stages)
+
     def per_device(batch: Batch):
         b = _squeeze0(batch)
         b2, mask = apply_stages(stages, b)
-        out = [_partial_for(call, b2, mask, None, 1) for call in agg_calls]
+        out = []
+        for call in agg_calls:
+            if call.fn == "count" and call.child is None and not has_filter:
+                # COUNT(*): row count directly — stays correct for
+                # zero-column (projection-free) scans whose capacity is 0
+                out.append(jnp.asarray(b.length, jnp.int64))
+            else:
+                out.append(_partial_for(call, b2, mask, None, 1))
         return jax.tree.map(lambda x: jnp.asarray(x)[None], out)
 
     fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec,),
@@ -894,6 +977,10 @@ def _join_emit_step(mesh: Mesh, stages: tuple, out_schema: Schema, how: str,
 def plan_distributed_join(join_plan, config) -> Optional[PhysicalPlan]:
     """Build a DistributedJoinExec for an L.Join whose probe (left) side is a
     supported scan chain; the build (right) side lowers normally."""
+    if jax.process_count() > 1:
+        return None  # multi-host: only the aggregate path shards ingest;
+        # joins/topk fall back to replicated execution (correct, not sharded)
+
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan
 
@@ -1169,6 +1256,10 @@ MAX_DIST_TOPK = 1 << 16
 def plan_distributed_topk(sort_plan, fetch: int, config
                           ) -> Optional[PhysicalPlan]:
     """Lower Sort(keys)+Limit(fetch) over a scan chain to the mesh."""
+    if jax.process_count() > 1:
+        return None  # multi-host: only the aggregate path shards ingest;
+        # joins/topk fall back to replicated execution (correct, not sharded)
+
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan
 
@@ -1453,6 +1544,10 @@ def plan_distributed_partitioned_join(join_plan, config
                                       ) -> Optional[PhysicalPlan]:
     """Planner hook: SET exon.partitioned_join = true selects the
     partitioned exchange over the default broadcast-probe join."""
+    if jax.process_count() > 1:
+        return None  # multi-host: only the aggregate path shards ingest;
+        # joins/topk fall back to replicated execution (correct, not sharded)
+
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan
 

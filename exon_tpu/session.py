@@ -59,7 +59,15 @@ def _prewarm_backend() -> None:
 
 class ExonSession:
     def __init__(self, config: Optional[SessionConfig] = None):
+        # multi-host: bring up jax.distributed first (no-op single-process);
+        # in a multi-process runtime, distributed execution is the default
+        # so scans shard ingest across hosts
+        from .parallel.mesh import init_distributed
+
+        multi = init_distributed()
         self.config = config or new_exon_config()
+        if multi and config is None:
+            self.config.distributed = True
         self.tables: dict[str, object] = {}
         # ensure UDFs and indexed providers are registered
         from . import udfs  # noqa: F401

@@ -1,0 +1,70 @@
+"""Worker for the 2-process multi-host parity test (test_multihost.py).
+
+Runs one jax.distributed process of a simulated 2-host CPU cluster (4
+virtual devices per host via xla_force_host_platform_device_count), executes
+distributed queries through the public session API, and writes results as
+JSON for the parent to compare against single-process ground truth.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    data_dir, out_path = sys.argv[1], sys.argv[2]
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from exon_tpu import ExonSession
+    from exon_tpu.parallel import mesh as mesh_mod
+
+    # record process file-shard activity to prove ingest really split
+    shard_calls = []
+    orig_iter = mesh_mod.iter_scan_files
+
+    def spy(files):
+        out = orig_iter(files)
+        if len(out) != len(list(files)):
+            shard_calls.append((len(list(files)), len(out)))
+        return out
+
+    mesh_mod.iter_scan_files = spy
+    import exon_tpu.providers as _prov
+    import exon_tpu.tables  # noqa: F401
+
+    _prov.iter_scan_files = spy
+
+    ctx = ExonSession.new_exon()  # init_distributed() runs from env vars
+    assert jax.process_count() == 2, jax.process_count()
+    assert ctx.config.distributed, "multi-process session must distribute"
+
+    results = {}
+    ctx.sql(f"CREATE EXTERNAL TABLE t STORED AS FASTA LOCATION '{data_dir}'")
+
+    df = ctx.sql("SELECT COUNT(*) AS n FROM t")
+    results["count_star"] = df.to_pandas().to_dict("records")
+
+    df = ctx.sql("SELECT description, COUNT(*) AS n FROM t "
+                 "GROUP BY description ORDER BY description")
+    results["group_by"] = df.to_pandas().to_dict("records")
+
+    df = ctx.sql("SELECT description, COUNT(*) AS n FROM t "
+                 "WHERE sequence LIKE 'AC%' GROUP BY description "
+                 "ORDER BY description")
+    results["filtered_group_by"] = df.to_pandas().to_dict("records")
+
+    # each distributed scan must have decoded only this process's 2 of the
+    # 4 files — otherwise the run silently fell back to replicated decode
+    assert shard_calls and all(tot == 4 and mine == 2
+                               for tot, mine in shard_calls), shard_calls
+    results["shard_calls"] = len(shard_calls)
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Multi-host distributed execution: 2 simulated processes x 4 CPU devices.
+
+Spawns two jax.distributed processes (multihost_worker.py) over localhost,
+each owning 4 virtual CPU devices, and checks that distributed aggregates
+(ungrouped COUNT, GROUP BY, filtered GROUP BY) return exactly the
+single-process results while each process decodes only its own file shard
+(parallel/mesh.py iter_scan_files).
+
+Role analog: the reference has no multi-node axis (SURVEY §2e); this is the
+north-star substrate over jax.distributed + DCN-aware mesh.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _make_fasta_files(d: str) -> None:
+    os.makedirs(d, exist_ok=True)
+    # 4 files, 2 per process; descriptions repeat across files so GROUP BY
+    # requires a real cross-host exchange
+    for f in range(4):
+        lines = []
+        for i in range(50):
+            desc = f"group{i % 5}"
+            seq = ("ACGT" if i % 3 else "TTGA") * 4
+            lines.append(f">f{f}r{i} {desc}\n{seq}\n")
+        with open(os.path.join(d, f"part{f}.fasta"), "w") as fh:
+            fh.write("".join(lines))
+
+
+def test_two_process_parity(tmp_path):
+    data_dir = str(tmp_path / "fasta")
+    _make_fasta_files(data_dir)
+
+    port = _free_port()
+    procs = []
+    outs = []
+    for pid in range(2):
+        out = str(tmp_path / f"result_{pid}.json")
+        outs.append(out)
+        env = dict(os.environ)
+        env.update({
+            "EXON_TPU_COORDINATOR": f"127.0.0.1:{port}",
+            "EXON_TPU_NUM_PROCESSES": "2",
+            "EXON_TPU_PROCESS_ID": str(pid),
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "JAX_PLATFORMS": "cpu",
+            "PYTHONPATH": REPO,
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests",
+                                          "multihost_worker.py"),
+             data_dir, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    rcs = []
+    errs = []
+    for p in procs:
+        try:
+            _out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-host workers timed out")
+        rcs.append(p.returncode)
+        errs.append(err.decode(errors="replace")[-3000:])
+    assert rcs == [0, 0], f"worker failures: {errs}"
+
+    results = [json.load(open(o)) for o in outs]
+    # both processes must see identical (replicated-final) results
+    assert results[0] == results[1]
+
+    got = results[0]
+    # ground truth from the fixture definition: 4 files x 50 records
+    assert got["count_star"] == [{"n": 200}]
+    # 50 records/file over 5 descriptions -> 10/desc/file, 40 per desc
+    assert got["group_by"] == [
+        {"description": f"group{i}", "n": 40} for i in range(5)]
+    # sequence 'AC%' iff i % 3 != 0: i in 0..49 -> 33 zero-mod, 17*... per
+    # desc: i%5==d and i%3!=0 count
+    expect = []
+    for d in range(5):
+        c = sum(1 for i in range(50) if i % 5 == d and i % 3 != 0) * 4
+        expect.append({"description": f"group{d}", "n": c})
+    assert got["filtered_group_by"] == expect
