@@ -177,6 +177,61 @@ def run_bam(ctx, results: dict) -> None:
          "file_mb": round(size / 1e6, 1), "ref_s": 2.444})
 
 
+def run_mzml(ctx, results: dict) -> None:
+    """MzMLScan analog (exon-benchmarks/src/main.rs:31-93): count spectra
+    with >= 1 peak over a ~6k-spectrum mzML. The reference records no
+    hyperfine number for it in BASELINE.md, so vs_baseline is null."""
+    from benchlib import fixtures as fx
+
+    path = fx.make_mzml()
+    size = os.path.getsize(path)
+
+    def q():
+        return ctx.read_mzml(path).count()
+
+    n, best = _time_best(q)
+    results["mzml-scan"] = _emit(
+        "mzml-scan_s", round(best, 4), "s", None,
+        {"wall_s": round(best, 4), "rows": int(n),
+         "file_mb": round(size / 1e6, 1),
+         "rows_per_s": round(n / best, 1),
+         "note": "no reference hyperfine number in BASELINE.md"})
+
+
+def run_bam_s3(ctx, results: dict) -> None:
+    """BAM region query over the REAL S3 client against a loopback
+    endpoint (reference exon-bam-s3-query, 9.012 s over WAN; this measures
+    the remote-read machinery — SigV4 HTTP, ranged GETs, .bai chunking —
+    minus WAN latency, so vs_baseline is null)."""
+    from benchlib import fixtures as fx
+    from benchlib.s3local import LocalS3Endpoint
+
+    path, _bai = fx.make_bam()
+    root = os.path.dirname(path)
+    name = os.path.basename(path)
+    region = "20:1000000-40000000"
+    with LocalS3Endpoint(root) as ep:
+        from exon_tpu.io.cloud import S3Store
+        from exon_tpu.io.object_store import register_store
+
+        store = S3Store("bench-bucket", endpoint=ep.endpoint,
+                        anonymous=True)
+        register_store("s3://bench-bucket", store)
+
+        def q():
+            df = ctx.sql("SELECT COUNT(*) FROM bam_indexed_scan"
+                         f"('s3://bench-bucket/{name}', '{region}')")
+            return df.collect_arrow().column(0)[0].as_py()
+
+        n, best = _time_best(q)
+    results["bam-s3-region-query"] = _emit(
+        "bam-s3-region-query_s", round(best, 4), "s", None,
+        {"wall_s": round(best, 4), "matched": int(n), "region": region,
+         "ref_s_wan": 9.012,
+         "note": "loopback S3 endpoint (zero-egress image); reference "
+                 "number includes WAN latency"})
+
+
 def run_sdf(ctx, results: dict) -> None:
     from benchlib import fixtures as fx
 
@@ -206,7 +261,9 @@ def main() -> None:
         ("fasta-parallel", run_fasta_parallel),
         ("vcf", run_vcf_region),
         ("bam", run_bam),
+        ("bam-s3", run_bam_s3),
         ("sdf", run_sdf),
+        ("mzml", run_mzml),
     ]
     for name, fn in steps:
         if only and not any(name.startswith(o) or o.startswith(name)

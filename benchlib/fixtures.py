@@ -330,3 +330,69 @@ def make_sdf_gz(n_records: int = SDF_RECORDS) -> str:
         gz.close()
     os.replace(path + ".tmp", path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# mzML (reference MzMLScan workload, exon-benchmarks/src/main.rs:31-93;
+# fixture scale per exon-benchmarks/README.md: ~6k spectra)
+# ---------------------------------------------------------------------------
+
+MZML_SPECTRA = 6_000
+
+
+def make_mzml(n_spectra: int = MZML_SPECTRA) -> str:
+    import base64
+    import struct
+    import zlib
+
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"bench_{n_spectra}.mzML")
+    if _done(path):
+        return path
+    rng = np.random.default_rng(7)
+
+    def b64(values: np.ndarray) -> str:
+        raw = struct.pack(f"<{len(values)}d", *values)
+        return base64.b64encode(zlib.compress(raw, 1)).decode()
+
+    head = ('<?xml version="1.0" encoding="utf-8"?>\n'
+            '<mzML xmlns="http://psi.hupo.org/ms/mzml" version="1.1.0">\n'
+            '  <run id="bench">\n'
+            f'    <spectrumList count="{n_spectra}">\n')
+    tail = "    </spectrumList>\n  </run>\n</mzML>\n"
+    with open(path + ".tmp", "w") as f:
+        f.write(head)
+        for i in range(n_spectra):
+            n_peaks = int(rng.integers(64, 512))
+            mz = np.sort(rng.uniform(100, 2000, n_peaks))
+            inten = rng.uniform(0, 1e6, n_peaks)
+            enc_mz, enc_in = b64(mz), b64(inten)
+            f.write(
+                f'      <spectrum index="{i}" id="scan={i}" '
+                f'defaultArrayLength="{n_peaks}">\n'
+                '        <cvParam cvRef="MS" accession="MS:1000511" '
+                'name="ms level" value="1"/>\n'
+                '        <binaryDataArrayList count="2">\n'
+                f'          <binaryDataArray encodedLength="{len(enc_mz)}">\n'
+                '            <cvParam cvRef="MS" accession="MS:1000523" '
+                'name="64-bit float" value=""/>\n'
+                '            <cvParam cvRef="MS" accession="MS:1000574" '
+                'name="zlib compression" value=""/>\n'
+                '            <cvParam cvRef="MS" accession="MS:1000514" '
+                'name="m/z array" value=""/>\n'
+                f'            <binary>{enc_mz}</binary>\n'
+                '          </binaryDataArray>\n'
+                f'          <binaryDataArray encodedLength="{len(enc_in)}">\n'
+                '            <cvParam cvRef="MS" accession="MS:1000523" '
+                'name="64-bit float" value=""/>\n'
+                '            <cvParam cvRef="MS" accession="MS:1000574" '
+                'name="zlib compression" value=""/>\n'
+                '            <cvParam cvRef="MS" accession="MS:1000515" '
+                'name="intensity array" value=""/>\n'
+                f'            <binary>{enc_in}</binary>\n'
+                '          </binaryDataArray>\n'
+                '        </binaryDataArrayList>\n'
+                '      </spectrum>\n')
+        f.write(tail)
+    os.replace(path + ".tmp", path)
+    return path

@@ -24,30 +24,55 @@ DEFAULT_CHUNK = 48 << 20
 def prefetch(gen: Iterator, depth: int = 2) -> Iterator:
     """Run ``gen`` in a background thread with a bounded queue so the
     producer (decompression) overlaps the consumer (decode + device
-    compute). Exceptions propagate to the consumer."""
+    compute). Exceptions propagate to the consumer. If the consumer
+    abandons the iterator early (LIMIT queries), the pump thread notices a
+    stop flag on its next bounded put and exits instead of blocking forever
+    holding the underlying mmap/decompressor alive."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     DONE, ERR = object(), object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def pump():
         try:
             for item in gen:
-                q.put(item)
-            q.put(DONE)
+                if not _put(item):
+                    break
+            else:
+                _put(DONE)
         except BaseException as e:  # noqa: BLE001 - re-raised consumer-side
-            q.put((ERR, e))
+            _put((ERR, e))
+        finally:
+            close = getattr(gen, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     t = threading.Thread(target=pump, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is DONE:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is DONE:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
 
 
 def _iter_gzip_zlib(mv: memoryview, read_size: int) -> Iterator[bytes]:

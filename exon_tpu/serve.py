@@ -9,8 +9,11 @@ an Arrow IPC stream — the same wire format FlightSQL rides — and
 ``exon_tpu.client.ExonClient`` is the exon-py-shaped consumer.
 
 Design: stdlib http.server (no gRPC dependency in the image) + pyarrow IPC.
-Results stream batch-by-batch, so large results don't buffer server-side.
-Health check at GET /health (exon-py health proto analog).
+Connections are handled concurrently but query execution serializes behind
+a session lock (CREATE EXTERNAL TABLE mutates catalog state, and engine
+execution is not documented thread-safe); the IPC stream is encoded to a
+buffer, then written with Content-Length. Health check at GET /health
+(exon-py health proto analog).
 """
 
 from __future__ import annotations
@@ -51,8 +54,11 @@ class _Handler(BaseHTTPRequestHandler):
         sql = self.rfile.read(n).decode("utf-8")
         session = self.server.exon_session  # type: ignore[attr-defined]
         try:
-            df = session.sql(sql)
-            tab = df.collect_arrow()
+            # one query at a time: session catalog mutations (CREATE
+            # EXTERNAL TABLE) and engine execution race otherwise
+            with self.server.exon_lock:  # type: ignore[attr-defined]
+                df = session.sql(sql)
+                tab = df.collect_arrow()
         except Exception as e:  # surface engine errors as 400 + message
             body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
             self.send_response(400)
@@ -61,14 +67,16 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
-        self.send_response(200)
-        self.send_header("Content-Type", "application/vnd.apache.arrow.stream")
-        self.end_headers()
         sink = io.BytesIO()
         with pa.ipc.new_stream(sink, tab.schema) as w:
             for rb in tab.to_batches(max_chunksize=8192):
                 w.write_batch(rb)
-        self.wfile.write(sink.getvalue())
+        body = sink.getvalue()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/vnd.apache.arrow.stream")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
 
 
 class ExonServer:
@@ -83,6 +91,7 @@ class ExonServer:
         self.session = session
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.exon_session = session  # type: ignore[attr-defined]
+        self._httpd.exon_lock = threading.Lock()  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
 
     @property

@@ -117,3 +117,11 @@ class ExplainStmt:
 class DropTableStmt:
     name: str
     if_exists: bool = False
+
+
+@dataclasses.dataclass
+class CreateFunctionStmt:
+    """CREATE FUNCTION — parsed, then rejected like the reference's
+    ExonFunctionFactory (function_factory.rs:28-44)."""
+
+    name: str

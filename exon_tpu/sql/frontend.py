@@ -120,6 +120,10 @@ def _execute_stmt(session, stmt):
         session.deregister_table(stmt.name)
         return _result_df(session, dt.Schema.of(
             dt.Field("status", dt.utf8, False)), [("ok",)])
+    if isinstance(stmt, A.CreateFunctionStmt):
+        # parity: ExonFunctionFactory rejects with UnsupportedFunction
+        # (function_factory.rs:28-44) — parse succeeds, execution errors
+        raise PlanError(f"Unsupported function definition: {stmt.name}")
     if isinstance(stmt, A.CreateMemoryTable):
         return _create_memory_table(session, stmt)
     if isinstance(stmt, A.InsertStmt):
@@ -270,11 +274,17 @@ def _create_external_table(session, stmt: A.CreateExternalTable):
             session.register_table(stmt.name, provider)
         return _result_df(session, dt.Schema.of(
             dt.Field("status", dt.utf8, False)), [("ok",)])
-    spec = get_format(stmt.file_format.replace("INDEXED_", ""))
+    bare = stmt.file_format.replace("INDEXED_", "")
+    spec = get_format(bare)
     options = spec.default_options()
     import dataclasses
 
     kw = {}
+    from ..tables import alias_extension
+
+    alias_ext = alias_extension(bare)
+    if alias_ext is not None and hasattr(options, "file_extension"):
+        kw["file_extension"] = alias_ext
     for k, v in stmt.options.items():
         key = k.split(".")[-1]
         if hasattr(options, key):

@@ -318,6 +318,16 @@ class Parser:
 
     def parse_create(self):
         self.expect_kw("create")
+        # lookahead across optional OR REPLACE / TEMPORARY for FUNCTION
+        k = 0
+        if self.peek(0).value.lower() == "or" and \
+                self.peek(1).value.lower() == "replace":
+            k = 2
+        if self.peek(k).value.lower() == "temporary":
+            k += 1
+        if self.peek(k).kind in ("kw", "ident") and \
+                self.peek(k).value.lower() == "function":
+            return self._parse_create_function()
         if not self.accept_kw("external"):
             return self._parse_create_memory()
         self.expect_kw("table")
@@ -365,6 +375,25 @@ class Parser:
             raise SqlError("CREATE EXTERNAL TABLE requires STORED AS <format>")
         return A.CreateExternalTable(name, fmt.upper(), location, options,
                                      partition_cols, if_not_exists)
+
+    def _parse_create_function(self):
+        """CREATE [OR REPLACE] [TEMPORARY] FUNCTION name … — parsed whole,
+        surfaced as an unsupported-function statement. The reference routes
+        it to ExonFunctionFactory which rejects it with UnsupportedFunction
+        (session_context/function_factory.rs:28-44); parsing here means the
+        user gets that clean error instead of a syntax error."""
+        if self.accept_kw("or"):
+            self.expect_kw("replace")
+        self.accept_kw("temporary")
+        if self.peek().value.lower() != "function":
+            raise SqlError(f"expected FUNCTION near {self.peek().value!r}")
+        self.next()
+        name = self.qualified_name()
+        # consume the remainder of the statement (args, RETURNS, body)
+        while self.peek().kind != "eof" and not (
+                self.peek().kind == "op" and self.peek().value == ";"):
+            self.next()
+        return A.CreateFunctionStmt(name)
 
     def _parse_create_memory(self) -> "A.CreateMemoryTable":
         """CREATE TABLE name [(col type, …)] [AS SELECT…|AS VALUES …] — the

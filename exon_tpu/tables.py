@@ -125,9 +125,10 @@ class FileTable(TableProvider):
             # parallel BGZF) with per-file parallel decode
             use_stream = False
             if fmt.stream is not None and len(my_files) == 1:
-                comp = infer_compression(my_files[0][1].path)[1]
+                store0, meta0 = my_files[0]
+                comp = infer_compression(meta0.path)[1]
                 if comp != Compression.NONE:
-                    est_out = my_files[0][1].size * 4
+                    est_out = _estimate_decompressed(store0, meta0, comp)
                     budget = int(_os.environ.get(
                         "EXON_TPU_STREAM_THRESHOLD", 1 << 30))
                     use_stream = est_out > budget
@@ -141,6 +142,35 @@ class FileTable(TableProvider):
                         return
 
         return ScanExec(schema, source, to_device=not use_device)
+
+
+def _estimate_decompressed(store, meta, comp) -> int:
+    """Decompressed-size estimate for the stream-vs-materialize decision.
+
+    Plain single-member gzip: exact trailing ISIZE (4 bytes, one range
+    read; valid under 4 GiB). Everything else: a conservative 10x — text
+    genomics routinely compresses far better than the old 4x guess, which
+    let multi-GB decompressions materialize in RAM."""
+    from .io.compression import Compression as _C
+
+    if comp in (_C.GZIP, _C.BGZF):
+        try:
+            if hasattr(store, "get_range"):
+                tail = store.get_range(meta.path, meta.size - 4, 4)
+            else:
+                tail = bytes(store.get_view(meta.path)[-4:]) \
+                    if hasattr(store, "get_view") else store.get(meta.path)[-4:]
+            import struct as _struct
+
+            isize = _struct.unpack("<I", bytes(tail))[0]
+            if comp == _C.GZIP and isize >= meta.size:
+                # single-member exact; a wrapped ISIZE (>4 GiB stream) or
+                # multi-member file reads smaller than the compressed size
+                # and falls through to the conservative estimate
+                return isize
+        except Exception:
+            pass
+    return meta.size * 10
 
 
 def _scan_workers() -> int:
@@ -211,11 +241,26 @@ def register_format(spec: FormatSpec) -> None:
     _FORMATS[spec.name.upper()] = spec
 
 
+# STORED AS aliases: amino-acid / nucleotide FASTA and short FASTQ names
+# map to the base format with their own default extension
+# (exon-core/src/session_context/exon_context_ext.rs:134-140,
+#  exon_file_type.rs get_base_file_extension)
+FORMAT_ALIASES = {"FA": ("FASTA", ".fa"), "FAA": ("FASTA", ".faa"),
+                  "FNA": ("FASTA", ".fna"), "FQ": ("FASTQ", ".fq")}
+
+
 def get_format(name: str) -> FormatSpec:
     key = name.upper()
+    key = FORMAT_ALIASES.get(key, (key,))[0]
     if key not in _FORMATS:
         raise PlanError(f"unknown format {name!r}; registered: {sorted(_FORMATS)}")
     return _FORMATS[key]
+
+
+def alias_extension(name: str):
+    """Default file extension for a STORED AS alias, or None."""
+    entry = FORMAT_ALIASES.get(name.upper())
+    return entry[1] if entry else None
 
 
 def registered_formats() -> list[str]:

@@ -190,3 +190,35 @@ def test_window_first_last_value(s, tmp_path):
         "first_value(start) OVER (PARTITION BY seqname ORDER BY start) AS fv "
         f"FROM gff_scan('{p}') ORDER BY seqname, start").to_pandas()
     assert list(t[t.seqname == "c0"]["fv"]) == [1, 1, 1]
+
+
+def test_stored_as_aliases(session, tmp_path):
+    """FAA/FNA/FA/FQ STORED AS aliases map to FASTA/FASTQ with their own
+    default extensions (exon_context_ext.rs:134-140)."""
+    base = "/root/reference/exon/exon-core/test-data/datasources"
+    session.sql(f"CREATE EXTERNAL TABLE t_fna STORED AS FNA LOCATION "
+                f"'{base}/fasta/test.fna'")
+    assert session.sql("SELECT COUNT(*) FROM t_fna").to_pandas().iloc[0, 0] == 2
+    session.sql(f"CREATE EXTERNAL TABLE t_fa STORED AS FA LOCATION "
+                f"'{base}/fasta/test.fa'")
+    assert session.sql("SELECT COUNT(*) FROM t_fa").to_pandas().iloc[0, 0] == 2
+    session.sql(f"CREATE EXTERNAL TABLE t_fq STORED AS FQ LOCATION "
+                f"'{base}/fastq/test.fq'")
+    assert session.sql("SELECT COUNT(*) FROM t_fq").to_pandas().iloc[0, 0] == 2
+    # .faa content is FASTA; synthesize since the reference ships none
+    p = tmp_path / "prot.faa"
+    p.write_text(">p1 desc\nMKV\n>p2\nACDEF\n")
+    session.sql(f"CREATE EXTERNAL TABLE t_faa STORED AS FAA LOCATION '{p}'")
+    assert session.sql("SELECT COUNT(*) FROM t_faa").to_pandas().iloc[0, 0] == 2
+
+
+def test_create_function_rejected_cleanly(session):
+    """CREATE FUNCTION parses, then errors like ExonFunctionFactory
+    (function_factory.rs:28-44) — not a syntax error."""
+    import pytest
+
+    from exon_tpu.errors import PlanError
+
+    with pytest.raises(PlanError, match="Unsupported function.*my_fn"):
+        session.sql("CREATE FUNCTION my_fn(a BIGINT) RETURNS BIGINT "
+                    "RETURN a + 1")

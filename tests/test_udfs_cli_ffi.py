@@ -108,3 +108,39 @@ def test_ffi_stream(ctx, ref_data):
     reader2 = record_batch_reader(df2)
     imported = pa.RecordBatchReader.from_stream(reader2)
     assert imported.read_all().num_rows == 5
+
+
+def test_ffi_stream_c_abi_consumer(session):
+    """A pure C consumer (native/arrow_consume.cpp) drains the exported
+    __arrow_c_stream__ through raw ArrowArrayStream function pointers —
+    the non-Python ingestion path the reference's R binding uses
+    (exon-r/exonr/src/rust/src/lib.rs:31-57)."""
+    import ctypes
+
+    from exon_tpu import native
+    from exon_tpu.ffi import to_arrow_c_stream
+
+    lib = native.get_lib()
+    assert lib is not None
+    lib.exon_consume_arrow_stream.restype = ctypes.c_int
+    lib.exon_consume_arrow_stream.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+
+    df = session.read_fasta(
+        "/root/reference/exon/exon-core/test-data/datasources/fasta/test.fasta")
+    capsule = to_arrow_c_stream(df)
+    ctypes.pythonapi.PyCapsule_GetPointer.restype = ctypes.c_void_p
+    ctypes.pythonapi.PyCapsule_GetPointer.argtypes = [
+        ctypes.py_object, ctypes.c_char_p]
+    ptr = ctypes.pythonapi.PyCapsule_GetPointer(capsule,
+                                                b"arrow_array_stream")
+    batches = ctypes.c_int64(-1)
+    rows = ctypes.c_int64(-1)
+    cols = ctypes.c_int64(-1)
+    rc = lib.exon_consume_arrow_stream(ptr, ctypes.byref(batches),
+                                       ctypes.byref(rows), ctypes.byref(cols))
+    assert rc == 0
+    assert rows.value == 2        # test.fasta has 2 records
+    assert cols.value == 3        # id, description, sequence
+    assert batches.value >= 1
