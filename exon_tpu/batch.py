@@ -540,7 +540,11 @@ def _column_from_arrow(arr, dtype: DataType) -> Column:
     if dtype.is_fixed_width:
         vals = arr.to_numpy(zero_copy_only=False)
         valid = ~np.asarray(arr.is_null())
-        vals = np.nan_to_num(vals) if vals.dtype.kind == "f" else vals
+        if vals.dtype.kind == "f":
+            # zero only NULL slots (their to_numpy image is NaN); genuine
+            # NaN VALUES are data and must survive (they order greatest,
+            # arrow/DataFusion total order)
+            vals = np.where(valid, vals, 0.0)
         return FixedColumn(np.ascontiguousarray(vals, dtype=numpy_dtype(dtype)),
                            valid)
     if dtype.kind in (TypeKind.UTF8, TypeKind.LARGE_UTF8, TypeKind.BINARY,

@@ -26,14 +26,26 @@ roofline under XLA, so a hand kernel has nothing to win on these paths:
     the k shifts into one HBM pass (a Pallas halo-tile kernel could at
     best ~2x this, and Mosaic rejects the 1-D byte concatenate needed for
     the halo; per-dispatch overhead dominates at batch shapes anyway).
+    CAVEAT (round-4): 8 MiB working sets are small enough that dispatch
+    overhead confounds a GB/s claim; treat these as op-level comparisons
+    between formulations, not a chip-roofline proof.
   * scatter-add grouped count 4M rows → 1024 groups: 0.055 ms (~300 GB/s);
     one-hot MXU dot formulation 0.026 ms — both far below dispatch cost.
-  * The one genuine XLA weakness found: large sorts — jnp.sort of 16M
-    int32 runs 61 ms (~1 GB/s, bitonic). A Pallas radix sort is the
-    standing candidate; the blocker is TPU's lack of vectorized scatter
-    in-kernel (stable rank placement serializes). Engine sorts are
-    per-8192-row-batch (sub-ms) except SortExec breakers, so this is not
-    on the benchmark critical path today.
+
+Round-4 remeasurement with ≥128 MiB working sets (v5e-1 via the tunneled
+backend; each number includes ~27 ms tunnel round-trip, measured as the
+no-op baseline and quoted raw — subtract it for on-chip time):
+  * jnp.sort 16M int64 (128 MiB): 59 ms  (~32 ms net — bitonic)
+  * jnp.argsort 16M int64:        60 ms
+  * random gather 16M int64:     169 ms  (~142 ms net ≈ 0.9 GB/s random)
+  * unique-index scatter 16M:    141 ms  (~114 ms net)
+  * tiled sort [2048, 8192]:      39 ms  (~12 ms net)
+The measured conclusion REVERSES the round-3 radix-sort plan: any radix or
+merge sort built on 16M-row random gathers/scatters loses to XLA's bitonic
+sort outright (one scatter pass alone costs 3-4x the whole sort).
+SortExec therefore external-sorts: device-sorted bounded runs + host
+searchsorted merges (plan/physical.py SortExec), which also caps memory at
+O(run) on device instead of O(result).
 """
 
 from __future__ import annotations

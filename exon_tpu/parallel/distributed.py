@@ -1306,6 +1306,166 @@ def plan_distributed_topk(sort_plan, fetch: int, config
 
 
 # ---------------------------------------------------------------------------
+# Distributed window functions: partition-sharded OVER computation
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistributedWindowExec(PhysicalPlan):
+    """OVER (PARTITION BY …) computed data-parallel over the mesh.
+
+    Rows hash-partition across devices by their partition key (device d
+    owns hash % n_dev == d), so every partition lands wholly on one device;
+    each device runs the engine's fused window kernel (_window_column:
+    sort → segment ids → segment reductions) on its shard inside one
+    shard_map, and the results scatter back to original row order. Late
+    materialization: only the columns the calls reference travel to
+    devices; the payload stays host-side Arrow. Exact parity with the
+    single-device WindowExec, row order included. Takes over the role of
+    DataFusion's repartitioned window execution
+    (exon-core/src/config/mod.rs:41 repartition_windows)."""
+
+    calls: list
+    names: list[str]
+    out_schema: Schema
+    input: PhysicalPlan
+    mesh: Mesh
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.out_schema
+
+    def batches(self) -> Iterator[Batch]:
+        import pyarrow as pa
+
+        from ..plan.physical import _emit_table, _empty_batch
+        from ..plan.planner import expr_columns
+
+        in_schema = self.input.schema()
+        part_exprs = tuple(self.calls[0].partition_by)
+        key_step = _pjoin_key_step(part_exprs)
+        rbs, hashes = [], []
+        for b in self.input.batches():
+            k, _m = jax.device_get(key_step(b))
+            n = b.num_rows_host()
+            if n == 0:
+                continue
+            hashes.append(np.asarray(k)[:n])
+            rbs.append(b.to_arrow())
+        if not rbs:
+            yield _empty_batch(self.out_schema)
+            return
+        tab = pa.Table.from_batches(rbs)
+        h = np.concatenate(hashes)
+        n = len(h)
+        n_dev = self.mesh.shape["shard"]
+        dev = ((h % n_dev) + n_dev) % n_dev
+        order = np.argsort(dev, kind="stable")
+        counts = np.bincount(dev, minlength=n_dev)
+        offs = np.zeros(n_dev + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        # only the columns the calls touch go to devices
+        need: set = set()
+        for c in self.calls:
+            for e in c.children():
+                need |= expr_columns(e)
+        need_cols = [nm for nm in in_schema.names if nm in need]
+        if not need_cols:
+            need_cols = [in_schema.names[0]]
+        sub_schema = in_schema.project(need_cols)
+        taken = tab.select(need_cols).take(pa.array(order))
+        dev_batches = []
+        for d in range(n_dev):
+            piece = taken.slice(int(offs[d]), int(counts[d])).combine_chunks()
+            if piece.num_rows:
+                rb = piece.to_batches()[0]
+                dev_batches.append(Batch.from_arrow(rb, sub_schema))
+            else:
+                dev_batches.append(
+                    _empty_batch(sub_schema))
+        cap, vcaps = wave_shape(dev_batches)
+        dev_batches = [pad_host_batch(b, cap, vcaps) for b in dev_batches]
+        stacked = stack_wave(dev_batches, self.mesh)
+        step = _dist_window_step(self.mesh, tuple(self.calls))
+        outs = jax.device_get(step(stacked))
+        # scatter each call's [n_dev, cap] result back to input row order
+        arrays = []
+        for j, (call, name) in enumerate(zip(self.calls, self.names)):
+            vals, valid = outs[j]
+            flat_v = np.concatenate(
+                [np.asarray(vals)[d][:counts[d]] for d in range(n_dev)])
+            flat_m = np.concatenate(
+                [np.asarray(valid)[d][:counts[d]] for d in range(n_dev)])
+            col_v = np.empty(n, flat_v.dtype)
+            col_m = np.empty(n, bool)
+            col_v[order] = flat_v
+            col_m[order] = flat_m
+            from ..batch import arrow_type
+
+            field = self.out_schema.all_fields[len(in_schema.names) + j]
+            arrays.append(pa.array(col_v, mask=~col_m)
+                          .cast(arrow_type(field.dtype)))
+        out = tab
+        for name, arr in zip(self.names, arrays):
+            out = out.append_column(name, arr)
+        yield from _emit_table(out, self.out_schema)
+
+
+@functools.cache
+def _dist_window_step(mesh: Mesh, calls: tuple):
+    from ..plan.window_exec import _window_column
+
+    spec = P("shard")
+
+    def per_device(batch: Batch):
+        b = _squeeze0(batch)
+        outs = []
+        for call in calls:
+            vals, valid = _window_column(call, b)
+            outs.append((jnp.asarray(vals)[None], jnp.asarray(valid)[None]))
+        return tuple(outs)
+
+    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec,),
+                       out_specs=spec)
+    return jax.jit(fn)
+
+
+def plan_distributed_window(win_plan, config) -> Optional[PhysicalPlan]:
+    """Route an L.Window to the mesh when every call shares one non-empty
+    PARTITION BY (partitions are the unit of data parallelism)."""
+    if jax.process_count() > 1:
+        return None
+    from ..plan import logical as L
+    from ..plan.planner import create_physical_plan
+    from ..plan.window_exec import WINDOW_FUNCS
+
+    mesh = _config_mesh(config)
+    if mesh is None or mesh.shape["shard"] <= 1:
+        return None
+    calls = win_plan.calls
+    if not calls or not calls[0].partition_by:
+        return None
+    first = [repr(e) for e in calls[0].partition_by]
+    for c in calls:
+        if c.fn not in WINDOW_FUNCS:
+            return None
+        if [repr(e) for e in c.partition_by] != first:
+            return None
+        for e in c.children():
+            if contains_host_fn(e):
+                return None
+    return DistributedWindowExec(
+        calls=list(calls),
+        names=list(win_plan.names),
+        out_schema=win_plan.schema(),
+        input=create_physical_plan(win_plan.input, config),
+        mesh=mesh,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Partitioned (non-broadcast) join: all_to_all by key hash
 # ---------------------------------------------------------------------------
 

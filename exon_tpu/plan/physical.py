@@ -908,6 +908,18 @@ def _empty_batch(schema: Schema) -> Batch:
 
 @dataclasses.dataclass
 class SortExec(PhysicalPlan):
+    """ORDER BY as an external run sort.
+
+    Input batches accumulate into bounded *runs* (EXON_TPU_SORT_RUN_ROWS,
+    default 2M rows); each run sorts exactly ON DEVICE (stable LSD over the
+    sort_key_columns), then spills to host as Arrow plus a byte-comparable
+    key column. Sorted runs merge pairwise with np.searchsorted (sequential
+    access — measured 4-10x faster than device random gathers at these
+    sizes) and the result streams out in bounded chunks, so ORDER BY over a
+    25M-row table never materializes one device batch. Replaces the role of
+    DataFusion's ExternalSorter (spill-to-disk sort the reference enables
+    via repartition_sorts, exon-core/src/config/mod.rs:40-43)."""
+
     keys: list  # [(Expr, ascending)]
     input: PhysicalPlan
     fetch: Optional[int] = None
@@ -919,29 +931,283 @@ class SortExec(PhysicalPlan):
         return self.input.schema()
 
     def batches(self) -> Iterator[Batch]:
-        all_batches = list(self.input.batches())
-        combined = concat_batches(self.schema(), all_batches)
-        if combined.num_rows_host() == 0:
-            yield combined
+        import os as _os
+
+        schema = self.schema()
+        run_rows = int(_os.environ.get("EXON_TPU_SORT_RUN_ROWS", 1 << 21))
+        runs: list = []  # (pa.Table, key_cols int64 np [n, C], chunk_list)
+        acc: list[Batch] = []
+        acc_rows = 0
+        # sort directly over a scan: accumulate the HOST decode stream (one
+        # bulk device transfer per run) instead of per-batch device
+        # round-trips — on a tunneled TPU each blocking to_arrow costs
+        # ~30 ms, which at 3000 scan batches dwarfs the sort itself
+        stream = self.input.batches()
+        host_stream = False
+        if isinstance(self.input, ScanExec) and self.input.to_device:
+            stream = self.input.source()
+            host_stream = True
+        # plain column keys over a host stream sort entirely host-side:
+        # device bulk transfers through the tunneled backend run at tens of
+        # MB/s, so shipping a 2M-row run out and back costs more than the
+        # whole np.lexsort (key encoding identical to sort_key_columns)
+        from .expressions import ColumnRef
+
+        self._host_sort = host_stream and all(
+            isinstance(e, ColumnRef) for e, _a in self.keys)
+        for b in stream:
+            n = b.num_rows_host()
+            if n == 0:
+                continue
+            acc.append(b)
+            acc_rows += n
+            if acc_rows >= run_rows:
+                runs.append(self._sorted_run(acc))
+                acc, acc_rows = [], 0
+        if acc:
+            runs.append(self._sorted_run(acc))
+        if not runs:
+            yield _empty_batch(schema)
             return
-        # size var-width keys: how many 8-byte chunks are needed for an
-        # EXACT lexicographic sort (one cheap eager eval + scalar sync)
+        asc_flags = [a for _e, a in self.keys]
+        merged_tab = _merge_runs(runs, asc_flags)
+        if self.fetch is not None:
+            merged_tab = merged_tab.slice(0, self.fetch)
+        yield from _emit_table(merged_tab, schema)
+
+    def _sorted_run(self, acc: list) -> tuple:
+        """Sort one run; spill (arrow table, key matrix, chunk widths) to
+        host. fetch (TopK) truncates each run."""
+        if getattr(self, "_host_sort", False):
+            return self._sorted_run_host(acc)
+        return self._sorted_run_device(acc)
+
+    def _sorted_run_host(self, acc: list) -> tuple:
+        """Host run sort: identical key encoding to sort_key_columns,
+        np.lexsort + one Arrow take."""
+        import pyarrow as pa
+
+        tab = pa.Table.from_batches([b.to_arrow() for b in acc])
+        cols, chunks = _host_key_columns(tab, self.keys,
+                                         getattr(self, "_chunks_seen", None))
+        self._chunks_seen = chunks
+        order = np.lexsort(tuple(reversed(cols))) if cols else \
+            np.arange(tab.num_rows)
+        n = len(order)
+        if self.fetch is not None:
+            n = min(n, self.fetch)
+            order = order[:n]
+        tab = tab.take(pa.array(order))
+        keys = np.stack([c[order] for c in cols], axis=1) if cols else \
+            np.zeros((n, 0), np.int64)
+        return tab, keys, chunks
+
+    def _sorted_run_device(self, acc: list) -> tuple:
+        combined = concat_batches(self.schema(), acc)
+        # size var-width keys: 8-byte chunks for an EXACT lexicographic
+        # sort (one cheap eager eval + scalar sync, per run)
         specs = []
         for e, asc in self.keys:
             v = eval_expr(e, combined)
             nchunks = 0
-            if isinstance(v, VarColumn):
+            if isinstance(v, (VarColumn, DictColumn)):
+                if isinstance(v, DictColumn):
+                    v = layout_ops.dict_to_var(v)
                 maxlen = int(jax.device_get(
                     jnp.max(jnp.where(combined.row_mask(),
-                                      layout_ops.row_lengths(v.offsets), 0))))
+                                      layout_ops.row_lengths(v.offsets), 0),
+                            initial=0)))
                 nchunks = max(1, (maxlen + 7) // 8)
             specs.append((e, asc, nchunks))
-        step = _jit_sort_step(tuple(specs))
-        out = step(combined)
+        # widen remembered chunk sizes so later runs agree (merge pads the
+        # narrower run's key matrix with the zero-chunk constant)
+        prev = getattr(self, "_specs_seen", None)
+        if prev is not None:
+            specs = [(e, a, max(nc, p[2]))
+                     for (e, a, nc), p in zip(specs, prev)]
+        self._specs_seen = specs
+        step = _jit_sort_run(tuple(specs))
+        out, keys = step(combined)
+        n = out.num_rows_host()
         if self.fetch is not None:
-            out = _jit_limit_slice(combined.capacity)(out, jnp.int32(0),
-                                                      jnp.int32(self.fetch))
-        yield out
+            n = min(n, self.fetch)
+        tab = out.to_arrow()
+        import pyarrow as pa
+
+        tab = pa.Table.from_batches([tab]).slice(0, n)
+        key_np = np.asarray(jax.device_get(keys))[:n]
+        return tab, key_np, [nc for _e, _a, nc in specs]
+
+
+_I64_SIGN = np.int64(-(1 << 63))  # the 1<<63 bit pattern in two's complement
+
+
+def _host_key_columns(tab, keys: list, prev_chunks: Optional[list]):
+    """Numpy key columns for a host run sort — bit-identical encoding to
+    the device sort_key_columns (minus the padding column: host rows are
+    all live), so host-sorted and device-sorted runs merge interchangeably.
+
+    Returns (cols list[int64 np array], chunk widths per key)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cols: list = []
+    chunks: list = []
+    for j, (e, asc) in enumerate(keys):
+        arr = tab.column(e.name)
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        t = arr.type
+        if pa.types.is_dictionary(t):
+            arr = arr.cast(pa.utf8())
+            t = arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) \
+                or pa.types.is_binary(t):
+            if not pa.types.is_string(t):
+                arr = arr.cast(pa.utf8())
+            null = np.asarray(arr.is_null())
+            bufs = arr.buffers()
+            offs = np.frombuffer(bufs[1], np.int32, len(arr) + 1,
+                                 arr.offset * 4).astype(np.int64)
+            vals = (np.frombuffer(bufs[2], np.uint8)
+                    if bufs[2] is not None else np.zeros(0, np.uint8))
+            lens = offs[1:] - offs[:-1]
+            lens = np.where(null, 0, lens)
+            maxlen = int(lens.max()) if len(lens) else 0
+            nc = max(1, (maxlen + 7) // 8)
+            if prev_chunks is not None:
+                nc = max(nc, prev_chunks[j])
+            vk = null.astype(np.int64)
+            cols.append(vk if asc else np.int64(-1) - vk)
+            n = len(lens)
+            starts = offs[:-1]
+            idx = starts[:, None] + np.arange(8 * nc, dtype=np.int64)
+            limit = (starts + lens)[:, None]
+            src = vals[np.minimum(idx, max(len(vals) - 1, 0))] \
+                if len(vals) else np.zeros_like(idx, np.uint8)
+            pre = np.where(idx < limit, src, 0).astype(np.uint64)
+            for c in range(nc):
+                k = np.zeros(n, np.uint64)
+                for t8 in range(8 * c, 8 * c + 8):
+                    k = (k << np.uint64(8)) | pre[:, t8]
+                k = (k.view(np.int64)) ^ _I64_SIGN
+                cols.append(k if asc else np.int64(-1) - k)
+            chunks.append(nc)
+        else:
+            null = np.asarray(arr.is_null())
+            if null.any():
+                fill = pa.scalar(False, type=t) if pa.types.is_boolean(t) \
+                    else pa.scalar(0, type=t)
+                arr = pc.fill_null(arr, fill)
+            vals = arr.to_numpy(zero_copy_only=False)
+            if vals.dtype.kind == "f":
+                f = np.ascontiguousarray(vals.astype(np.float64))
+                bits = f.view(np.int64)
+                flipped = np.where(bits < 0, ~bits, bits | _I64_SIGN)
+                k = flipped ^ _I64_SIGN
+            else:
+                k = vals.astype(np.int64)
+            k = np.where(null, np.int64(1) << 62, k)
+            cols.append(k if asc else np.int64(-1) - k)
+            chunks.append(0)
+    return cols, chunks
+
+
+def _key_bytes(key_cols: np.ndarray) -> np.ndarray:
+    """[n, C] int64 key matrix → 'S(8C)' byte strings whose bytewise order
+    equals the column-lexicographic int64 order."""
+    n, c = key_cols.shape
+    u = (key_cols ^ np.int64(-(1 << 63))).view(np.uint64)
+    be = np.ascontiguousarray(u.astype(">u8"))
+    return be.view(f"S{8 * c}").reshape(n)
+
+
+def _pad_key_matrix(keys: np.ndarray, chunks: list, target: list,
+                    specs_asc: list) -> np.ndarray:
+    """Insert zero-chunk constant columns so a narrower run's key matrix
+    matches the widest run's layout. Layout per key: (validity + chunks)
+    for var-width keys, else one column."""
+    if chunks == target:
+        return keys
+    cols = []
+    pos = 0
+    for (nc, tnc), asc in zip(zip(chunks, target), specs_asc):
+        if nc == 0:
+            cols.append(keys[:, pos:pos + 1])
+            pos += 1
+            continue
+        cols.append(keys[:, pos:pos + 1 + nc])  # validity + real chunks
+        pos += 1 + nc
+        if tnc > nc:
+            const = np.int64(-(1 << 63))
+            if not asc:
+                const = np.int64(-1) - const
+            cols.append(np.full((keys.shape[0], tnc - nc), const, np.int64))
+    return np.concatenate(cols, axis=1)
+
+
+def _merge_runs(runs: list, asc_flags: list):
+    """Pairwise stable merge of sorted (table, key-matrix, chunk-widths)
+    runs; earlier runs win ties (global stability)."""
+    items = list(runs)
+    while len(items) > 1:
+        nxt = []
+        for i in range(0, len(items) - 1, 2):
+            nxt.append(_merge_two(items[i], items[i + 1], asc_flags))
+        if len(items) % 2:
+            nxt.append(items[-1])
+        items = nxt
+    return items[0][0]
+
+
+def _merge_two(a: tuple, b: tuple, asc_flags: list) -> tuple:
+    import pyarrow as pa
+
+    ta, ka, ca = a
+    tb, kb, cb = b
+    target = [max(x, y) for x, y in zip(ca, cb)]
+    ka = _pad_key_matrix(ka, ca, target, asc_flags)
+    kb = _pad_key_matrix(kb, cb, target, asc_flags)
+    sa, sb = _key_bytes(ka), _key_bytes(kb)
+    na, nb = len(sa), len(sb)
+    pos_a = np.arange(na, dtype=np.int64) + np.searchsorted(sb, sa,
+                                                            side="left")
+    pos_b = np.arange(nb, dtype=np.int64) + np.searchsorted(sa, sb,
+                                                            side="right")
+    take = np.empty(na + nb, np.int64)
+    take[pos_a] = np.arange(na, dtype=np.int64)
+    take[pos_b] = na + np.arange(nb, dtype=np.int64)
+    tab = pa.concat_tables([ta, tb]).take(pa.array(take))
+    keys = np.empty((na + nb, ka.shape[1]), np.int64)
+    keys[pos_a] = ka
+    keys[pos_b] = kb
+    return tab, keys, target
+
+
+def _emit_table(tab, schema: Schema) -> Iterator[Batch]:
+    """Stream an Arrow table out as bounded HOST batches.
+
+    Downstream operators jit-transfer what they compute on; root collects
+    read the numpy buffers directly — pushing a 25M-row sorted result
+    through the tunneled device first would cost minutes for nothing."""
+    import os as _os
+
+    chunk = int(_os.environ.get("EXON_TPU_SORT_EMIT_ROWS", 1 << 16))
+    n = tab.num_rows
+    if n == 0:
+        yield _empty_batch(schema)
+        return
+    combined = tab.combine_chunks()
+    for lo in range(0, n, chunk):
+        piece = combined.slice(lo, min(chunk, n - lo))
+        rbs = piece.to_batches()
+        if len(rbs) == 1:
+            yield Batch.from_arrow(rbs[0], schema)
+        else:
+            import pyarrow as pa
+
+            yield Batch.from_arrow(
+                pa.Table.from_batches(rbs).combine_chunks().to_batches()[0],
+                schema)
 
 
 @functools.cache
@@ -954,6 +1220,56 @@ def _jit_sort_step(specs: tuple):
     return step
 
 
+@functools.cache
+def _jit_sort_run(specs: tuple):
+    """Sort a run AND return its sorted key matrix (for the external
+    merge) in one device program."""
+
+    @jax.jit
+    def step(batch: Batch):
+        cols = sort_key_columns(batch, specs)
+        perm = jnp.arange(batch.capacity, dtype=jnp.int32)
+        for k in reversed(cols):
+            perm = perm[jnp.argsort(k[perm], stable=True)]
+        out = layout_ops.take_batch(batch, perm,
+                                    jnp.asarray(batch.length, jnp.int32))
+        keys = jnp.stack([k[perm] for k in cols[1:]], axis=1)
+        return out, keys
+
+    return step
+
+
+def sort_key_columns(batch: Batch, specs: tuple) -> list:
+    """int64 key columns, MOST significant first, whose column-lexicographic
+    order is the sort order: leading ~row_mask pushes padding last; each
+    spec contributes its asc/desc- and null-adjusted key (var-width keys as
+    a validity column + big-endian 8-byte chunks). Shared by the in-device
+    permutation sort and the external run merge, so both orders agree
+    exactly."""
+    cols = [jnp.logical_not(batch.row_mask()).astype(jnp.int64)]
+    for e, asc, nchunks in specs:
+        v = eval_expr(e, batch)
+        if isinstance(v, DictColumn) and nchunks > 0:
+            # cross-run merges need run-independent keys: dictionary codes
+            # rank within one run's vocab only, so spill to bytes
+            v = layout_ops.dict_to_var(v)
+        if isinstance(v, VarColumn) and nchunks > 0:
+            vk = jnp.logical_not(v.validity).astype(jnp.int64)
+            cols.append(vk if asc else _invert_key(vk))
+            pre, _m = layout_ops.gather_prefix(v, 8 * nchunks)
+            for c in range(nchunks):
+                k = jnp.zeros(v.capacity, jnp.int64)
+                for t in range(8 * c, 8 * c + 8):
+                    k = (k << 8) | pre[:, t].astype(jnp.int64)
+                # unsigned byte order under signed int64 compare
+                k = k ^ (jnp.int64(1) << 63)
+                cols.append(k if asc else _invert_key(k))
+        else:
+            k = _sort_key_values(v, batch)
+            cols.append(k if asc else _invert_key(k))
+    return cols
+
+
 def sort_permutation(batch: Batch, specs: tuple) -> jnp.ndarray:
     """Stable multi-key sort permutation (last key least significant).
 
@@ -964,33 +1280,11 @@ def sort_permutation(batch: Batch, specs: tuple) -> jnp.ndarray:
     """
     if specs and len(specs[0]) == 2:  # tolerate legacy (expr, asc) specs
         specs = tuple((e, asc, 0) for e, asc in specs)
-    mask = batch.row_mask()
+    cols = sort_key_columns(batch, specs)
     perm = jnp.arange(batch.capacity, dtype=jnp.int32)
-
-    def apply(k, asc):
-        nonlocal perm
-        k = k[perm]
-        if not asc:
-            k = _invert_key(k)
-        perm = perm[jnp.argsort(k, stable=True)]
-
-    for e, asc, nchunks in reversed(list(specs)):
-        v = eval_expr(e, batch)
-        if isinstance(v, VarColumn) and nchunks > 0:
-            pre, _m = layout_ops.gather_prefix(v, 8 * nchunks)
-            for c in range(nchunks - 1, -1, -1):
-                k = jnp.zeros(v.capacity, jnp.int64)
-                for t in range(8 * c, 8 * c + 8):
-                    k = (k << 8) | pre[:, t].astype(jnp.int64)
-                # unsigned byte order under signed int64 compare
-                apply(k ^ (jnp.int64(1) << 63), asc)
-            apply(jnp.logical_not(v.validity).astype(jnp.int64), asc)
-        else:
-            apply(_sort_key_values(v, batch), asc)
-    # push padding rows to the end
-    live = mask[perm]
-    order = jnp.argsort(jnp.logical_not(live), stable=True)
-    return perm[order]
+    for k in reversed(cols):
+        perm = perm[jnp.argsort(k[perm], stable=True)]
+    return perm
 
 
 def _sort_key_values(v, batch: Batch) -> jnp.ndarray:

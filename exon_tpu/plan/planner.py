@@ -142,7 +142,26 @@ def optimize(plan: L.LogicalPlan) -> L.LogicalPlan:
     plan = _resolve_field_access(plan)
     plan = _push_filters(plan)
     plan = _push_projection(plan)
+    plan = _elide_identity_projects(plan)
     plan = _annotate_prefix_hints(plan)
+    return plan
+
+
+def _elide_identity_projects(plan: L.LogicalPlan) -> L.LogicalPlan:
+    """Drop Project nodes that are exact identities of their input schema
+    (bare ColumnRefs, same names, same order) — after projection pushdown
+    the scan already narrows, and breaker operators (Sort, distributed
+    routing) fast-path a bare Scan child."""
+    from .expressions import ColumnRef
+
+    kids = [_elide_identity_projects(c) for c in plan.children()]
+    plan = _with_children(plan, kids)
+    if isinstance(plan, L.Project):
+        child_names = plan.input.schema().names
+        if (len(plan.exprs) == len(child_names)
+                and all(isinstance(e, ColumnRef) for e in plan.exprs)
+                and [e.name for e in plan.exprs] == list(child_names)):
+            return plan.input
     return plan
 
 
@@ -551,11 +570,26 @@ def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
                                          config)
             if dist is not None:
                 return P.LimitExec(plan.skip, plan.fetch, dist)
+        # Limit(Sort) → SortExec with fetch (TopK): each external-sort run
+        # truncates to skip+fetch rows, so LIMIT over a huge ORDER BY stays
+        # bounded
+        if plan.fetch is not None and isinstance(plan.input, L.Sort) and \
+                plan.input.fetch is None:
+            child = P.SortExec(plan.input.keys,
+                               create_physical_plan(plan.input.input, config),
+                               fetch=plan.skip + plan.fetch)
+            return P.LimitExec(plan.skip, plan.fetch, child)
         return P.LimitExec(plan.skip, plan.fetch,
                            create_physical_plan(plan.input, config))
     if isinstance(plan, L.Window):
         from .window_exec import WindowExec
 
+        if config is not None and getattr(config, "distributed", False):
+            from ..parallel.distributed import plan_distributed_window
+
+            dist = plan_distributed_window(plan, config)
+            if dist is not None:
+                return dist
         return WindowExec(plan.calls, plan.names, plan.schema(),
                           create_physical_plan(plan.input, config))
     if isinstance(plan, L.Union):

@@ -404,7 +404,27 @@ def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
                 keys.append((ColumnRef(out_schema.names[e.value - 1]), asc))
             else:
                 keys.append((e, asc))
-        plan = L.Sort(keys, plan)
+        # ORDER BY may reference input columns the SELECT list dropped
+        # (DataFusion resolves against the pre-projection scope): widen the
+        # projection for the sort, then re-project the declared columns
+        missing = set()
+        from ..plan.planner import expr_columns
+
+        for e, _asc in keys:
+            missing |= {c for c in expr_columns(e)
+                        if not out_schema.has_field(c)}
+        if missing and isinstance(plan, L.Project):
+            avail = plan.input.schema()
+            if all(avail.has_field(c) for c in missing):
+                widened = L.Project(
+                    list(plan.exprs) + [ColumnRef(c) for c in sorted(missing)],
+                    plan.input)
+                plan = L.Project([ColumnRef(n) for n in out_schema.names],
+                                 L.Sort(keys, widened))
+            else:
+                plan = L.Sort(keys, plan)
+        else:
+            plan = L.Sort(keys, plan)
 
     if stmt.limit is not None or stmt.offset:
         plan = L.Limit(stmt.offset, stmt.limit, plan)

@@ -340,3 +340,61 @@ def test_partitioned_join_left_nulls(join_tables):
     _assert_tables_equal(base, part)
     # unmatched keys (800..999 absent on left; keys >= 800 only on right)
     assert base.num_rows >= 4000
+
+
+def test_distributed_count_distinct_parity(session):
+    """COUNT(DISTINCT x): the SingleDistinctToGroupBy rewrite's inner dedup
+    aggregate (the expensive stage) routes through the mesh; exact parity
+    with the single-device plan."""
+    import exon_tpu.parallel.distributed as D
+
+    routed = []
+    orig = D.plan_distributed_aggregate
+
+    def spy(p, c):
+        r = orig(p, c)
+        routed.append(r is not None)
+        return r
+
+    D.plan_distributed_aggregate = spy
+    try:
+        for q in (
+            "SELECT seqname, COUNT(DISTINCT type) AS n FROM gff_scan('%s') "
+            "GROUP BY seqname ORDER BY seqname" % GFF,
+            "SELECT COUNT(DISTINCT seqname) FROM gff_scan('%s')" % GFF,
+        ):
+            ref = session.sql(q).collect_arrow()
+            routed.clear()
+            got = _dist_session().sql(q).collect_arrow()
+            _assert_tables_equal(ref, got)
+            assert any(routed), "dedup aggregate did not distribute"
+    finally:
+        D.plan_distributed_aggregate = orig
+
+
+def test_distributed_window_partition_parity(session):
+    """OVER (PARTITION BY ... ORDER BY ...) routes to the mesh
+    (DistributedWindowExec partition-shards the rows) with exact parity."""
+    import exon_tpu.parallel.distributed as D
+
+    routed = []
+    orig = D.plan_distributed_window
+
+    def spy(p, c):
+        r = orig(p, c)
+        routed.append(r is not None)
+        return r
+
+    D.plan_distributed_window = spy
+    try:
+        q = ("SELECT seqname, start, "
+             "ROW_NUMBER() OVER (PARTITION BY seqname ORDER BY start, "
+             "\"end\") AS rn, "
+             "SUM(start) OVER (PARTITION BY seqname) AS s "
+             "FROM gff_scan('%s') ORDER BY seqname, start, \"end\"" % GFF)
+        ref = session.sql(q).collect_arrow()
+        got = _dist_session().sql(q).collect_arrow()
+        _assert_tables_equal(ref, got)
+        assert any(routed), "window did not route to the mesh"
+    finally:
+        D.plan_distributed_window = orig
