@@ -310,6 +310,11 @@ def _annotate_prefix_hints(plan: L.LogicalPlan) -> L.LogicalPlan:
                     continue
                 if _used_outside_filters(plan, p, f.name):
                     continue
+                # a column in the scan's OUTPUT must materialize fully:
+                # with exact-pushed scan filters there may be no Project
+                # above to witness the read (SELECT * ... WHERE LIKE)
+                if p.projection is None or f.name in p.projection:
+                    continue
                 hints[f.name] = max([b for b in bounds] + [1])
             if hints:
                 return L.Scan(p.provider, p.table_name, p.projection,

@@ -1198,7 +1198,10 @@ class FastaTable(FileTable):
     config: object = None
 
     def supports_filter_pushdown(self, expr: Expr) -> str:
-        return "exact" if R.is_region_filter(expr) else "none"
+        if R.is_region_filter(expr):
+            return "exact"
+        # prefix-LIKE evaluates exactly at decode time (FileTable path)
+        return super().supports_filter_pushdown(expr)
 
     def scan(self, projection=None, filters=(), limit=None,
              prefix_hints=None, host_batches=False) -> PhysicalPlan:
@@ -1265,6 +1268,15 @@ class FastaTable(FileTable):
                     yield _region_id(region), \
                         s[lo:hi].decode("ascii", "replace")
 
+        from .tables import _apply_prefix_preds, _prefix_like_pred
+
+        preds = [p for p in (_prefix_like_pred(schema, f) for f in filters)
+                 if p is not None]
+        need_proj = list(proj)
+        for nm, _pb, _ci in preds:
+            if nm not in need_proj:
+                need_proj.append(nm)
+
         def source() -> Iterator[Batch]:
             for store, meta in iter_scan_files(files):
                 rows = list(region_rows(store, meta))
@@ -1272,7 +1284,7 @@ class FastaTable(FileTable):
                     continue
                 n = len(rows)
                 cols = []
-                for name in proj:
+                for name in need_proj:
                     if name == "id":
                         cols.append(utf8_column([r[0] for r in rows]))
                     elif name == "description":
@@ -1281,7 +1293,12 @@ class FastaTable(FileTable):
                         cols.append(utf8_column([r[1] for r in rows]))
                     else:
                         raise KeyError(name)
-                yield batch_from_host(out_schema, cols, n)
+                b = batch_from_host(schema.project(need_proj), cols, n)
+                if preds:
+                    b = _apply_prefix_preds(b, preds, out_schema)
+                    if b is None or int(b.length) == 0:
+                        continue
+                yield b
 
         return ScanExec(out_schema, source)
 

@@ -38,6 +38,107 @@ class TableProvider:
         return "none"
 
 
+def _prefix_like_pred(schema: Schema, expr: Expr):
+    """(col, prefix bytes, case_insensitive) when ``expr`` is
+    ``col [I]LIKE 'prefix%'`` over a utf8 column — the predicate class the
+    scan can evaluate EXACTLY at decode time (host, vectorized), the way
+    the reference's CPU engine does. None otherwise."""
+    from .plan.expressions import ColumnRef, Like
+
+    if not isinstance(expr, Like) or expr.negated:
+        return None
+    if not isinstance(expr.child, ColumnRef):
+        return None
+    pat = expr.pattern
+    if not pat.endswith("%") or "\\" in pat:
+        return None
+    prefix = pat[:-1]
+    if "%" in prefix or "_" in prefix:
+        return None
+    name = expr.child.name
+    if not schema.has_field(name):
+        return None
+    f = schema.all_fields[schema.index_of(name)]
+    if f.dtype.kind.value not in ("utf8", "large_utf8", "dictionary"):
+        return None
+    return name, prefix.encode(), expr.case_insensitive
+
+
+def _lower_u8(x: np.ndarray) -> np.ndarray:
+    return np.where((x >= 65) & (x <= 90), x + 32, x).astype(np.uint8)
+
+
+def _prefix_mask(col, prefix: bytes, ci: bool):
+    """bool mask of rows whose value starts with ``prefix`` (NULL → False).
+    None when the column layout can't answer (caller falls back)."""
+    from .batch import DictColumn, PrefixColumn, VarColumn
+
+    k = len(prefix)
+    pat = np.frombuffer(prefix, np.uint8)
+    patc = _lower_u8(pat) if ci else pat
+    if isinstance(col, PrefixColumn):
+        valid = np.asarray(col.validity)
+        if k == 0:
+            return valid.copy()
+        pre = np.asarray(col.prefix)
+        if pre.shape[1] < k:
+            return None
+        sub = pre[:, :k]
+        subc = _lower_u8(sub) if ci else sub
+        return valid & (np.asarray(col.lengths) >= k) & \
+            (subc == patc).all(axis=1)
+    if isinstance(col, DictColumn):
+        def starts(v: str) -> bool:
+            b = v.encode()
+            return (b.lower() if ci else b).startswith(
+                bytes(patc) if ci else prefix)
+
+        vocab_ok = np.asarray([starts(v) for v in col.vocab] or [False])
+        codes = np.clip(np.asarray(col.codes), 0,
+                        max(len(col.vocab) - 1, 0))
+        return vocab_ok[codes] & np.asarray(col.validity)
+    if isinstance(col, VarColumn):
+        vals = np.asarray(col.values)
+        if vals.dtype != np.uint8:
+            return None
+        offs = np.asarray(col.offsets).astype(np.int64)
+        starts_ = offs[:-1]
+        lens = offs[1:] - starts_
+        ok = (lens >= k) & np.asarray(col.validity)
+        if k:
+            idx = np.minimum(starts_[:, None] + np.arange(k),
+                             max(len(vals) - 1, 0))
+            sub = vals[idx] if len(vals) else np.zeros((len(lens), k),
+                                                       np.uint8)
+            subc = _lower_u8(sub) if ci else sub
+            ok = ok & (subc == patc).all(axis=1)
+        return ok
+    return None
+
+
+def _host_take_column(col, keep: np.ndarray):
+    from .batch import DictColumn, FixedColumn, PrefixColumn, VarColumn
+    from .formats.textutil import gather_slices
+
+    if isinstance(col, FixedColumn):
+        return FixedColumn(np.asarray(col.values)[keep],
+                           np.asarray(col.validity)[keep])
+    if isinstance(col, DictColumn):
+        return DictColumn(np.asarray(col.codes)[keep],
+                          np.asarray(col.validity)[keep], col.vocab)
+    if isinstance(col, PrefixColumn):
+        return PrefixColumn(np.asarray(col.prefix)[keep],
+                            np.asarray(col.lengths)[keep],
+                            np.asarray(col.validity)[keep])
+    if isinstance(col, VarColumn):
+        offs = np.asarray(col.offsets).astype(np.int64)
+        v, o = gather_slices(np.asarray(col.values), offs[:-1][keep],
+                             offs[1:][keep])
+        return VarColumn(v, o.astype(np.int32),
+                         np.asarray(col.validity)[keep])
+    return None
+
+
 @dataclasses.dataclass
 class FileTable(TableProvider):
     """Generic listing table over files decoded by a per-format module."""
@@ -48,6 +149,14 @@ class FileTable(TableProvider):
 
     def schema(self) -> Schema:
         return self.fmt.schema(self.options)
+
+    def supports_filter_pushdown(self, expr: Expr) -> str:
+        # prefix-LIKE evaluates exactly at decode time (host vector
+        # compare) — the CPU-side filter evaluation the reference engine
+        # does anyway, minus the device round-trip
+        if _prefix_like_pred(self.schema(), expr) is not None:
+            return "exact"
+        return "none"
 
     def files(self) -> list:
         ext = getattr(self.options, "file_extension", None)
@@ -61,11 +170,30 @@ class FileTable(TableProvider):
 
     def scan(self, projection=None, filters=(), limit=None,
              prefix_hints=None, host_batches=False) -> PhysicalPlan:
-        schema = self.schema()
+        full_schema = self.schema()
+        preds = [p for p in (_prefix_like_pred(full_schema, f)
+                             for f in filters) if p is not None]
+        schema = full_schema
+        decode_proj = projection
         if projection is not None:
-            schema = schema.project(projection)
+            schema = full_schema.project(projection)
+            if preds:
+                # decode the filter columns too; they drop after masking
+                decode_proj = list(projection) + [
+                    nm for nm, _p, _c in preds if nm not in projection]
         files = self.files()
         fmt, options = self.fmt, self.options
+        if preds and prefix_hints is None and \
+                hasattr(options, "prefix_hints"):
+            # filter-only columns can stage as bounded prefixes even when
+            # the planner didn't annotate (COUNT plans project [] so the
+            # hint walk never sees the column)
+            proj_set = set(full_schema.names) if projection is None \
+                else set(projection)
+            auto = {nm: max(len(pb), 1) for nm, pb, _c in preds
+                    if nm not in proj_set}
+            if auto:
+                prefix_hints = auto
         if prefix_hints and hasattr(options, "prefix_hints"):
             options = dataclasses.replace(options, prefix_hints=dict(prefix_hints))
 
@@ -73,9 +201,11 @@ class FileTable(TableProvider):
 
         use_device = (fmt.device_decode is not None
                       and not prefix_hints
+                      and not preds
                       and not host_batches
                       and not _os.environ.get("EXON_TPU_HOST_DECODE"))
         decode = fmt.device_decode if use_device else fmt.decode
+        projection = decode_proj
 
         def decode_file(store, meta) -> list:
             from .io.compression import Compression, decompress_view
@@ -135,6 +265,10 @@ class FileTable(TableProvider):
             gen = (stream_file(*my_files[0]) if use_stream else
                    parallel_file_batches(my_files, decode_file, n_workers))
             for b in gen:
+                if preds:
+                    b = _apply_prefix_preds(b, preds, schema)
+                    if b is None or int(b.length) == 0:
+                        continue
                 yield b
                 if limit is not None:
                     produced += b.num_rows_host()
@@ -142,6 +276,46 @@ class FileTable(TableProvider):
                         return
 
         return ScanExec(schema, source, to_device=not use_device)
+
+
+def _apply_prefix_preds(b: Batch, preds: list, out_schema: Schema):
+    """Row-filter a decoded host batch by the pushed prefix-LIKE
+    predicates, then project to the scan's output schema (filter-only
+    columns drop). Falls back through Arrow for exotic column layouts."""
+    mask = None
+    for name, prefix, ci in preds:
+        m = _prefix_mask(b.column(name), prefix, ci)
+        if m is None:
+            # exotic layout: evaluate via Arrow strings (exact, slower)
+            import pyarrow.compute as pc
+
+            rb = b.to_arrow()
+            col = rb.column(b.schema.index_of(name))
+            pat = prefix.decode("utf-8", "replace")
+            m = np.asarray(pc.starts_with(
+                pc.utf8_lower(col) if ci else col,
+                pat.lower() if ci else pat).fill_null(False))
+        mask = m if mask is None else (mask & m)
+    n = int(b.length)
+    mask = mask[:n]
+    out_names = out_schema.names
+    if mask.all():
+        if list(b.schema.names) == list(out_names):
+            return b
+        return b.project(list(out_names))
+    keep = np.flatnonzero(mask)
+    cols = []
+    for nm in out_names:
+        c = _host_take_column(b.column(nm), keep)
+        if c is None:
+            # Arrow fallback for the whole batch
+            import pyarrow as pa
+
+            rb = b.to_arrow().filter(pa.array(mask))
+            sub = Batch.from_arrow(rb, b.schema)
+            return sub.project(list(out_names))
+        cols.append(c)
+    return Batch(out_schema, cols, np.int32(len(keep)))
 
 
 def _estimate_decompressed(store, meta, comp) -> int:

@@ -7,8 +7,10 @@ import logging
 def test_explain_analyze_reports_metrics(session, ref_data):
     path = ref_data("fasta", "test.fasta")
     session.sql(f"CREATE EXTERNAL TABLE t STORED AS FASTA LOCATION '{path}'")
+    # length() is not pushable, so a FilterExec stays in the plan
+    # (prefix-LIKE now pushes into the scan as an exact decode filter)
     t = session.sql("EXPLAIN ANALYZE SELECT id FROM t "
-                    "WHERE sequence LIKE 'A%'").collect_arrow()
+                    "WHERE length(sequence) > 1").collect_arrow()
     assert t.column("plan_type")[0].as_py() == "Plan with Metrics"
     plan = t.column("plan")[0].as_py()
     assert "ScanExec" in plan

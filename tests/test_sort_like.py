@@ -75,3 +75,38 @@ def test_ilike_underscore(ctx, fasta):
     got = _ids(ctx, f"SELECT id FROM fasta_scan('{fasta}') "
                     "WHERE id ILIKE 'A_C%' ORDER BY id")
     assert got == ["abc", "axc"]
+
+
+def test_prefix_like_pushdown_exact(session, tmp_path):
+    """Prefix [I]LIKE predicates push into the scan as exact decode-time
+    filters (FileTable supports_filter_pushdown); results match unpushed
+    evaluation including NULLs, case rules, and NOT LIKE (kept residual)."""
+    p = tmp_path / "mix.fasta"
+    p.write_text(
+        ">r1 alpha\nATGGC\n>r2 beta\natgcc\n>r3 Alpha\nCCATG\n"
+        ">r4\nATG\n>r5 gamma\nTTT\n")
+    path = str(p)
+    q = lambda sql: session.sql(sql).to_pandas()
+
+    t = q(f"SELECT id FROM fasta_scan('{path}') WHERE sequence LIKE 'ATG%'")
+    assert t["id"].tolist() == ["r1", "r4"]
+    t = q(f"SELECT id FROM fasta_scan('{path}') WHERE sequence ILIKE 'atg%'")
+    assert t["id"].tolist() == ["r1", "r2", "r4"]
+    # description is NULL for r4: LIKE over NULL is NULL -> dropped
+    t = q(f"SELECT id FROM fasta_scan('{path}') WHERE description LIKE '%'")
+    assert t["id"].tolist() == ["r1", "r2", "r3", "r5"]
+    t = q(f"SELECT id FROM fasta_scan('{path}') "
+          "WHERE description ILIKE 'alpha%'")
+    assert t["id"].tolist() == ["r1", "r3"]
+    # NOT LIKE stays residual but still exact
+    t = q(f"SELECT id FROM fasta_scan('{path}') "
+          "WHERE sequence NOT LIKE 'ATG%'")
+    assert t["id"].tolist() == ["r2", "r3", "r5"]
+    # combined with a non-pushable predicate
+    t = q(f"SELECT id FROM fasta_scan('{path}') "
+          "WHERE sequence LIKE 'ATG%' AND length(sequence) > 3")
+    assert t["id"].tolist() == ["r1"]
+    # COUNT fast path over the pushed filter
+    t = q(f"SELECT COUNT(*) FROM fasta_scan('{path}') "
+          "WHERE sequence ILIKE 'atg%'")
+    assert t.iloc[0, 0] == 3
