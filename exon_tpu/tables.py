@@ -327,10 +327,32 @@ def _estimate_decompressed(store, meta, comp) -> int:
     let multi-GB decompressions materialize in RAM."""
     from .io.compression import Compression as _C
 
+    if comp == _C.ZSTD:
+        try:
+            head = store.get_range(meta.path, 0, 18) \
+                if hasattr(store, "get_range") else bytes(
+                    memoryview(store.get_view(meta.path))[:18])
+            fcs = _zstd_frame_content_size(bytes(head))
+            if fcs is not None and fcs >= 0:
+                return fcs
+            # no frame-content-size (streamed encoder): decompress a 4 MiB
+            # probe and extrapolate the ratio with 30% slack
+            from . import native
+
+            probe_n = min(meta.size, 4 << 20)
+            probe = store.get_range(meta.path, 0, probe_n) \
+                if hasattr(store, "get_range") else bytes(
+                    memoryview(store.get_view(meta.path))[:probe_n])
+            out = native.zstd_decompress(probe)
+            if out is not None and len(out) > 0:
+                return int(meta.size * (len(out) / probe_n) * 1.3)
+        except Exception:
+            pass
+        return meta.size * 10
     if comp in (_C.GZIP, _C.BGZF):
         try:
             if hasattr(store, "get_range"):
-                tail = store.get_range(meta.path, meta.size - 4, 4)
+                tail = store.get_range(meta.path, meta.size - 4, meta.size)
             else:
                 tail = bytes(store.get_view(meta.path)[-4:]) \
                     if hasattr(store, "get_view") else store.get(meta.path)[-4:]
@@ -345,6 +367,38 @@ def _estimate_decompressed(store, meta, comp) -> int:
         except Exception:
             pass
     return meta.size * 10
+
+
+def _zstd_frame_content_size(head: bytes):
+    """Frame-content-size from a zstd frame header (RFC 8878 §3.1.1), or
+    None when the frame omits it (the encoder streamed without a size)."""
+    import struct as _struct
+
+    if len(head) < 6 or head[:4] != b"\x28\xb5\x2f\xfd":
+        return None
+    fhd = head[4]
+    fcs_flag = fhd >> 6
+    single_segment = (fhd >> 5) & 1
+    dict_flag = fhd & 3
+    pos = 5
+    if not single_segment:
+        pos += 1  # window descriptor
+    pos += (0, 1, 2, 4)[dict_flag]
+    if fcs_flag == 0:
+        if not single_segment:
+            return None  # FCS absent
+        return head[pos] if pos < len(head) else None
+    if fcs_flag == 1:
+        if pos + 2 > len(head):
+            return None
+        return 256 + _struct.unpack_from("<H", head, pos)[0]
+    if fcs_flag == 2:
+        if pos + 4 > len(head):
+            return None
+        return _struct.unpack_from("<I", head, pos)[0]
+    if pos + 8 > len(head):
+        return None
+    return _struct.unpack_from("<Q", head, pos)[0]
 
 
 def _scan_workers() -> int:
