@@ -16,6 +16,14 @@ class DataFrame:
         self._session = session
         self._plan = plan
 
+    def __arrow_c_stream__(self, requested_schema=None):
+        """Arrow PyCapsule stream export: any C-ABI consumer (R arrow,
+        polars, duckdb, nanoarrow) ingests results zero-copy — the engine's
+        exon-r substrate (exon-r/exonr/src/rust/src/lib.rs:31-57)."""
+        from .ffi import to_arrow_c_stream
+
+        return to_arrow_c_stream(self, requested_schema)
+
     # -- transforms ---------------------------------------------------------
 
     def filter(self, predicate: Expr) -> "DataFrame":
