@@ -56,6 +56,12 @@ def main() -> None:
                  "ORDER BY description")
     results["filtered_group_by"] = df.to_pandas().to_dict("records")
 
+    # non-distributed operators run replicated in multi-process mode (the
+    # scan-shard context is scoped to the distributed aggregate): every
+    # process must still see the full, identical answer
+    df = ctx.sql("SELECT id FROM t ORDER BY id LIMIT 3")
+    results["order_by"] = df.to_pandas().to_dict("records")
+
     # each distributed scan must have decoded only this process's 2 of the
     # 4 files — otherwise the run silently fell back to replicated decode
     assert shard_calls and all(tot == 4 and mine == 2

@@ -97,3 +97,6 @@ def test_two_process_parity(tmp_path):
         c = sum(1 for i in range(50) if i % 5 == d and i % 3 != 0) * 4
         expect.append({"description": f"group{d}", "n": c})
     assert got["filtered_group_by"] == expect
+    # replicated ORDER BY: full file set on every process, global order
+    assert got["order_by"] == [{"id": "f0r0"}, {"id": "f0r1"},
+                               {"id": "f0r10"}]
