@@ -31,6 +31,16 @@ Group keys travel as 64-bit content hashes plus a fixed-width (``rep_w``)
 byte prefix of a representative value; keys longer than ``rep_w`` raise and
 the caller falls back to single-device execution (group keys are contig /
 feature names in practice — cheap insurance, never silent corruption).
+
+Operator coverage note: aggregates (incl. the DISTINCT dedup stage),
+windows (PARTITION BY sharding), broadcast + partitioned joins, and TopK
+route to the mesh. Full ORDER BY deliberately does NOT: the external run
+sort (plan/physical.py SortExec) already bounds memory and parallelizes
+ingest, and the measured device economics (ROOFLINE.md: random row
+movement ~1-2 GB/s at 32M rows; bulk tunnel transfers tens of MB/s) make
+device-resident run shipping strictly slower than the host searchsorted
+merge on this hardware. TopK — the common large-ORDER-BY shape — is
+mesh-routed via plan_distributed_topk.
 """
 
 from __future__ import annotations
@@ -1055,9 +1065,20 @@ def plan_distributed_aggregate(agg_plan, config) -> Optional[PhysicalPlan]:
     for e in list(agg_plan.group_exprs) + list(agg_plan.agg_exprs):
         if contains_host_fn(e):
             return None
+    from ..plan.planner import infer_expr_field
+
+    in_schema = agg_plan.input.schema()
     for call in agg_plan.agg_exprs:
         if call.fn not in ("count", "sum", "min", "max", "avg"):
             return None
+        if call.fn in ("min", "max") and call.child is not None:
+            # utf8 min/max runs the exact host holistic path single-device
+            try:
+                k = infer_expr_field(call.child, in_schema).dtype.kind.value
+            except Exception:
+                return None
+            if k in ("utf8", "large_utf8", "dictionary", "binary"):
+                return None
     # scan must be able to hand us host batches with supported column types
     scan_exec = _host_scan_exec(node)
     if scan_exec is None:

@@ -202,13 +202,31 @@ class AggregateExec(PhysicalPlan):
         return self.out_schema
 
     def batches(self) -> Iterator[Batch]:
-        if any(c.fn in _HOLISTIC_FNS for c in self.agg_calls):
+        if any(c.fn in _HOLISTIC_FNS for c in self.agg_calls) or \
+                self._string_minmax():
             yield self._holistic()
             return
         if not self.group_exprs:
             yield self._ungrouped()
             return
         yield self._grouped()
+
+    def _string_minmax(self) -> bool:
+        """MIN/MAX over utf8 needs exact lexicographic compare — host
+        materializing path (DataFusion's Min/MaxAccumulator handles utf8
+        natively; the device partials here are numeric-only)."""
+        from .planner import infer_expr_field
+
+        in_schema = self.input.schema()
+        for c in self.agg_calls:
+            if c.fn in ("min", "max") and c.child is not None:
+                try:
+                    k = infer_expr_field(c.child, in_schema).dtype.kind.value
+                except Exception:
+                    return True
+                if k in ("utf8", "large_utf8", "dictionary", "binary"):
+                    return True
+        return False
 
     # -- holistic (materializing) aggregates ---------------------------------
 

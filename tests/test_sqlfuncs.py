@@ -181,3 +181,23 @@ def test_functions_on_file_scan(ctx, tmp_path):
     assert got[0] == ["A!", "B!"]
     got = q(ctx, f"SELECT substr(sequence, 1, 2) FROM fasta_scan('{p}')")
     assert got[0] == ["AC", "GG"]
+
+
+def test_string_min_max_aggregates(session, tmp_path):
+    """MIN/MAX over utf8 routes through the exact host holistic path
+    (DataFusion's Min/MaxAccumulator supports utf8; device partials are
+    numeric-only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table({"g": ["a", "a", "b", "b", "b"],
+                    "s": ["mango", "apple", None, "zebra", "kiwi"]})
+    p = str(tmp_path / "smm.parquet")
+    pq.write_table(tbl, p)
+    session.sql(f"CREATE EXTERNAL TABLE smm STORED AS PARQUET LOCATION '{p}'")
+    t = session.sql("SELECT g, MIN(s) AS lo, MAX(s) AS hi FROM smm "
+                    "GROUP BY g ORDER BY g").to_pandas()
+    assert t["lo"].tolist() == ["apple", "kiwi"]
+    assert t["hi"].tolist() == ["mango", "zebra"]
+    u = session.sql("SELECT MIN(s), MAX(s) FROM smm").to_pandas()
+    assert u.iloc[0, 0] == "apple" and u.iloc[0, 1] == "zebra"
