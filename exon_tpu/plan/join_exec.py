@@ -100,12 +100,23 @@ def _jit_build_sort(right_keys: tuple):
     def step(build: Batch):
         keys = _group_key_i64(right_keys, build)
         mask = build.row_mask()
-        big = jnp.int64((1 << 62))
-        k = jnp.where(mask, keys, big)
-        perm = jnp.argsort(k, stable=True).astype(jnp.int32)
-        sorted_build = layout_ops.take_batch(build, perm,
-                                             jnp.asarray(build.length, jnp.int32))
-        return sorted_build, k[perm]
+        # padding rows must sort AFTER every real key without aliasing any
+        # real value: a finite sentinel (the old 1<<62) silently dropped
+        # all matches for keys hashing above it (~1/8 of the hash space,
+        # since the probe clips match ranges at n_build). Two stable
+        # argsorts order by (is_padding, key); the stored keys then
+        # overwrite the padding tail with int64 max so searchsorted sees a
+        # sorted array, and the probe's clip at n_build excludes the tail
+        # exactly — even for real keys equal to int64 max.
+        perm1 = jnp.argsort(keys, stable=True).astype(jnp.int32)
+        pad_last = jnp.argsort(jnp.logical_not(mask)[perm1], stable=True)
+        perm = perm1[pad_last].astype(jnp.int32)
+        n = jnp.asarray(build.length, jnp.int32)
+        sorted_build = layout_ops.take_batch(build, perm, n)
+        skeys = jnp.where(
+            jnp.arange(keys.shape[0], dtype=jnp.int32) < n,
+            keys[perm], jnp.iinfo(jnp.int64).max)
+        return sorted_build, skeys
 
     return step
 

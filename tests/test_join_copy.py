@@ -105,3 +105,39 @@ def test_join_var_width_expansion_overflow(tmp_path, session):
     t = session.sql(q).collect_arrow()
     assert t.num_rows == 1600
     assert set(t.column("seqname").to_pylist()) == {"chromosome_with_long_name"}
+
+
+def test_join_keys_hashing_above_sentinel(session, tmp_path):
+    """Regression: build-side padding used a finite 1<<62 sentinel, so any
+    key whose 64-bit content hash exceeded it sorted past the padding
+    block and the probe's clip dropped ALL its matches (~1/8 of keys).
+    Exercise enough random string keys that some hash above 2^62, and
+    check exact pandas parity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(99)
+    left = pa.table({
+        "k": [f"key{v}" for v in rng.integers(0, 200, 3000)],
+        "x": rng.integers(0, 10, 3000),
+    })
+    right = pa.table({
+        "k": [f"key{v}" for v in rng.integers(0, 220, 500)],
+        "y": rng.integers(0, 10, 500),
+    })
+    pl, pr = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pq.write_table(left, pl)
+    pq.write_table(right, pr)
+    session.sql(f"CREATE EXTERNAL TABLE jl STORED AS PARQUET LOCATION '{pl}'")
+    session.sql(f"CREATE EXTERNAL TABLE jr STORED AS PARQUET LOCATION '{pr}'")
+    got = session.sql("SELECT COUNT(*) FROM jl JOIN jr ON jl.k = jr.k"
+                      ).to_pandas().iloc[0, 0]
+    want = len(left.to_pandas().merge(right.to_pandas(), on="k"))
+    assert got == want
+    g = session.sql("SELECT jl.k AS k, COUNT(*) AS n FROM jl JOIN jr "
+                    "ON jl.k = jr.k GROUP BY jl.k ORDER BY jl.k").to_pandas()
+    gp = left.to_pandas().merge(right.to_pandas(), on="k") \
+        .groupby("k").size().reset_index(name="n").sort_values("k")
+    assert g["k"].tolist() == gp["k"].tolist()
+    assert g["n"].tolist() == gp["n"].tolist()
