@@ -257,6 +257,83 @@ def stack_wave(batches: list[Batch], mesh: Mesh) -> Batch:
     return jax.device_put(stacked, sharding)
 
 
+def pad_wave(wave: list, n_slots: int):
+    """Pad to n_slots batches with wave-shape caps synchronized across
+    processes (jit steps must see identical shapes everywhere)."""
+    if wave:
+        cap, vcaps = wave_shape(wave)
+    else:
+        cap, vcaps = 1, {}
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        ncols = len(wave[0].columns) if wave else 64
+        vec = np.zeros(ncols + 1, np.int64)
+        vec[0] = cap
+        for i, v in vcaps.items():
+            if i + 1 <= ncols:
+                vec[i + 1] = v
+        allv = multihost_utils.process_allgather(vec)
+        vec = np.max(np.asarray(allv).reshape(-1, ncols + 1), axis=0)
+        cap = int(vec[0])
+        vcaps = {i: int(vec[i + 1]) for i in range(ncols)
+                 if vec[i + 1] > 0}
+    if not wave:
+        raise ExecutionError(
+            "multi-host wave padding without a local template batch "
+            "(process has no files); give every process at least one "
+            "file or lower the process count")
+    while len(wave) < n_slots:
+        wave.append(empty_like_host(wave[0], cap, vcaps))
+    return wave, cap, vcaps
+
+
+def lockstep_wave_iter(source: Callable[[], Iterator[Batch]], mesh: Mesh):
+    """Yield lists of this process's local batches, one wave at a time,
+    until EVERY process's stream drains. Multi-host: the source runs under
+    the scan-shard context (each host decodes only its file shard) and a
+    tiny per-wave allgather keeps the SPMD step count identical across
+    processes (stragglers feed empty waves)."""
+    import contextlib
+    import itertools
+
+    from .mesh import local_shard_count, scan_shard_context
+
+    n_dev = mesh.shape["shard"]
+    multi = jax.process_count() > 1
+    n_local = local_shard_count(mesh) if multi else n_dev
+    ctx = scan_shard_context(jax.process_index(), jax.process_count()) \
+        if multi else contextlib.nullcontext()
+    with ctx:
+        it = iter(source())
+        while True:
+            wave = list(itertools.islice(it, n_local))
+            have = len(wave) > 0
+            if multi:
+                from jax.experimental import multihost_utils
+
+                total = multihost_utils.process_allgather(
+                    np.asarray([1 if have else 0], np.int32))
+                if int(np.sum(total)) == 0:
+                    return
+            elif not have:
+                return
+            yield wave
+
+
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Place a host pytree replicated over every device of the mesh.
+    Multi-host: each process supplies its identical local copy
+    (deterministic recomputation) via make_array_from_process_local_data."""
+    repl = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        host = jax.device_get(tree)
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                repl, np.asarray(x)), host)
+    return jax.device_put(tree, repl)
+
+
 def gather_full(tree, mesh: Mesh):
     """Fetch a shard-sharded pytree to host numpy with the FULL global
     value. Single-process: plain device_get. Multi-host: a jitted identity
@@ -557,39 +634,15 @@ class DistributedAggregateExec(PhysicalPlan):
 
     def _run(self) -> Batch:
         import contextlib
-        import itertools
-
-        from .mesh import local_shard_count, scan_shard_context
-
-        n_dev = self.mesh.shape["shard"]
-        multi = jax.process_count() > 1
-        n_local = local_shard_count(self.mesh) if multi else n_dev
         grouped = bool(self.group_exprs)
         state = None
         global_rank = 0
         # multi-host: this process decodes only its file shard; waves are
-        # built from n_local local batches and assembled into the global
-        # shard axis without cross-host data movement
-        ctx = scan_shard_context(jax.process_index(), jax.process_count()) \
-            if multi else contextlib.nullcontext()
-        with ctx:
-            it = iter(self.source())
-            while True:
-                wave = list(itertools.islice(it, n_local))
-                have = len(wave) > 0
-                if multi:
-                    # all processes must step in lockstep: continue while
-                    # ANY process still has data (others feed empty waves)
-                    from jax.experimental import multihost_utils
-
-                    total = multihost_utils.process_allgather(
-                        np.asarray([1 if have else 0], np.int32))
-                    if int(np.sum(total)) == 0:
-                        break
-                elif not have:
-                    break
-                state, global_rank = self._flush(state, wave, global_rank,
-                                                 grouped)
+        # built from local batches and assembled into the global shard axis
+        # without cross-host data movement (lockstep_wave_iter)
+        for wave in lockstep_wave_iter(self.source, self.mesh):
+            state, global_rank = self._flush(state, wave, global_rank,
+                                             grouped)
         if state is None:
             if grouped:
                 return _empty_batch(self.out_schema)
@@ -599,34 +652,7 @@ class DistributedAggregateExec(PhysicalPlan):
         return self._finalize_ungrouped(state)
 
     def _pad_wave(self, wave: list[Batch], n_slots: int):
-        """Pad to n_slots batches with wave-shape caps synchronized across
-        processes (jit steps must see identical shapes everywhere)."""
-        if wave:
-            cap, vcaps = wave_shape(wave)
-        else:
-            cap, vcaps = 1, {}
-        if jax.process_count() > 1:
-            from jax.experimental import multihost_utils
-
-            ncols = len(wave[0].columns) if wave else 64
-            vec = np.zeros(ncols + 1, np.int64)
-            vec[0] = cap
-            for i, v in vcaps.items():
-                if i + 1 <= ncols:
-                    vec[i + 1] = v
-            allv = multihost_utils.process_allgather(vec)
-            vec = np.max(np.asarray(allv).reshape(-1, ncols + 1), axis=0)
-            cap = int(vec[0])
-            vcaps = {i: int(vec[i + 1]) for i in range(ncols)
-                     if vec[i + 1] > 0}
-        if not wave:
-            raise ExecutionError(
-                "multi-host wave padding without a local template batch "
-                "(process has no files); give every process at least one "
-                "file or lower the process count")
-        while len(wave) < n_slots:
-            wave.append(empty_like_host(wave[0], cap, vcaps))
-        return wave, cap, vcaps
+        return pad_wave(wave, n_slots)
 
     def _flush(self, state, wave: list[Batch], global_rank: int, grouped):
         multi = jax.process_count() > 1
@@ -879,51 +905,41 @@ class DistributedJoinExec(PhysicalPlan):
         return [self.build]
 
     def batches(self) -> Iterator[Batch]:
-        from ..plan.join_exec import (_jit_build_sort, _jit_emit,
-                                      _jit_probe_counts)
+        from ..plan.join_exec import _jit_build_sort
         from ..plan.physical import concat_batches
 
-        n_dev = self.mesh.shape["shard"]
         rschema = self.build.schema()
+        # build side replicates: in multi-host, every process recomputes it
+        # from the full file set (scan-shard context is probe-only)
         build = concat_batches(rschema, list(self.build.batches()))
         right_keys = tuple(r for _, r in self.on)
         left_keys = tuple(l for l, _ in self.on)
         sorted_build, sorted_keys = _jit_build_sort(right_keys)(build)
-        # replicate the build table + keys across the mesh
-        repl = NamedSharding(self.mesh, P())
-        sorted_build = jax.device_put(sorted_build, repl)
-        sorted_keys = jax.device_put(sorted_keys, repl)
-        n_build = jax.device_put(jnp.asarray(build.length, jnp.int32), repl)
+        n_build = jnp.asarray(build.length, jnp.int32)
+        sorted_build, sorted_keys, n_build = replicate_to_mesh(
+            (sorted_build, sorted_keys, n_build), self.mesh)
 
-        wave: list[Batch] = []
-        for hb in self.probe_source():
-            wave.append(hb)
-            if len(wave) == n_dev:
-                yield from self._probe_wave(wave, sorted_build, sorted_keys,
-                                            n_build, left_keys)
-                wave = []
-        if wave:
-            cap, vcaps = wave_shape(wave)
-            real = len(wave)
-            while len(wave) < n_dev:
-                wave.append(empty_like_host(wave[0], cap, vcaps))
+        for wave in lockstep_wave_iter(self.probe_source, self.mesh):
             yield from self._probe_wave(wave, sorted_build, sorted_keys,
-                                        n_build, left_keys, real)
+                                        n_build, left_keys)
 
     def _probe_wave(self, wave, sorted_build, sorted_keys, n_build,
-                    left_keys, real: Optional[int] = None):
+                    left_keys):
+        from .mesh import local_shard_count
+
+        multi = jax.process_count() > 1
         n_dev = self.mesh.shape["shard"]
-        real = n_dev if real is None else real
-        cap, vcaps = wave_shape(wave)
+        n_slots = local_shard_count(self.mesh) if multi else n_dev
+        wave, cap, vcaps = pad_wave(wave, n_slots)
         wave = [pad_host_batch(b, cap, vcaps) for b in wave]
         stacked = stack_wave(wave, self.mesh)
         count_step = _join_count_step(self.mesh, self.probe_stages,
                                       left_keys, self.how, tuple(self.on))
         lo, counts, out_counts, totals, lbytes, rbytes, kbytes = count_step(
             stacked, sorted_build, sorted_keys, n_build)
-        totals, lbytes, rbytes, kbytes = jax.device_get(
-            (totals, lbytes, rbytes, kbytes))
-        max_total = int(np.max(totals[:real], initial=0))
+        totals, lbytes, rbytes, kbytes = gather_full(
+            (totals, lbytes, rbytes, kbytes), self.mesh)
+        max_total = int(np.max(totals, initial=0))
         if max_total == 0:
             return
         out_cap = bucket_capacity(max_total)
@@ -937,9 +953,12 @@ class DistributedJoinExec(PhysicalPlan):
                                     self.out_schema, self.how, out_cap,
                                     tuple(self.on), self.filter, vcaps)
         out = emit_step(stacked, sorted_build, lo, counts, out_counts)
-        for d in range(real):
-            b = jax.tree.map(lambda x: x[d], out)
-            if b.num_rows_host():
+        # every process reads the full emitted wave (gather_full), so
+        # multi-host results are identical everywhere; padded slots emit 0
+        out = gather_full(out, self.mesh)
+        for d in range(n_dev):
+            b = jax.tree.map(lambda x: np.asarray(x)[d], out)
+            if int(b.length):
                 yield b
 
 
@@ -986,11 +1005,9 @@ def _join_emit_step(mesh: Mesh, stages: tuple, out_schema: Schema, how: str,
 
 def plan_distributed_join(join_plan, config) -> Optional[PhysicalPlan]:
     """Build a DistributedJoinExec for an L.Join whose probe (left) side is a
-    supported scan chain; the build (right) side lowers normally."""
-    if jax.process_count() > 1:
-        return None  # multi-host: only the aggregate path shards ingest;
-        # joins/topk fall back to replicated execution (correct, not sharded)
-
+    supported scan chain; the build (right) side lowers normally. Multi-host:
+    the probe stream shards by process (lockstep_wave_iter), the build side
+    replicates."""
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan
 
@@ -1278,8 +1295,8 @@ def plan_distributed_topk(sort_plan, fetch: int, config
                           ) -> Optional[PhysicalPlan]:
     """Lower Sort(keys)+Limit(fetch) over a scan chain to the mesh."""
     if jax.process_count() > 1:
-        return None  # multi-host: only the aggregate path shards ingest;
-        # joins/topk fall back to replicated execution (correct, not sharded)
+        return None  # multi-host: aggregates and broadcast joins shard
+        # ingest; topk/partitioned-join fall back to replicated execution
 
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan
@@ -1726,8 +1743,8 @@ def plan_distributed_partitioned_join(join_plan, config
     """Planner hook: SET exon.partitioned_join = true selects the
     partitioned exchange over the default broadcast-probe join."""
     if jax.process_count() > 1:
-        return None  # multi-host: only the aggregate path shards ingest;
-        # joins/topk fall back to replicated execution (correct, not sharded)
+        return None  # multi-host: aggregates and broadcast joins shard
+        # ingest; topk/partitioned-join fall back to replicated execution
 
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan

@@ -57,10 +57,18 @@ def main() -> None:
     results["filtered_group_by"] = df.to_pandas().to_dict("records")
 
     # non-distributed operators run replicated in multi-process mode (the
-    # scan-shard context is scoped to the distributed aggregate): every
-    # process must still see the full, identical answer
+    # scan-shard context is scoped to distributed execs): every process
+    # must still see the full, identical answer
     df = ctx.sql("SELECT id FROM t ORDER BY id LIMIT 3")
     results["order_by"] = df.to_pandas().to_dict("records")
+
+    # broadcast join: probe stream shards by process, build replicates
+    df = ctx.sql(
+        "SELECT a.description, COUNT(*) AS n FROM t a "
+        "JOIN (SELECT DISTINCT description FROM t) b "
+        "ON a.description = b.description "
+        "GROUP BY a.description ORDER BY a.description")
+    results["join"] = df.to_pandas().to_dict("records")
 
     # each distributed scan must have decoded only this process's 2 of the
     # 4 files — otherwise the run silently fell back to replicated decode

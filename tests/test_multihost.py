@@ -100,3 +100,7 @@ def test_two_process_parity(tmp_path):
     # replicated ORDER BY: full file set on every process, global order
     assert got["order_by"] == [{"id": "f0r0"}, {"id": "f0r1"},
                                {"id": "f0r10"}]
+    # broadcast join with process-sharded probe: every row matches its own
+    # description -> 40 rows per group
+    assert got["join"] == [
+        {"description": f"group{i}", "n": 40} for i in range(5)]
