@@ -76,8 +76,11 @@ def _local(tag: str) -> str:
     return tag.rsplit("}", 1)[-1]
 
 
-def parse_spectra(data: bytes) -> list[dict]:
-    """Parse spectrum elements into dicts."""
+def parse_spectra(data: bytes, decode_peaks: bool = True) -> list[dict]:
+    """Parse spectrum elements into dicts. ``decode_peaks=False`` skips the
+    base64+zlib binary-array decode for projections that don't read
+    mz/intensity/wavelength (COUNT(*) projects nothing) — roughly a third
+    of decode time."""
     import io
     import xml.etree.ElementTree as ET
 
@@ -94,7 +97,7 @@ def parse_spectra(data: bytes) -> list[dict]:
             spec["cv"].append((cv.get("accession"), cv.get("name"),
                                cv.get("value")))
         # binary arrays
-        for bda in elem.iter():
+        for bda in (elem.iter() if decode_peaks else ()):
             if _local(bda.tag) != "binaryDataArray":
                 continue
             accs = {cv.get("accession") for cv in bda.iter()
@@ -145,7 +148,8 @@ def decode_host(data: bytes, options: MzmlOptions,
     schema = mzml_schema(options)
     proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
-    spectra = parse_spectra(data)
+    need_peaks = any(c in proj for c in ("mz", "intensity", "wavelength"))
+    spectra = parse_spectra(data, decode_peaks=need_peaks)
     n = len(spectra)
     if n == 0:
         return
