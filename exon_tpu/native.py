@@ -39,6 +39,11 @@ _pool_bytes = 0
 
 
 def _round_huge(n: int) -> int:
+    # coarse size classes above 64 MiB (round up to 128 MiB) so buffers for
+    # different files/formats reuse each other's mappings — a pool miss
+    # costs a fresh ~0.3 s/GB huge-page fault walk
+    if n > (64 << 20):
+        return (n + (1 << 27) - 1) & ~((1 << 27) - 1)
     return (n + (1 << 21) - 1) & ~((1 << 21) - 1)
 
 
