@@ -16,7 +16,7 @@ from typing import Iterator
 import numpy as np
 
 from .. import datatypes as dt
-from ..batch import Batch, Schema
+from ..batch import Batch, FixedColumn, Schema
 from ..errors import ExecutionError
 from ..io.compression import Compression, compress, infer_compression
 from ..io.object_store import get_store
@@ -78,10 +78,24 @@ class CopyToExec(PhysicalPlan):
         an incremental compressor into store.put_stream — peak memory is
         O(batch), not O(result) (the reference's SimpleRecordSink streams
         the same way, simple_record_sink.rs:81-140)."""
+        import jax
         import pyarrow as pa
 
         from ..io.compression import stream_compressor
         from ..plan.physical import _empty_batch
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            # multi-host: operators produce identical replicated results on
+            # every process; only process 0 writes the file (concurrent
+            # writers would race on the same target). All processes still
+            # drain the input so collective-bearing plans stay in lockstep.
+            n = 0
+            for b in self.input.batches():
+                n += b.num_rows_host()
+            yield Batch(self.schema(),
+                        [FixedColumn(np.asarray([n], np.int64),
+                                     np.ones(1, bool))], np.int32(1))
+            return
 
         fmt = self.file_format.upper()
         store, path = get_store(self.target_url)

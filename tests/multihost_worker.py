@@ -70,6 +70,15 @@ def main() -> None:
         "GROUP BY a.description ORDER BY a.description")
     results["join"] = df.to_pandas().to_dict("records")
 
+    # COPY TO in multi-process mode: only process 0 writes, all report
+    # the row count
+    # NOT inside data_dir: the output would be listed as table data by
+    # whichever process scans after the write
+    out_fa = os.path.join(os.path.dirname(out_path), "copy_out.fasta")
+    df = ctx.sql(f"COPY (SELECT id, description, sequence FROM t "
+                 f"WHERE sequence LIKE 'AC%') TO '{out_fa}' STORED AS FASTA")
+    results["copy_count"] = int(df.to_pandas().iloc[0, 0])
+
     # each distributed scan must have decoded only this process's 2 of the
     # 4 files — otherwise the run silently fell back to replicated decode
     assert shard_calls and all(tot == 4 and mine == 2

@@ -104,3 +104,9 @@ def test_two_process_parity(tmp_path):
     # description -> 40 rows per group
     assert got["join"] == [
         {"description": f"group{i}", "n": 40} for i in range(5)]
+    # COPY TO: single writer, consistent count (i%3!=0 rows match 'AC%')
+    want_copy = sum(1 for i in range(50) if i % 3 != 0) * 4
+    assert got["copy_count"] == want_copy
+    out = str(tmp_path / "copy_out.fasta")
+    n_records = sum(1 for line in open(out) if line.startswith(">"))
+    assert n_records == want_copy
