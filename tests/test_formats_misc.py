@@ -123,3 +123,42 @@ def test_copy_to_bz2_xz_roundtrip(tmp_path):
         out = ctx.read_fasta(str(dst)).collect_arrow().to_pydict()
         assert out["id"] == ["x", "y"]
         assert out["sequence"] == ["AACC", "TTGG"]
+
+
+def test_decoder_edge_cases(session, tmp_path):
+    """CRLF line endings, missing trailing newline, multiline sequences,
+    blank/comment lines, and '.'-valued optional VCF fields all decode
+    exactly (noodles tolerates the same inputs)."""
+    def w(name, content):
+        p = tmp_path / name
+        p.write_text(content)
+        return str(p)
+
+    p = w("a.fasta", ">x desc one\r\nACGT\r\nTTAA\r\n>y\r\nGG")
+    t = session.sql(f"SELECT id, description, sequence "
+                    f"FROM fasta_scan('{p}')").to_pandas()
+    assert t["sequence"].tolist() == ["ACGTTTAA", "GG"]
+    assert t["description"].tolist()[0] == "desc one"
+
+    p = w("b.fastq", "@r1 d\r\nACGT\r\n+\r\nIIII\r\n@r2\r\nTT\r\n+\r\n!!\r\n")
+    t = session.sql(f"SELECT name, sequence, quality_scores "
+                    f"FROM fastq_scan('{p}')").to_pandas()
+    assert t["sequence"].tolist() == ["ACGT", "TT"]
+    assert t["quality_scores"].tolist() == ["IIII", "!!"]
+
+    p = w("c.gff", "##gff-version 3\nchr1\ts\tgene\t1\t10\t.\t+\t.\tID=a\n"
+          "\n# mid comment\nchr2\ts\tgene\t5\t9\t.\t-\t.\tID=b")
+    t = session.sql(f"SELECT seqname, start, \"end\" "
+                    f"FROM gff_scan('{p}')").to_pandas()
+    assert t["seqname"].tolist() == ["chr1", "chr2"]
+    assert t["end"].tolist() == [10, 9]
+
+    p = w("e.vcf", "##fileformat=VCFv4.2\r\n"
+          "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\r\n"
+          "1\t100\t.\tA\t.\t.\t.\t.\r\n"
+          "2\t5\trs1\tC\tG,T\t9.5\tPASS\tDP=3\r\n")
+    t = session.sql(f"SELECT chrom, pos, id, alt, qual "
+                    f"FROM vcf_scan('{p}')").to_pandas()
+    assert t["pos"].tolist() == [100, 5]
+    assert t["id"][0] is None and list(t["id"][1]) == ["rs1"]
+    assert t["alt"][0] is None and list(t["alt"][1]) == ["G", "T"]
