@@ -1185,27 +1185,21 @@ class DistributedTopKExec(PhysicalPlan):
     def _run(self) -> Batch:
         from ..plan.physical import SortExec
 
-        n_dev = self.mesh.shape["shard"]
         cands: list[Batch] = []
-        wave: list[Batch] = []
-        for hb in self.source():
-            wave.append(hb)
-            if len(wave) == n_dev:
-                cands.extend(self._wave(wave))
-                wave = []
-        if wave:
+        for wave in lockstep_wave_iter(self.source, self.mesh):
             cands.extend(self._wave(wave))
         out = list(SortExec(self.keys, _Materialized(self.out_schema, cands),
                             self.fetch).batches())
         return out[0]
 
     def _wave(self, wave: list[Batch]) -> list[Batch]:
+        from .mesh import local_shard_count
+
+        multi = jax.process_count() > 1
         n_dev = self.mesh.shape["shard"]
-        real = len(wave)
-        cap, vcaps = wave_shape(wave)
+        n_slots = local_shard_count(self.mesh) if multi else n_dev
+        wave, cap, vcaps = pad_wave(wave, n_slots)
         wave = [pad_host_batch(b, cap, vcaps) for b in wave]
-        while len(wave) < n_dev:
-            wave.append(empty_like_host(wave[0], cap, vcaps))
         stacked = stack_wave(wave, self.mesh)
         keys = tuple((e, asc) for e, asc in self.keys)
         widths = jax.device_get(
@@ -1220,10 +1214,12 @@ class DistributedTopKExec(PhysicalPlan):
         specs = tuple(specs)
         k = bucket_capacity(min(self.fetch, cap), 128)
         out = _topk_step(self.mesh, self.stages, specs, k)(stacked)
+        # every process reads the full candidate set → identical final sort
+        out = gather_full(out, self.mesh)
         res = []
-        for d in range(real):
-            b = jax.tree.map(lambda x: x[d], out)
-            if b.num_rows_host():
+        for d in range(n_dev):
+            b = jax.tree.map(lambda x: np.asarray(x)[d], out)
+            if int(b.length):
                 res.append(b)
         return res
 
@@ -1293,10 +1289,9 @@ MAX_DIST_TOPK = 1 << 16
 
 def plan_distributed_topk(sort_plan, fetch: int, config
                           ) -> Optional[PhysicalPlan]:
-    """Lower Sort(keys)+Limit(fetch) over a scan chain to the mesh."""
-    if jax.process_count() > 1:
-        return None  # multi-host: aggregates and broadcast joins shard
-        # ingest; topk/partitioned-join fall back to replicated execution
+    """Lower Sort(keys)+Limit(fetch) over a scan chain to the mesh.
+    Multi-host: per-process file shards feed lockstep waves; the tiny
+    candidate set gathers to every process for the identical final sort."""
 
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan

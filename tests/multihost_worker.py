@@ -70,6 +70,11 @@ def main() -> None:
         "GROUP BY a.description ORDER BY a.description")
     results["join"] = df.to_pandas().to_dict("records")
 
+    # distributed TopK: per-process shards feed candidate waves
+    df = ctx.sql("SELECT id, description FROM t "
+                 "ORDER BY description, id LIMIT 4")
+    results["topk"] = df.to_pandas().to_dict("records")
+
     # COPY TO in multi-process mode: only process 0 writes, all report
     # the row count
     # NOT inside data_dir: the output would be listed as table data by

@@ -104,6 +104,11 @@ def test_two_process_parity(tmp_path):
     # description -> 40 rows per group
     assert got["join"] == [
         {"description": f"group{i}", "n": 40} for i in range(5)]
+    # distributed TopK over sharded ingest: group0 rows (i % 5 == 0) sort
+    # first; within them ids order lexicographically
+    ids = sorted(f"f{f}r{i}" for f in range(4) for i in range(0, 50, 5))
+    assert got["topk"] == [
+        {"id": i, "description": "group0"} for i in ids[:4]]
     # COPY TO: single writer, consistent count (i%3!=0 rows match 'AC%')
     want_copy = sum(1 for i in range(50) if i % 3 != 0) * 4
     assert got["copy_count"] == want_copy
