@@ -595,6 +595,15 @@ def _eval_binary(expr: BinaryOp, batch: Batch):
                 and not jnp.issubdtype(jnp.result_type(b), jnp.floating):
             # SQL integer division truncates
             return (a / jnp.where(b == 0, 1, b)).astype(jnp.int64)
+        if op == "%":
+            # SQL %: sign follows the DIVIDEND (truncated division), not
+            # numpy's floored remainder: -7 % 3 = -1, 7 % -3 = 1
+            a = jnp.asarray(a)
+            b = jnp.asarray(b)
+            bz = jnp.where(b == 0, jnp.ones((), b.dtype), b)
+            r = jnp.remainder(a, bz)
+            flip = jnp.logical_and(r != 0, jnp.sign(a) != jnp.sign(bz))
+            return jnp.where(flip, r - bz, r)
         return _ARITH[op](a, b)
     raise PlanError(f"unknown operator {op}")
 

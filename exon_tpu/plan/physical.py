@@ -172,6 +172,10 @@ def _to_column(v, batch: Batch):
         offs = jnp.asarray((np.arange(cap + 1) * len(b)).astype(np.int32))
         return VarColumn(vals, offs, batch.row_mask())
     arr = jnp.asarray(v)
+    if arr.ndim == 0:
+        # scalar expression result (literal arithmetic, scalar subquery):
+        # broadcast to the batch like the python-scalar case above
+        arr = jnp.full(batch.capacity, arr)
     return FixedColumn(arr, batch.row_mask())
 
 

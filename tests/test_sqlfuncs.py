@@ -201,3 +201,11 @@ def test_string_min_max_aggregates(session, tmp_path):
     assert t["hi"].tolist() == ["mango", "zebra"]
     u = session.sql("SELECT MIN(s), MAX(s) FROM smm").to_pandas()
     assert u.iloc[0, 0] == "apple" and u.iloc[0, 1] == "zebra"
+
+
+def test_modulo_division_truncated_semantics(session):
+    """SQL %/integer-/ truncate toward zero (sign of the dividend), unlike
+    numpy's floored remainder; scalar-only SELECTs broadcast 0-d results."""
+    t = session.sql("SELECT -7 % 3 AS a, 7 % -3 AS b, -7 / 3 AS c, "
+                    "7 % 3 AS d, -7 % -3 AS e, -7.5 % 2 AS g").to_pandas()
+    assert t.iloc[0].tolist() == [-1, 1, -2, 1, -1, -1.5]
