@@ -681,12 +681,107 @@ def _var_cmp_literal(colv: VarColumn, litb: bytes, op: str) -> jnp.ndarray:
 
 
 def _eval_cast(v, dtype: dt.DataType, batch: Batch):
+    from ..datatypes import numpy_dtype
+
+    if isinstance(v, str):
+        # literal: parse host-side
+        if dtype.is_fixed_width:
+            npdt = numpy_dtype(dtype)
+            return np.asarray(float(v) if np.issubdtype(npdt, np.floating)
+                              else int(v), dtype=npdt).item()
+        return v
+    if isinstance(v, (int, float, bool)) and dtype.kind in (
+            dt.TypeKind.UTF8, dt.TypeKind.LARGE_UTF8):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return str(v)
+    if isinstance(v, DictColumn):
+        from ..ops.layout import dict_to_var
+
+        v = dict_to_var(v)
+    if dtype.is_fixed_width and isinstance(v, VarColumn):
+        return _cast_utf8_to_number(v, numpy_dtype(dtype))
+    if dtype.kind in (dt.TypeKind.UTF8, dt.TypeKind.LARGE_UTF8):
+        if isinstance(v, VarColumn):
+            return v
+        vals = _as_values(v, batch)
+        if jnp.issubdtype(jnp.asarray(vals).dtype, jnp.integer) or \
+                jnp.asarray(vals).dtype == jnp.bool_:
+            return _cast_int_to_utf8(jnp.asarray(vals).astype(jnp.int64),
+                                     _validity_of(v, batch))
+        raise PlanError("cast of floats to VARCHAR not supported on device")
     if dtype.is_fixed_width:
         arr = _as_values(v, batch)
-        from ..datatypes import numpy_dtype
-
         return jnp.asarray(arr).astype(numpy_dtype(dtype))
     raise PlanError(f"cast to {dtype} not supported on device")
+
+
+_POW10_NP = np.asarray([10 ** p for p in range(19)], np.int64)
+
+
+def _pow10():
+    # numpy constant (NOT a cached jnp array: that would capture a tracer
+    # when first used under jit and leak it into later traces)
+    return jnp.asarray(_POW10_NP)
+
+
+def _cast_utf8_to_number(v: VarColumn, npdt) -> FixedColumn:
+    """Device decimal parse of utf8 rows (optional '-' sign; non-numeric →
+    NULL, matching arrow's safe-cast-to-null behavior on overflow-free
+    inputs). Fully jittable: a [cap, 20] byte window gather."""
+    cap = v.capacity
+    offs = jnp.asarray(v.offsets).astype(jnp.int32)
+    vals = jnp.asarray(v.values)
+    lens = offs[1:] - offs[:-1]
+    W = 20
+    idx = offs[:-1][:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    win = vals[jnp.clip(idx, 0, max(vals.shape[0] - 1, 0))] \
+        if vals.shape[0] else jnp.zeros((cap, W), jnp.uint8)
+    in_row = jnp.arange(W, dtype=jnp.int32)[None, :] < lens[:, None]
+    neg = jnp.logical_and(lens > 0, win[:, 0] == ord("-"))
+    sign_skip = neg.astype(jnp.int32)
+    digit = (win - ord("0")).astype(jnp.int32)
+    is_digit = jnp.logical_and(digit >= 0, digit <= 9)
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    eff = jnp.logical_and(in_row, pos >= sign_skip[:, None])
+    power = jnp.clip(lens[:, None] - 1 - pos, 0, 18)
+    contrib = jnp.where(jnp.logical_and(eff, is_digit),
+                        digit.astype(jnp.int64) * _pow10()[power], 0)
+    out = jnp.sum(contrib, axis=1)
+    out = jnp.where(neg, -out, out)
+    ok = jnp.logical_and(
+        jnp.asarray(v.validity),
+        jnp.logical_and(lens - sign_skip > 0, lens <= W))
+    ok = jnp.logical_and(
+        ok, jnp.all(jnp.logical_or(jnp.logical_not(eff), is_digit), axis=1))
+    if np.issubdtype(npdt, np.floating):
+        return FixedColumn(out.astype(npdt), ok)
+    return FixedColumn(jnp.where(ok, out, 0).astype(npdt), ok)
+
+
+def _cast_int_to_utf8(vals: jnp.ndarray, valid) -> VarColumn:
+    """Device int64 → decimal utf8 (jittable; gather-only layout: byte k
+    finds its row with searchsorted over the exact offsets)."""
+    cap = vals.shape[0]
+    absv = jnp.abs(vals)
+    # digit count via comparison against the power table (log10-free)
+    ndig = jnp.sum((absv[:, None] >= _pow10()[None, :]).astype(jnp.int32),
+                   axis=1)
+    ndig = jnp.maximum(ndig, 1)  # 0 renders as "0"
+    lens = ndig + (vals < 0).astype(jnp.int32)
+    lens = jnp.where(jnp.asarray(valid), lens, 0)
+    offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                            jnp.cumsum(lens).astype(jnp.int32)])
+    vcap = 20 * cap
+    k = jnp.arange(vcap, dtype=jnp.int32)
+    row = jnp.clip(jnp.searchsorted(offs[1:], k, side="right"), 0, cap - 1)
+    pos = k - offs[row]
+    is_sign = jnp.logical_and(pos == 0, vals[row] < 0)
+    dpos = pos - (vals[row] < 0).astype(jnp.int32)
+    p = jnp.clip(ndig[row] - 1 - dpos, 0, 18)
+    digit = (absv[row] // _pow10()[p]) % 10
+    byte = jnp.where(is_sign, ord("-"), ord("0") + digit).astype(jnp.uint8)
+    return VarColumn(byte, offs, jnp.asarray(valid))
 
 
 # ---------------------------------------------------------------------------

@@ -32,8 +32,12 @@ def _require_var(v, fn: str) -> VarColumn:
         offs = jnp.asarray(np.array([0, len(b)], np.int32))
         return VarColumn(vals, offs, jnp.ones(1, bool))
     if not isinstance(v, VarColumn):
+        from .batch import DictColumn as _DC
         from .batch import FixedColumn as _FC, ListColumn as _LC
+        from .ops.layout import dict_to_var as _d2v
 
+        if isinstance(v, _DC):
+            return _d2v(v)
         if isinstance(v, _LC) and isinstance(v.child, _FC):
             return VarColumn(v.child.values, v.offsets, v.validity)
         raise PlanError(f"{fn} expects a string/sequence column")
@@ -149,9 +153,13 @@ def trim_polya(batch: Batch, seq) -> VarColumn:
 
 
 def length_fn(batch: Batch, v) -> jnp.ndarray:
-    if isinstance(v, VarColumn):
-        return row_lengths(v.offsets).astype(jnp.int64)
-    raise PlanError("length expects a string column")
+    from .batch import PrefixColumn as _PC
+
+    if isinstance(v, _PC):
+        # late-materialized strings carry true lengths already
+        return jnp.asarray(v.lengths).astype(jnp.int64)
+    v = _require_var(v, "length")
+    return row_lengths(v.offsets).astype(jnp.int64)
 
 
 # -- SAM flag predicates (udfs/sam/samflags.rs:111-135) ---------------------

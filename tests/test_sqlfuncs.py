@@ -209,3 +209,42 @@ def test_modulo_division_truncated_semantics(session):
     t = session.sql("SELECT -7 % 3 AS a, 7 % -3 AS b, -7 / 3 AS c, "
                     "7 % 3 AS d, -7 % -3 AS e, -7.5 % 2 AS g").to_pandas()
     assert t.iloc[0].tolist() == [-1, 1, -2, 1, -1, -1.5]
+
+
+def test_cast_string_number_roundtrip(session, tmp_path):
+    """CAST between utf8 and numerics, on literals and columns (including
+    dictionary-encoded), with non-numeric strings becoming NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = session.sql("SELECT CAST('42' AS INT) AS a, CAST(3.9 AS INT) AS b, "
+                    "CAST(-3.9 AS INT) AS c, CAST(7 AS VARCHAR) AS d"
+                    ).to_pandas()
+    assert t.iloc[0].tolist() == [42, 3, -3, "7"]
+    p = str(tmp_path / "c.parquet")
+    pq.write_table(pa.table({
+        "i": pa.array([-120, 0, 7, None], type=pa.int64()),
+        "s": ["-5", "abc", "0012", None]}), p)
+    session.sql(f"CREATE EXTERNAL TABLE ct STORED AS PARQUET LOCATION '{p}'")
+    t = session.sql("SELECT CAST(i AS VARCHAR) AS si, CAST(s AS INT) AS ii "
+                    "FROM ct").to_pandas()
+    assert t["si"].tolist()[:3] == ["-120", "0", "7"]
+    assert t["si"][3] is None or str(t["si"][3]) == "nan"
+    assert t["ii"].tolist()[:1] == [-5] and t["ii"][2] == 12
+    import pandas as pd
+
+    assert pd.isna(t["ii"][1]) and pd.isna(t["ii"][3])
+    n = session.sql("SELECT COUNT(*) FROM ct WHERE CAST(s AS INT) = 12"
+                    ).to_pandas().iloc[0, 0]
+    assert n == 1
+
+
+def test_string_functions_on_literals_and_dict_columns(session):
+    t = session.sql("SELECT UPPER('aCgT') AS a, LOWER('AcGt') AS b, "
+                    "LENGTH('hello') AS c").to_pandas()
+    assert t.iloc[0].tolist() == ["ACGT", "acgt", 5]
+    base = "/root/reference/exon/exon-core/test-data/datasources"
+    t = session.sql(f"SELECT UPPER(seqname) AS u, LENGTH(seqname) AS l "
+                    f"FROM gff_scan('{base}/gff/test.gff') LIMIT 1"
+                    ).to_pandas()
+    assert t.iloc[0].tolist() == ["SQ0", 3]
