@@ -889,10 +889,16 @@ def _rewrite_distinct_aggs(group_exprs: list, calls: list,
     if any(c.child is None for c in dcalls):
         raise SqlError("COUNT(DISTINCT *) is not supported")
     children = {repr(c.child) for c in dcalls}
-    if len(children) > 1 or len(dcalls) != len(calls):
+    ndcalls = [c for c in calls if not c.distinct]
+    # non-distinct calls ride through the dedup aggregate as decomposable
+    # partials: SUM→SUM(SUM), COUNT→SUM(COUNT), MIN→MIN(MIN), MAX→MAX(MAX)
+    # (DataFusion's SingleDistinctToGroupBy does the same; AVG mixed with
+    # DISTINCT would need a post-projection and stays unsupported)
+    _ND_OUTER = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    if len(children) > 1 or any(c.fn not in _ND_OUTER for c in ndcalls):
         raise PlanError(
-            "DISTINCT aggregates are supported only when all aggregate "
-            "calls are DISTINCT over the same expression")
+            "DISTINCT aggregates support one DISTINCT expression, "
+            "optionally mixed with SUM/COUNT/MIN/MAX")
     child = dcalls[0].child
     inner_groups = list(group_exprs)
     child_idx = None
@@ -903,11 +909,22 @@ def _rewrite_distinct_aggs(group_exprs: list, calls: list,
     if child_idx is None:
         child_idx = len(inner_groups)
         inner_groups.append(child)
-    inner = L.Aggregate(inner_groups, [], [], plan)
+    inner_calls = [_dc.replace(c, distinct=False) for c in ndcalls]
+    inner_names = [f"__nd{j}" for j in range(len(ndcalls))]
+    inner = L.Aggregate(inner_groups, inner_calls, inner_names, plan)
     in_names = inner.schema().names
     new_groups = [ColumnRef(in_names[i]) for i in range(len(group_exprs))]
     vref = ColumnRef(in_names[child_idx])
-    new_calls = [_dc.replace(c, child=vref, distinct=False) for c in calls]
+    new_calls = []
+    nd_j = 0
+    for c in calls:
+        if c.distinct:
+            new_calls.append(_dc.replace(c, child=vref, distinct=False))
+        else:
+            new_calls.append(_dc.replace(
+                c, fn=_ND_OUTER[c.fn],
+                child=ColumnRef(f"__nd{nd_j}"), distinct=False))
+            nd_j += 1
     return new_groups, new_calls, inner
 
 

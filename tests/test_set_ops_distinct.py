@@ -60,10 +60,16 @@ def test_count_distinct_on_strings_gff(ctx, tmp_path):
 
 
 def test_mixed_distinct_rejected(ctx):
+    # AVG mixed with DISTINCT would need a post-projection; two different
+    # DISTINCT expressions need two dedup aggregates — both still rejected
     with pytest.raises(PlanError):
-        ctx.sql("SELECT count(DISTINCT column1), sum(column1) FROM t")
+        ctx.sql("SELECT count(DISTINCT column1), avg(column1) FROM t")
     with pytest.raises(PlanError):
         ctx.sql("SELECT count(DISTINCT column1), count(DISTINCT column2) FROM t")
+    # SUM/COUNT/MIN/MAX mixed with one DISTINCT expression now work
+    t = ctx.sql("SELECT count(DISTINCT column1) AS d, sum(column1) AS s "
+                "FROM t").collect_arrow()
+    assert t.num_rows == 1
 
 
 def test_count_distinct_star_rejected(ctx):
@@ -130,3 +136,31 @@ def test_multiple_statements_need_semicolon(ctx):
         ctx.sql("SELECT 1 SELECT 2")
     out = q(ctx, "SELECT 1; SELECT 2")
     assert list(out.values())[0] == [2]
+
+
+def test_mixed_distinct_and_plain_aggregates(session, tmp_path):
+    """COUNT(*)/SUM/MIN/MAX mixed with COUNT(DISTINCT x) decompose through
+    the dedup aggregate (SingleDistinctToGroupBy-style): SUM→SUM(SUM),
+    COUNT→SUM(COUNT), MIN/MAX pass through."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    g = [f"c{v}" for v in rng.integers(0, 6, 500)]
+    x = rng.integers(0, 40, 500)
+    p = str(tmp_path / "m.parquet")
+    pq.write_table(pa.table({"g": g, "x": x}), p)
+    session.sql(f"CREATE EXTERNAL TABLE mt STORED AS PARQUET LOCATION '{p}'")
+    got = session.sql(
+        "SELECT g, COUNT(*) AS n, SUM(x) AS sx, COUNT(DISTINCT x) AS dx, "
+        "MIN(x) AS mn, MAX(x) AS mx FROM mt GROUP BY g ORDER BY g"
+    ).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame({"g": g, "x": x})
+    w = df.groupby("g").agg(n=("x", "size"), sx=("x", "sum"),
+                            dx=("x", "nunique"), mn=("x", "min"),
+                            mx=("x", "max")).reset_index()
+    for c in ("n", "sx", "dx", "mn", "mx"):
+        assert got[c].tolist() == w[c].tolist(), c
