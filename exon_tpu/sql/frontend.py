@@ -542,6 +542,94 @@ def _plan_from(session, stmt: A.SelectStmt):
     return plan, qual
 
 
+def _ref_table_names(stmt) -> set:
+    """Lower-cased table names and aliases visible in a SELECT's FROM."""
+    names: set = set()
+
+    def add(ref):
+        if ref is None:
+            return
+        alias = getattr(ref, "alias", None)
+        if alias:
+            names.add(str(alias).lower())
+        nm = getattr(ref, "name", None)
+        if isinstance(nm, str):
+            names.add(nm.lower())
+
+    add(getattr(stmt, "from_", None))
+    for j in getattr(stmt, "joins", []) or []:
+        add(getattr(j, "table", None))
+    return names
+
+
+def _correlated_quals(expr, corr_tables: set) -> list:
+    """FieldAccess(ColumnRef(t), col) nodes whose qualifier t names an
+    OUTER table — the correlation references."""
+    from ..plan.expressions import ColumnRef, FieldAccess
+
+    out = []
+
+    def walk(x):
+        if isinstance(x, FieldAccess) and isinstance(x.child, ColumnRef) \
+                and x.child.name.lower() in corr_tables:
+            out.append(x)
+            return
+        for c in x.children():
+            walk(c)
+
+    walk(expr)
+    return out
+
+
+def _decorrelate_exists(e, outer_stmt):
+    """[NOT] EXISTS with a single equi-correlation conjunct rewrites to
+    [NOT] IN (the semi/anti-join shape DataFusion's decorrelation produces
+    for this class). Other correlation raises instead of silently binding
+    outer-qualified names to same-named inner columns."""
+    import dataclasses as _dc
+
+    from ..plan.expressions import BinaryOp, split_conjunction
+
+    sub = e.stmt
+    if sub.where is None or getattr(sub, "group_by", None) or \
+            getattr(sub, "having", None) is not None:
+        return None
+    inner = _ref_table_names(sub)
+    outer = _ref_table_names(outer_stmt)
+    corr_tables = {t for t in outer if t not in inner}
+    if not corr_tables:
+        return None
+    conjs = split_conjunction(sub.where)
+    corr = [(i, c) for i, c in enumerate(conjs)
+            if _correlated_quals(c, corr_tables)]
+    if not corr:
+        return None
+    if len(corr) > 1:
+        raise SqlError(
+            "correlated EXISTS supports one equality against the outer "
+            "query; rewrite as a JOIN")
+    i, c = corr[0]
+    ok = isinstance(c, BinaryOp) and c.op == "="
+    if ok:
+        lcorr = bool(_correlated_quals(c.left, corr_tables))
+        rcorr = bool(_correlated_quals(c.right, corr_tables))
+        ok = lcorr != rcorr  # exactly one side references the outer query
+    if not ok:
+        raise SqlError(
+            "correlated EXISTS supports a single outer = inner equality; "
+            "rewrite as a JOIN")
+    outer_side, inner_side = (c.left, c.right) if lcorr else (c.right, c.left)
+    rest = [x for j, x in enumerate(conjs) if j != i]
+    new_where = None
+    for r in rest:
+        new_where = r if new_where is None else BinaryOp("and", new_where, r)
+    new_sub = _dc.replace(sub, where=new_where,
+                          projections=[(inner_side, None)])
+    from ..plan.expressions import InSubquery
+
+    return InSubquery(outer_side, new_sub, e.negated)
+
+
 def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
     """Resolve uncorrelated expression subqueries eagerly: scalar → Literal,
     EXISTS → Literal(bool), IN (SELECT …) → InList. Correlated subqueries
@@ -561,6 +649,16 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
     def run(sub_stmt):
         from ..dataframe import DataFrame
 
+        # an outer-qualified reference inside the subquery must not bind to
+        # a same-named inner column silently (b.k = a.k would become k = k)
+        outer = _ref_table_names(stmt)
+        inner = _ref_table_names(sub_stmt)
+        corr_tables = {t for t in outer if t not in inner}
+        if corr_tables and sub_stmt.where is not None and \
+                _correlated_quals(sub_stmt.where, corr_tables):
+            raise SqlError(
+                "correlated subqueries are supported only as EXISTS with a "
+                "single outer = inner equality; rewrite as a JOIN")
         try:
             plan = plan_select(session, sub_stmt)
         except KeyError as e:
@@ -582,6 +680,9 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
             return Literal(t.column(0)[0].as_py())
         if isinstance(e, ExistsSubquery):
             found[0] = True
+            rewritten = _decorrelate_exists(e, stmt)
+            if rewritten is not None:
+                return rw(rewritten)
             sub = _dc.replace(e.stmt, limit=1)
             t = run(sub)
             return Literal(t.num_rows > 0 if not e.negated else t.num_rows == 0)

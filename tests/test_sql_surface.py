@@ -222,3 +222,27 @@ def test_create_function_rejected_cleanly(session):
     with pytest.raises(PlanError, match="Unsupported function.*my_fn"):
         session.sql("CREATE FUNCTION my_fn(a BIGINT) RETURNS BIGINT "
                     "RETURN a + 1")
+
+
+def test_correlated_exists_rewrite(session):
+    """[NOT] EXISTS with one outer = inner equality decorrelates to the
+    semi/anti-join (IN) shape; other correlation raises instead of silently
+    binding outer-qualified names to same-named inner columns."""
+    import pytest
+
+    from exon_tpu.errors import SqlError
+
+    session.sql("CREATE TABLE ca (k INT, v INT)")
+    session.sql("INSERT INTO ca VALUES (1,10),(2,20),(2,21),(3,30)")
+    session.sql("CREATE TABLE cb (k INT, w INT)")
+    session.sql("INSERT INTO cb VALUES (2,200),(3,300),(4,400)")
+    q = lambda s: session.sql(s).to_pandas().iloc[0, 0]
+    assert q("SELECT COUNT(*) FROM ca WHERE EXISTS "
+             "(SELECT 1 FROM cb WHERE cb.k = ca.k)") == 3
+    assert q("SELECT COUNT(*) FROM ca WHERE NOT EXISTS "
+             "(SELECT 1 FROM cb WHERE cb.k = ca.k)") == 1
+    assert q("SELECT COUNT(*) FROM ca WHERE EXISTS "
+             "(SELECT 1 FROM cb WHERE cb.k = ca.k AND cb.w > 250)") == 1
+    with pytest.raises(SqlError, match="correlated"):
+        session.sql("SELECT (SELECT MAX(w) FROM cb WHERE cb.k = ca.k) "
+                    "FROM ca").to_pandas()
