@@ -185,6 +185,22 @@ class Union(LogicalPlan):
 
 
 @dataclasses.dataclass
+class Repeat(LogicalPlan):
+    """Emit each input row ``count_expr`` times (clipped at 0) — the
+    multiset expansion behind INTERSECT ALL / EXCEPT ALL (DataFusion emits
+    the same shape from its set-op planner)."""
+
+    count_expr: object  # Expr
+    input: LogicalPlan
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+
+@dataclasses.dataclass
 class Values(LogicalPlan):
     """Literal rows (for SELECT without FROM and test fixtures)."""
 

@@ -929,6 +929,42 @@ def _empty_batch(schema: Schema) -> Batch:
 
 
 @dataclasses.dataclass
+class RepeatExec(PhysicalPlan):
+    """Emit each input row count_expr times (clipped at 0; NULL count → 0).
+    Host expansion via one Arrow take per batch — input batches here are
+    set-op aggregate outputs (distinct rows + multiplicities), already far
+    smaller than the raw streams."""
+
+    count_expr: object  # Expr
+    input: PhysicalPlan
+
+    def children(self):
+        return [self.input]
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def batches(self) -> Iterator[Batch]:
+        import pyarrow as pa
+
+        from .expressions import _as_values, _validity_of
+
+        for b in self.input.batches():
+            n = b.num_rows_host()
+            if n == 0:
+                continue
+            v = eval_expr(self.count_expr, b)
+            cnt = np.asarray(jax.device_get(_as_values(v, b)))[:n]
+            ok = np.asarray(jax.device_get(_validity_of(v, b)))[:n]
+            cnt = np.clip(np.where(ok, cnt, 0), 0, None).astype(np.int64)
+            idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+            if len(idx) == 0:
+                continue
+            rb = b.to_arrow().take(pa.array(idx))
+            yield Batch.from_arrow(rb, self.schema())
+
+
+@dataclasses.dataclass
 class SortExec(PhysicalPlan):
     """ORDER BY as an external run sort.
 

@@ -509,6 +509,8 @@ def _with_children(plan: L.LogicalPlan, kids: list) -> L.LogicalPlan:
         return L.Window(plan.calls, plan.names, kids[0])
     if isinstance(plan, L.Union):
         return L.Union(kids)
+    if isinstance(plan, L.Repeat):
+        return L.Repeat(plan.count_expr, kids[0])
     if isinstance(plan, L.CopyTo):
         return L.CopyTo(kids[0], plan.target_url, plan.file_format, plan.options)
     if isinstance(plan, L.Explain):
@@ -600,6 +602,9 @@ def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
     if isinstance(plan, L.Union):
         return P.UnionExec([create_physical_plan(c, config)
                             for c in plan.inputs])
+    if isinstance(plan, L.Repeat):
+        return P.RepeatExec(plan.count_expr,
+                            create_physical_plan(plan.input, config))
     if isinstance(plan, L.Values):
         return P.ValuesExec(plan.out_schema, plan.rows)
     if isinstance(plan, L.Join):

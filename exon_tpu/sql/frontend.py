@@ -462,6 +462,24 @@ def _plan_set_op(left: L.LogicalPlan, op: str, all_flag: bool,
     tag_r = L.Project([Alias(ColumnRef(n), n) for n in lnames]
                       + [Alias(Literal(1), side)], right)
     unioned = L.Union([tag_l, tag_r])
+    if all_flag:
+        # multiset semantics: per distinct row, left count cl = n - cr and
+        # right count cr; EXCEPT ALL emits max(cl - cr, 0) copies,
+        # INTERSECT ALL emits min(cl, cr) (DataFusion's set-op planner
+        # produces the same multiplicity algebra)
+        from ..plan.expressions import Case
+
+        agg = L.Aggregate(cols,
+                          [AggregateCall("count", None),
+                           AggregateCall("sum", ColumnRef(side))],
+                          ["__setop_n", "__setop_cr"], unioned)
+        n_, cr_ = ColumnRef("__setop_n"), ColumnRef("__setop_cr")
+        cl = BinaryOp("-", n_, cr_)
+        if op == "except":
+            k = BinaryOp("-", cl, cr_)  # RepeatExec clips at 0
+        else:
+            k = Case(None, [(BinaryOp("<", cl, cr_), cl)], cr_)
+        return L.Project(cols, L.Repeat(k, agg))
     agg = L.Aggregate(cols,
                       [AggregateCall("min", ColumnRef(side)),
                        AggregateCall("max", ColumnRef(side))],

@@ -142,22 +142,21 @@ class Parser:
     def parse_select(self) -> A.SelectStmt:
         stmt = self._parse_select_body()
         # set-operation chain (left-associative; reference: DataFusion's
-        # UNION/INTERSECT/EXCEPT). INTERSECT/EXCEPT are set (distinct)
-        # semantics; the ALL variants are rejected rather than mis-executed.
+        # UNION/INTERSECT/EXCEPT, including the multiset ALL variants).
         while True:
             if self.accept_kw("union"):
                 all_flag = self.accept_kw("all")
                 stmt.set_ops = list(stmt.set_ops) + [
                     ("union", all_flag, self._parse_select_body())]
             elif self.accept_kw("intersect"):
-                if self.accept_kw("all"):
-                    raise SqlError("INTERSECT ALL is not supported "
-                                   "(use INTERSECT)")
+                all_flag = self.accept_kw("all")
                 stmt.set_ops = list(stmt.set_ops) + [
-                    ("intersect", False, self._parse_select_body())]
+                    ("intersect", all_flag, self._parse_select_body())]
             elif self.accept_kw("except"):
                 if self.accept_kw("all"):
-                    raise SqlError("EXCEPT ALL is not supported (use EXCEPT)")
+                    stmt.set_ops = list(stmt.set_ops) + [
+                        ("except", True, self._parse_select_body())]
+                    continue
                 stmt.set_ops = list(stmt.set_ops) + [
                     ("except", False, self._parse_select_body())]
             else:

@@ -103,11 +103,12 @@ def test_union_all_unchanged(ctx):
     assert list(out.values())[0] == [8]
 
 
-def test_intersect_all_rejected(ctx):
-    with pytest.raises(SqlError):
-        ctx.sql("SELECT column1 FROM t INTERSECT ALL SELECT column1 FROM u")
-    with pytest.raises(SqlError):
-        ctx.sql("SELECT column1 FROM t EXCEPT ALL SELECT column1 FROM u")
+def test_intersect_all_supported(ctx):
+    # the ALL variants execute with multiset semantics now (see
+    # test_intersect_except_all_multiset for value checks)
+    t = ctx.sql("SELECT column1 FROM t INTERSECT ALL SELECT column1 FROM u"
+                ).collect_arrow()
+    assert t.num_columns == 1
 
 
 def test_set_op_column_count_mismatch(ctx):
@@ -164,3 +165,22 @@ def test_mixed_distinct_and_plain_aggregates(session, tmp_path):
                             mx=("x", "max")).reset_index()
     for c in ("n", "sx", "dx", "mn", "mx"):
         assert got[c].tolist() == w[c].tolist(), c
+
+
+def test_intersect_except_all_multiset(session):
+    """INTERSECT ALL / EXCEPT ALL multiset semantics: min(cl, cr) /
+    max(cl - cr, 0) copies per distinct row."""
+    session.sql("CREATE TABLE ma (k INT)")
+    session.sql("INSERT INTO ma VALUES (1),(2),(2),(2),(3),(3)")
+    session.sql("CREATE TABLE mb (k INT)")
+    session.sql("INSERT INTO mb VALUES (2),(3),(3),(3),(4)")
+    ea = session.sql("SELECT k FROM ma EXCEPT ALL SELECT k FROM mb "
+                     "ORDER BY k").to_pandas()["k"].tolist()
+    assert ea == [1, 2, 2]
+    ia = session.sql("SELECT k FROM ma INTERSECT ALL SELECT k FROM mb "
+                     "ORDER BY k").to_pandas()["k"].tolist()
+    assert ia == [2, 3, 3]
+    # distinct variants unchanged
+    e = session.sql("SELECT k FROM ma EXCEPT SELECT k FROM mb "
+                    "ORDER BY k").to_pandas()["k"].tolist()
+    assert e == [1]
