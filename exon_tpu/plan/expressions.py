@@ -286,8 +286,12 @@ class WindowCall(Expr):
     child: Optional[Expr]
     partition_by: list
     order_by: list  # [(expr, asc)]
-    offset: int = 1      # lag/lead
+    offset: int = 1      # lag/lead offset; ntile bucket count
     default: object = None
+    # frame: None = default (RANGE UNBOUNDED PRECEDING..CURRENT ROW, peers
+    # share) or ("rows", lo, hi) with offsets relative to the current row
+    # (None = unbounded, negative = preceding, positive = following)
+    frame: object = None
 
     def children(self):
         out = [self.child] if self.child is not None else []

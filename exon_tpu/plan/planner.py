@@ -125,8 +125,10 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
 
 
 def infer_window_field(call, name: str, schema: Schema) -> Field:
-    if call.fn in ("row_number", "rank", "dense_rank", "count"):
+    if call.fn in ("row_number", "rank", "dense_rank", "count", "ntile"):
         return Field(name, dt.int64, False)
+    if call.fn in ("percent_rank", "cume_dist"):
+        return Field(name, dt.float64, False)
     if call.fn == "avg":
         return Field(name, dt.float64, True)
     inner = infer_expr_field(call.child, schema)

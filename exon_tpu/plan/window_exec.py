@@ -12,8 +12,9 @@ Frame semantics match DataFusion defaults: aggregates with ORDER BY use
 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW (peer rows share values);
 without ORDER BY the frame is the whole partition.
 
-Supported: row_number, rank, dense_rank, count, sum, min, max, avg, lag,
-lead, first_value, last_value.
+Supported: row_number, rank, dense_rank, ntile, percent_rank, cume_dist,
+count, sum, min, max, avg, lag, lead, first_value, last_value; explicit
+ROWS frames for count/sum/avg.
 """
 
 from __future__ import annotations
@@ -33,7 +34,8 @@ from .physical import (PhysicalPlan, _group_key_i64, _sort_key_values,
                        concat_batches)
 
 WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "count", "sum", "min",
-                "max", "avg", "lag", "lead", "first_value", "last_value"}
+                "max", "avg", "lag", "lead", "first_value", "last_value",
+                "ntile", "percent_rank", "cume_dist"}
 
 
 @dataclasses.dataclass
@@ -123,6 +125,7 @@ def _window_column(call: WindowCall, batch: Batch):
     end_of = seg_end[seg_id]
 
     fn = call.fn
+    n_part = (end_of - start_of + 1).astype(jnp.int64)
     if fn == "row_number":
         res_s = (idx - start_of + 1).astype(jnp.int64)
         valid_s = mask_s
@@ -134,9 +137,33 @@ def _window_column(call: WindowCall, batch: Batch):
         c = jnp.cumsum(pn)
         res_s = c - c[start_of] + 1
         valid_s = mask_s
+    elif fn == "percent_rank":
+        # (rank - 1) / (rows - 1); 0 for single-row partitions
+        rank = (pf - start_of).astype(jnp.float64)
+        res_s = jnp.where(n_part > 1,
+                          rank / jnp.maximum(n_part - 1, 1).astype(jnp.float64),
+                          0.0)
+        valid_s = mask_s
+    elif fn == "cume_dist":
+        res_s = (pl - start_of + 1).astype(jnp.float64) / \
+            jnp.maximum(n_part, 1).astype(jnp.float64)
+        valid_s = mask_s
+    elif fn == "ntile":
+        k = jnp.int64(max(int(call.offset), 1))
+        r = (idx - start_of).astype(jnp.int64)
+        kk = jnp.minimum(k, jnp.maximum(n_part, 1))
+        base = n_part // kk          # small bucket size
+        rem = n_part % kk            # first `rem` buckets get base + 1
+        cut = rem * (base + 1)       # rows covered by the big buckets
+        res_s = jnp.where(
+            r < cut,
+            r // jnp.maximum(base + 1, 1),
+            rem + (r - cut) // jnp.maximum(base, 1)) + 1
+        valid_s = mask_s
     elif fn in ("count", "sum", "min", "max", "avg"):
         res_s, valid_s = _window_aggregate(call, batch, perm, mask_s,
-                                           seg_id, start_of, pl, idx)
+                                           seg_id, start_of, pl, idx,
+                                           end_of)
     elif fn in ("lag", "lead"):
         res_s, valid_s = _window_shift(call, batch, perm, mask_s,
                                        start_of, end_of, idx)
@@ -156,7 +183,7 @@ def _window_column(call: WindowCall, batch: Batch):
 
 
 def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
-                      seg_id, start_of, peer_last_of, idx):
+                      seg_id, start_of, peer_last_of, idx, end_of=None):
     cap = batch.capacity
     if call.child is not None:
         v = eval_expr(call.child, batch)
@@ -166,6 +193,40 @@ def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
         vals_s = jnp.ones(cap, jnp.int64)
         vv_s = mask_s
     fn = call.fn
+    frame = getattr(call, "frame", None)
+    if frame is not None:
+        # ROWS frame: per-row [idx+lo, idx+hi] clipped to the partition;
+        # cumulative-sum endpoint math for count/sum/avg (no peer sharing
+        # — ROWS is row-positional by definition)
+        if fn in ("min", "max"):
+            raise PlanError(
+                "MIN/MAX with an explicit ROWS frame is not supported")
+        lo_off, hi_off = frame[1], frame[2]
+        raw_lo = start_of if lo_off is None else idx + lo_off
+        raw_hi = end_of if hi_off is None else idx + hi_off
+        lo_idx = jnp.maximum(raw_lo, start_of)
+        hi_idx = jnp.minimum(raw_hi, end_of)
+        empty = hi_idx < lo_idx
+        loc = jnp.clip(lo_idx, 0, cap - 1)
+        hic = jnp.clip(hi_idx, 0, cap - 1)
+
+        def ranged(c):
+            return jnp.where(
+                empty, 0,
+                c[hic] - jnp.where(lo_idx > 0,
+                                   c[jnp.clip(lo_idx - 1, 0, cap - 1)], 0))
+
+        cnt = jnp.cumsum(vv_s.astype(jnp.int64))
+        run_cnt = ranged(cnt)
+        if fn == "count":
+            return run_cnt, mask_s
+        cs = jnp.cumsum(jnp.where(vv_s, vals_s, 0))
+        run_sum = ranged(cs)
+        if fn == "avg":
+            return (run_sum.astype(jnp.float64)
+                    / jnp.maximum(run_cnt, 1).astype(jnp.float64),
+                    jnp.logical_and(mask_s, run_cnt > 0))
+        return run_sum, jnp.logical_and(mask_s, run_cnt > 0)
     running = bool(call.order_by)
     if not running:
         # whole-partition frame: segment totals broadcast

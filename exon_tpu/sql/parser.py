@@ -701,7 +701,8 @@ class Parser:
         return Case(operand, whens, else_)
 
     _WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lag", "lead",
-                     "first_value", "last_value"}
+                     "first_value", "last_value", "ntile", "percent_rank",
+                     "cume_dist"}
 
     def _parse_call(self, name: str) -> Expr:
         lname = name.lower()
@@ -735,7 +736,12 @@ class Parser:
                     if not isinstance(args[2], Literal):
                         raise SqlError(f"{name} default must be a literal")
                     default = args[2].value
-            return WindowCall(lname, child, over[0], over[1], offset, default)
+            if lname == "ntile":
+                if len(args) != 1 or not isinstance(args[0], Literal):
+                    raise SqlError("ntile(n) needs a literal bucket count")
+                child, offset = None, int(args[0].value)
+            return WindowCall(lname, child, over[0], over[1], offset,
+                              default, over[2])
         if star:
             if lname == "count":
                 return AggregateCall("count", None, distinct)
@@ -774,9 +780,59 @@ class Parser:
                 order_by.append(self.parse_order_key())
                 while self.accept_op(","):
                     order_by.append(self.parse_order_key())
+            frame = self._maybe_frame()
             self.expect_op(")")
-            return partition_by, order_by
+            return partition_by, order_by, frame
         return None
+
+    def _maybe_frame(self):
+        """ROWS [BETWEEN] frame clause → ("rows", lo, hi) row offsets
+        (None = unbounded). RANGE with explicit bounds is rejected (the
+        default frame already has RANGE semantics)."""
+        t = self.peek()
+        word = t.value.lower() if t.kind in ("kw", "ident") else ""
+        if word not in ("rows", "range"):
+            return None
+        self.next()
+        kind = word
+
+        def bound():
+            w = self.peek().value.lower()
+            if w == "unbounded":
+                self.next()
+                d = self.next().value.lower()
+                if d not in ("preceding", "following"):
+                    raise SqlError(f"expected PRECEDING/FOLLOWING near {d!r}")
+                return None  # clipped at the partition edge either way
+            if w == "current":
+                self.next()
+                if self.peek().value.lower() == "row":
+                    self.next()
+                return 0
+            n = int(self.next().value)
+            d = self.next().value.lower()
+            if d == "preceding":
+                return -n
+            if d == "following":
+                return n
+            raise SqlError(f"expected PRECEDING/FOLLOWING near {d!r}")
+
+        if self.peek().value.lower() == "between":
+            self.next()
+            lo = bound()
+            if not (self.accept_kw("and") or
+                    (self.peek().value.lower() == "and" and self.next())):
+                raise SqlError("expected AND in frame clause")
+            hi = bound()
+        else:
+            lo = bound()
+            hi = 0
+        if kind == "range":
+            if lo is None and hi == 0:
+                return None  # the default frame
+            raise SqlError(
+                "RANGE frames with explicit offsets are not supported")
+        return ("rows", lo, hi)
 
 
 def parse_sql(sql: str) -> list:

@@ -246,3 +246,30 @@ def test_correlated_exists_rewrite(session):
     with pytest.raises(SqlError, match="correlated"):
         session.sql("SELECT (SELECT MAX(w) FROM cb WHERE cb.k = ca.k) "
                     "FROM ca").to_pandas()
+
+
+def test_window_frames_and_ranking(session):
+    """ROWS frames (count/sum/avg) and ntile/percent_rank/cume_dist."""
+    session.sql("CREATE TABLE wf (g INT, o INT, x INT)")
+    session.sql("INSERT INTO wf VALUES (1,1,10),(1,2,20),(1,3,30),(1,4,40)")
+
+    def col(q):
+        return session.sql(q).to_pandas()["s"].tolist()
+
+    assert col("SELECT SUM(x) OVER (PARTITION BY g ORDER BY o "
+               "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM wf "
+               "ORDER BY o") == [10, 30, 50, 70]
+    assert col("SELECT SUM(x) OVER (PARTITION BY g ORDER BY o "
+               "ROWS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS s FROM wf "
+               "ORDER BY o") == [30, 50, 70, 40]
+    assert col("SELECT AVG(x) OVER (PARTITION BY g ORDER BY o "
+               "ROWS 2 PRECEDING) AS s FROM wf ORDER BY o") == \
+        [10.0, 15.0, 20.0, 30.0]
+    assert col("SELECT NTILE(3) OVER (PARTITION BY g ORDER BY o) AS s "
+               "FROM wf ORDER BY o") == [1, 1, 2, 3]
+    got = col("SELECT PERCENT_RANK() OVER (PARTITION BY g ORDER BY o) AS s "
+              "FROM wf ORDER BY o")
+    assert all(abs(a - b) < 1e-9 for a, b in zip(got, [0, 1/3, 2/3, 1.0]))
+    got = col("SELECT CUME_DIST() OVER (PARTITION BY g ORDER BY o) AS s "
+              "FROM wf ORDER BY o")
+    assert got == [0.25, 0.5, 0.75, 1.0]
