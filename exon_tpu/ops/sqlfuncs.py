@@ -637,6 +637,34 @@ def fn_coalesce(batch: Batch, *args):
     return FixedColumn(vals, valid)
 
 
+def _fn_extremum(name: str, pick):
+    def fn(batch: Batch, *args):
+        args = [a for a in args if a is not None]
+        if not args:
+            raise PlanError(f"{name} needs at least one argument")
+        cap = batch.capacity if batch is not None and batch.columns else 1
+        vals = valid = None
+        for a in args:
+            av, avalid = _vals_valid(a, batch)
+            if not hasattr(av, "shape") or getattr(av, "shape", ()) == ():
+                av = jnp.full(cap, av)
+            if avalid is None:
+                avalid = jnp.ones(cap, bool)
+            if vals is None:
+                vals, valid = av, avalid
+            else:
+                av = av.astype(jnp.result_type(vals, av))
+                vals = vals.astype(av.dtype)
+                # SQL GREATEST/LEAST ignore NULL arguments
+                both = jnp.logical_and(valid, avalid)
+                vals = jnp.where(both, pick(vals, av),
+                                 jnp.where(avalid, av, vals))
+                valid = jnp.logical_or(valid, avalid)
+        return FixedColumn(vals, valid)
+
+    return fn
+
+
 def fn_nullif(batch: Batch, a, b):
     from ..plan.expressions import _eval_string_cmp
 
@@ -844,6 +872,10 @@ def _register_all() -> None:
     reg("nullif", fn_nullif); regt("nullif", _same_as_first)
     reg("ifnull", fn_coalesce); regt("ifnull", _same_as_first)
     reg("nvl", fn_coalesce); regt("nvl", _same_as_first)
+    reg("greatest", _fn_extremum("greatest", jnp.maximum))
+    regt("greatest", _same_as_first)
+    reg("least", _fn_extremum("least", jnp.minimum))
+    regt("least", _same_as_first)
     # math
     reg("abs", fn_abs); regt("abs", _same_as_first)
     reg("round", fn_round); regt("round", _same_as_first)

@@ -716,7 +716,12 @@ def _eval_cast(v, dtype: dt.DataType, batch: Batch):
         raise PlanError("cast of floats to VARCHAR not supported on device")
     if dtype.is_fixed_width:
         arr = _as_values(v, batch)
-        return jnp.asarray(arr).astype(numpy_dtype(dtype))
+        out = jnp.asarray(arr).astype(numpy_dtype(dtype))
+        if isinstance(v, (FixedColumn, DictColumn)):
+            # casts must carry NULLs through (a bare array would re-mask
+            # against row_mask and resurrect null slots as 0)
+            return FixedColumn(out, jnp.asarray(v.validity))
+        return out
     raise PlanError(f"cast to {dtype} not supported on device")
 
 

@@ -1164,7 +1164,10 @@ def _host_key_columns(tab, keys: list, prev_chunks: Optional[list]):
                 k = flipped ^ _I64_SIGN
             else:
                 k = vals.astype(np.int64)
-            k = np.where(null, np.int64(1) << 62, k)
+            # validity as its own (more significant) column — a sentinel
+            # value cannot be safe for float bitcast keys
+            vk = null.astype(np.int64)
+            cols.append(vk if asc else np.int64(-1) - vk)
             cols.append(k if asc else np.int64(-1) - k)
             chunks.append(0)
     return cols, chunks
@@ -1190,8 +1193,8 @@ def _pad_key_matrix(keys: np.ndarray, chunks: list, target: list,
     pos = 0
     for (nc, tnc), asc in zip(zip(chunks, target), specs_asc):
         if nc == 0:
-            cols.append(keys[:, pos:pos + 1])
-            pos += 1
+            cols.append(keys[:, pos:pos + 2])  # validity + value
+            pos += 2
             continue
         cols.append(keys[:, pos:pos + 1 + nc])  # validity + real chunks
         pos += 1 + nc
@@ -1323,7 +1326,13 @@ def sort_key_columns(batch: Batch, specs: tuple) -> list:
                 k = k ^ (jnp.int64(1) << 63)
                 cols.append(k if asc else _invert_key(k))
         else:
-            k = _sort_key_values(v, batch)
+            # fixed-width: validity gets its OWN column. Embedding a null
+            # sentinel in the value key is unsound for floats — the bitcast
+            # of any double >= 2.0 exceeds 2^62, so sentinel-nulls would
+            # sort between real values
+            k, valid = _sort_key_value_raw(v, batch)
+            vk = jnp.logical_not(valid).astype(jnp.int64)
+            cols.append(vk if asc else _invert_key(vk))
             cols.append(k if asc else _invert_key(k))
     return cols
 
@@ -1343,6 +1352,29 @@ def sort_permutation(batch: Batch, specs: tuple) -> jnp.ndarray:
     for k in reversed(cols):
         perm = perm[jnp.argsort(k[perm], stable=True)]
     return perm
+
+
+def _sort_key_value_raw(v, batch: Batch):
+    """(order key int64, validity) withOUT a null sentinel embedded — the
+    exact sort paths carry validity as its own key column."""
+    if isinstance(v, DictColumn):
+        vocab_rank = np.argsort(np.argsort(list(v.vocab))) if v.vocab \
+            else np.zeros(0)
+        k = jnp.asarray(vocab_rank, jnp.int64)[
+            jnp.clip(v.codes, 0, max(len(v.vocab) - 1, 0))]
+        return k, jnp.asarray(v.validity)
+    if isinstance(v, FixedColumn):
+        return _to_sortable_i64(v.values), jnp.asarray(v.validity)
+    if isinstance(v, VarColumn):
+        # 8-byte prefix key (callers needing exact var ordering use the
+        # chunked path); validity separate
+        pre, _m = layout_ops.gather_prefix(v, 8)
+        key = jnp.zeros(v.capacity, jnp.int64)
+        for t in range(8):
+            key = (key << 8) | pre[:, t].astype(jnp.int64)
+        return key ^ (jnp.int64(1) << 63), jnp.asarray(v.validity)
+    arr = jnp.asarray(v)
+    return _to_sortable_i64(arr), jnp.ones(arr.shape[0], bool)
 
 
 def _sort_key_values(v, batch: Batch) -> jnp.ndarray:

@@ -81,10 +81,17 @@ def _window_column(call: WindowCall, batch: Batch):
     idx = jnp.arange(cap, dtype=jnp.int32)
 
     # ---- sort: liveness (live first) > partition > order keys -------------
+    # validity rides as its own key column per order key (nulls ASC last /
+    # DESC first without sentinel values, which collide with float bitcasts)
+    from .physical import _sort_key_value_raw
+
     perm = idx
     okeys = []
+    key_pairs = []
     for e, asc in call.order_by:
-        k = _sort_key_values(eval_expr(e, batch), batch)
+        k, valid = _sort_key_value_raw(eval_expr(e, batch), batch)
+        key_pairs.append((k, valid))
+        okeys.append((jnp.logical_not(valid).astype(jnp.int64), asc))
         okeys.append((k, asc))
     for k, asc in reversed(okeys):
         kk = k[perm]
@@ -112,10 +119,12 @@ def _window_column(call: WindowCall, batch: Batch):
     start_of = seg_start[seg_id]
 
     peer_new = seg_new
-    for e, _asc in call.order_by:
-        k = _sort_key_values(eval_expr(e, batch), batch)[perm]
+    for k, valid in key_pairs:
+        ks, vs = k[perm], valid[perm]
         peer_new = jnp.logical_or(
-            peer_new, jnp.concatenate([jnp.ones(1, bool), k[1:] != k[:-1]]))
+            peer_new, jnp.concatenate([jnp.ones(1, bool), ks[1:] != ks[:-1]]))
+        peer_new = jnp.logical_or(
+            peer_new, jnp.concatenate([jnp.ones(1, bool), vs[1:] != vs[:-1]]))
     peer_id = jnp.cumsum(peer_new.astype(jnp.int32)) - 1
     peer_first = jnp.full(cap, cap, jnp.int32).at[peer_id].min(idx)
     peer_last = jnp.zeros(cap, jnp.int32).at[peer_id].max(idx)

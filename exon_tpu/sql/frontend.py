@@ -446,9 +446,35 @@ def _plan_set_op(left: L.LogicalPlan, op: str, all_flag: bool,
         raise SqlError(
             f"{op.upper()} inputs have different column counts "
             f"({len(lnames)} vs {len(rnames)})")
-    if list(rnames) != list(lnames):
-        right = L.Project([Alias(ColumnRef(rn), ln)
-                           for rn, ln in zip(rnames, lnames)], right)
+    # numeric type coercion by position (DataFusion coerces set-op sides
+    # to a common type; mixing int and float promotes to float64)
+    from ..plan.expressions import Cast
+
+    _NUM = ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+            "uint64", "float32", "float64")
+    lfields = left.schema().all_fields
+    rfields = right.schema().all_fields
+    lcasts: dict[int, object] = {}
+    rcasts: dict[int, object] = {}
+    for i, (lf, rf) in enumerate(zip(lfields, rfields)):
+        lk, rk = lf.dtype.kind.value, rf.dtype.kind.value
+        if lk == rk:
+            continue
+        if lk in _NUM and rk in _NUM:
+            tgt = dt.float64 if ("float" in lk or "float" in rk) else dt.int64
+            if lk != tgt.kind.value:
+                lcasts[i] = tgt
+            if rk != tgt.kind.value:
+                rcasts[i] = tgt
+    if lcasts:
+        left = L.Project(
+            [Alias(Cast(ColumnRef(n), lcasts[i]), n) if i in lcasts
+             else ColumnRef(n) for i, n in enumerate(lnames)], left)
+    if list(rnames) != list(lnames) or rcasts:
+        right = L.Project(
+            [Alias(Cast(ColumnRef(rn), rcasts[i]), ln) if i in rcasts
+             else Alias(ColumnRef(rn), ln)
+             for i, (rn, ln) in enumerate(zip(rnames, lnames))], right)
     cols = [ColumnRef(n) for n in lnames]
     if op == "union":
         plan = L.Union([left, right])

@@ -542,8 +542,26 @@ class Parser:
             elif t.kind == "kw" and t.value.lower() == "is":
                 self.next()
                 negated = self.accept_kw("not")
-                self.expect_kw("null")
-                e = IsNull(e, negated)
+                if self.peek().value.lower() == "distinct":
+                    # IS [NOT] DISTINCT FROM: null-safe compare, lowered to
+                    # (nullity(a) != nullity(b)) OR (a != b) — each side
+                    # already evaluates NULL compares to false
+                    self.next()
+                    if self.peek().value.lower() == "from":
+                        self.next()
+                    rhs = self.parse_additive()
+                    if isinstance(rhs, Literal) and rhs.value is None:
+                        e = IsNull(e, negated=not negated)
+                    else:
+                        distinct = BinaryOp(
+                            "or",
+                            BinaryOp("!=", IsNull(e, False),
+                                     IsNull(rhs, False)),
+                            BinaryOp("!=", e, rhs))
+                        e = Not(distinct) if negated else distinct
+                else:
+                    self.expect_kw("null")
+                    e = IsNull(e, negated)
             else:
                 return e
 

@@ -110,3 +110,25 @@ def test_prefix_like_pushdown_exact(session, tmp_path):
     t = q(f"SELECT COUNT(*) FROM fasta_scan('{path}') "
           "WHERE sequence ILIKE 'atg%'")
     assert t.iloc[0, 0] == 3
+
+
+def test_float_null_ordering_no_sentinel_collision(session):
+    """NULL ordering must not use a sentinel value: the bitcast key of any
+    double >= 2.0 exceeds 2^62, so sentinel-nulls sorted mid-sequence.
+    Validity is its own sort-key column now."""
+    session.sql("CREATE TABLE fn (x DOUBLE)")
+    session.sql("INSERT INTO fn VALUES (1.0), (NULL), (3.0), (2.5)")
+    import pandas as pd
+
+    got = session.sql("SELECT x FROM fn ORDER BY x").to_pandas()["x"].tolist()
+    assert got[:3] == [1.0, 2.5, 3.0] and pd.isna(got[3])
+    got = session.sql("SELECT x FROM fn ORDER BY x DESC"
+                      ).to_pandas()["x"].tolist()
+    assert pd.isna(got[0]) and got[1:] == [3.0, 2.5, 1.0]
+    # window order keys share the fix
+    session.sql("CREATE TABLE fw (g INT, o DOUBLE, v INT)")
+    session.sql("INSERT INTO fw VALUES (1,5.5,1),(1,NULL,2),(1,0.5,3),"
+                "(1,2.5,4)")
+    t = session.sql("SELECT v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY o)"
+                    " AS r FROM fw ORDER BY r").to_pandas()
+    assert t["v"].tolist() == [3, 4, 1, 2]
