@@ -1245,9 +1245,13 @@ def _key_width_step(mesh: Mesh, stages: tuple, keys: tuple):
     spec = P("shard")
 
     def per_device(batch: Batch):
+        from ..plan.expressions import NullsOrder
+
         b, mask = apply_stages(stages, _squeeze0(batch))
         outs = []
         for e, _asc in keys:
+            if isinstance(e, NullsOrder):
+                e = e.child
             v = eval_expr(e, b)
             if isinstance(v, VarColumn):
                 ml = jnp.max(jnp.where(

@@ -277,6 +277,22 @@ class Case(Expr):
         return "case"
 
 
+@dataclasses.dataclass(eq=False)
+class NullsOrder(Expr):
+    """ORDER BY key wrapper carrying an explicit NULLS FIRST/LAST. Key
+    builders unwrap it; it is never evaluated as a value."""
+
+    child: Expr
+    first: bool
+
+    def children(self):
+        return [self.child]
+
+    def display_name(self) -> str:
+        return (self.child.display_name()
+                + (" nulls first" if self.first else " nulls last"))
+
+
 @dataclasses.dataclass(repr=True, eq=False)
 class WindowCall(Expr):
     """fn(...) OVER (PARTITION BY … [ORDER BY …]) — planned into a

@@ -1011,8 +1011,13 @@ class SortExec(PhysicalPlan):
         # whole np.lexsort (key encoding identical to sort_key_columns)
         from .expressions import ColumnRef
 
+        from .expressions import NullsOrder
+
+        def _bare(e):
+            return e.child if isinstance(e, NullsOrder) else e
+
         self._host_sort = host_stream and all(
-            isinstance(e, ColumnRef) for e, _a in self.keys)
+            isinstance(_bare(e), ColumnRef) for e, _a in self.keys)
         for b in stream:
             n = b.num_rows_host()
             if n == 0:
@@ -1064,9 +1069,12 @@ class SortExec(PhysicalPlan):
         combined = concat_batches(self.schema(), acc)
         # size var-width keys: 8-byte chunks for an EXACT lexicographic
         # sort (one cheap eager eval + scalar sync, per run)
+        from .expressions import NullsOrder
+
         specs = []
         for e, asc in self.keys:
-            v = eval_expr(e, combined)
+            ee = e.child if isinstance(e, NullsOrder) else e
+            v = eval_expr(ee, combined)
             nchunks = 0
             if isinstance(v, (VarColumn, DictColumn)):
                 if isinstance(v, DictColumn):
@@ -1109,9 +1117,22 @@ def _host_key_columns(tab, keys: list, prev_chunks: Optional[list]):
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    from .expressions import NullsOrder
+
     cols: list = []
     chunks: list = []
     for j, (e, asc) in enumerate(keys):
+        nulls_first = None
+        if isinstance(e, NullsOrder):
+            nulls_first, e = e.first, e.child
+
+        def vcol(null):
+            if nulls_first is None:
+                vk = null.astype(np.int64)
+                return vk if asc else np.int64(-1) - vk
+            return (~null).astype(np.int64) if nulls_first \
+                else null.astype(np.int64)
+
         arr = tab.column(e.name)
         arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
         t = arr.type
@@ -1134,8 +1155,7 @@ def _host_key_columns(tab, keys: list, prev_chunks: Optional[list]):
             nc = max(1, (maxlen + 7) // 8)
             if prev_chunks is not None:
                 nc = max(nc, prev_chunks[j])
-            vk = null.astype(np.int64)
-            cols.append(vk if asc else np.int64(-1) - vk)
+            cols.append(vcol(null))
             n = len(lens)
             starts = offs[:-1]
             idx = starts[:, None] + np.arange(8 * nc, dtype=np.int64)
@@ -1166,8 +1186,7 @@ def _host_key_columns(tab, keys: list, prev_chunks: Optional[list]):
                 k = vals.astype(np.int64)
             # validity as its own (more significant) column — a sentinel
             # value cannot be safe for float bitcast keys
-            vk = null.astype(np.int64)
-            cols.append(vk if asc else np.int64(-1) - vk)
+            cols.append(vcol(null))
             cols.append(k if asc else np.int64(-1) - k)
             chunks.append(0)
     return cols, chunks
@@ -1307,16 +1326,31 @@ def sort_key_columns(batch: Batch, specs: tuple) -> list:
     a validity column + big-endian 8-byte chunks). Shared by the in-device
     permutation sort and the external run merge, so both orders agree
     exactly."""
+    from .expressions import NullsOrder
+
     cols = [jnp.logical_not(batch.row_mask()).astype(jnp.int64)]
     for e, asc, nchunks in specs:
+        nulls_first = None
+        if isinstance(e, NullsOrder):
+            nulls_first, e = e.first, e.child
         v = eval_expr(e, batch)
         if isinstance(v, DictColumn) and nchunks > 0:
             # cross-run merges need run-independent keys: dictionary codes
             # rank within one run's vocab only, so spill to bytes
             v = layout_ops.dict_to_var(v)
+        def validity_col(valid):
+            # default placement: ASC → nulls last, DESC → nulls first;
+            # NULLS FIRST/LAST overrides directly
+            if nulls_first is None:
+                vk = jnp.logical_not(valid).astype(jnp.int64)
+                return vk if asc else _invert_key(vk)
+            vk = (jnp.asarray(valid).astype(jnp.int64) if nulls_first
+                  else jnp.logical_not(valid).astype(jnp.int64))
+            # bypass the asc inversion: the placement is already final
+            return vk
+
         if isinstance(v, VarColumn) and nchunks > 0:
-            vk = jnp.logical_not(v.validity).astype(jnp.int64)
-            cols.append(vk if asc else _invert_key(vk))
+            cols.append(validity_col(v.validity))
             pre, _m = layout_ops.gather_prefix(v, 8 * nchunks)
             for c in range(nchunks):
                 k = jnp.zeros(v.capacity, jnp.int64)
@@ -1331,8 +1365,7 @@ def sort_key_columns(batch: Batch, specs: tuple) -> list:
             # of any double >= 2.0 exceeds 2^62, so sentinel-nulls would
             # sort between real values
             k, valid = _sort_key_value_raw(v, batch)
-            vk = jnp.logical_not(valid).astype(jnp.int64)
-            cols.append(vk if asc else _invert_key(vk))
+            cols.append(validity_col(valid))
             cols.append(k if asc else _invert_key(k))
     return cols
 

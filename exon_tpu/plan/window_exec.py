@@ -85,13 +85,26 @@ def _window_column(call: WindowCall, batch: Batch):
     # DESC first without sentinel values, which collide with float bitcasts)
     from .physical import _sort_key_value_raw
 
+    from .expressions import NullsOrder
+
     perm = idx
     okeys = []
     key_pairs = []
     for e, asc in call.order_by:
+        nulls_first = None
+        if isinstance(e, NullsOrder):
+            nulls_first, e = e.first, e.child
         k, valid = _sort_key_value_raw(eval_expr(e, batch), batch)
         key_pairs.append((k, valid))
-        okeys.append((jnp.logical_not(valid).astype(jnp.int64), asc))
+        if nulls_first is None:
+            vk = jnp.logical_not(valid).astype(jnp.int64)
+        else:
+            # direct placement: cancel the asc inversion applied below
+            vk = (valid if nulls_first
+                  else jnp.logical_not(valid)).astype(jnp.int64)
+            if not asc:
+                vk = jnp.int64(-1) - vk
+        okeys.append((vk, asc))
         okeys.append((k, asc))
     for k, asc in reversed(okeys):
         kk = k[perm]

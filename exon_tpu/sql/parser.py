@@ -250,12 +250,20 @@ class Parser:
         return stmt
 
     def parse_order_key(self):
+        from ..plan.expressions import NullsOrder
+
         e = self.parse_expr()
         asc = True
         if self.accept_kw("asc"):
             asc = True
         elif self.accept_kw("desc"):
             asc = False
+        if self.peek().value.lower() == "nulls":
+            self.next()
+            d = self.next().value.lower()
+            if d not in ("first", "last"):
+                raise SqlError(f"expected FIRST/LAST near {d!r}")
+            e = NullsOrder(e, d == "first")
         return (e, asc)
 
     def parse_projections(self) -> list:

@@ -132,3 +132,24 @@ def test_float_null_ordering_no_sentinel_collision(session):
     t = session.sql("SELECT v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY o)"
                     " AS r FROM fw ORDER BY r").to_pandas()
     assert t["v"].tolist() == [3, 4, 1, 2]
+
+
+def test_nulls_first_last_clauses(session):
+    import pandas as pd
+
+    session.sql("CREATE TABLE nf2 (x DOUBLE, s VARCHAR)")
+    session.sql("INSERT INTO nf2 VALUES (1.0,'a'), (NULL,'b'), (3.0,NULL), "
+                "(2.5,'c')")
+
+    def col(q, c="x"):
+        return session.sql(q).to_pandas()[c].tolist()
+
+    got = col("SELECT x FROM nf2 ORDER BY x ASC NULLS FIRST")
+    assert pd.isna(got[0]) and got[1:] == [1.0, 2.5, 3.0]
+    got = col("SELECT x FROM nf2 ORDER BY x DESC NULLS LAST")
+    assert got[:3] == [3.0, 2.5, 1.0] and pd.isna(got[3])
+    got = col("SELECT s FROM nf2 ORDER BY s NULLS FIRST", "s")
+    assert pd.isna(got[0]) and got[1:] == ["a", "b", "c"]
+    t = session.sql("SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC "
+                    "NULLS LAST) AS r FROM nf2 ORDER BY r").to_pandas()
+    assert t["x"].tolist()[:3] == [3.0, 2.5, 1.0] and pd.isna(t["x"][3])
