@@ -122,8 +122,61 @@ def contains(col: VarColumn, needle: bytes, case_insensitive: bool = False) -> j
     return out > 0
 
 
-def like(col, pattern: str, case_insensitive: bool = False) -> jnp.ndarray:
-    """SQL LIKE compiled to device kernels — full '%'/'_' semantics.
+def tokenize_like(pattern: str, escape: str | None = None) -> list[tuple]:
+    """Split a LIKE pattern into '%'-separated chunks of byte tokens.
+
+    Each chunk is a tuple of ints: a UTF-8 byte value, or -1 for the
+    single-char wildcard '_'. ``escape`` (the SQL ESCAPE clause character)
+    makes the following pattern character literal."""
+    chunks: list[list[int]] = [[]]
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if escape is not None and ch == escape:
+            i += 1
+            if i >= n:
+                raise ValueError("LIKE pattern ends with its escape character")
+            chunks[-1].extend(pattern[i].encode())
+        elif ch == "%":
+            chunks.append([])
+        elif ch == "_":
+            chunks[-1].append(-1)
+        else:
+            chunks[-1].extend(ch.encode())
+        i += 1
+    return [tuple(c) for c in chunks]
+
+
+def like_regex(pattern: str, escape: str | None = None,
+               case_insensitive: bool = False):
+    """The equivalent compiled ``re`` pattern — host-side LIKE evaluation
+    (dictionary vocabularies, tests). '_' matches any char incl. newline."""
+    import re
+
+    out = ["^"]
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if escape is not None and ch == escape:
+            i += 1
+            if i >= n:
+                raise ValueError("LIKE pattern ends with its escape character")
+            out.append(re.escape(pattern[i]))
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+        i += 1
+    out.append("$")
+    flags = re.DOTALL | (re.IGNORECASE if case_insensitive else 0)
+    return re.compile("".join(out), flags)
+
+
+def like(col, pattern: str, case_insensitive: bool = False,
+         escape: str | None = None) -> jnp.ndarray:
+    """SQL LIKE compiled to device kernels — full '%'/'_'/ESCAPE semantics.
 
     Fast paths ('lit', 'lit%', '%lit', '%lit%', 'a%b' without '_') reuse the
     prefix/suffix/contains kernels (and work on PrefixColumn). The general
@@ -132,29 +185,30 @@ def like(col, pattern: str, case_insensitive: bool = False) -> jnp.ndarray:
     leftmost feasible position via segmented argmin over the flat buffer —
     O(vcap · pattern_len) vectorized compares, no per-row loops.
     """
-    pat = pattern
-    parts = pat.split("%")
-    if "_" not in pat:
-        if len(parts) == 1:
-            return equals_literal(col, pat.encode(), case_insensitive)
-        if len(parts) == 2:
-            pre, suf = parts
+    chunks = tokenize_like(pattern, escape)
+    if not any(t < 0 for c in chunks for t in c):
+        bts = [bytes(c) for c in chunks]
+        if len(bts) == 1:
+            return equals_literal(col, bts[0], case_insensitive)
+        if len(bts) == 2:
+            pre, suf = bts
             m = jnp.ones(col.capacity, dtype=bool)
             if pre:
-                m = jnp.logical_and(m, starts_with(col, pre.encode(), case_insensitive))
+                m = jnp.logical_and(m, starts_with(col, pre, case_insensitive))
             if suf:
-                m = jnp.logical_and(m, ends_with(col, suf.encode(), case_insensitive))
+                m = jnp.logical_and(m, ends_with(col, suf, case_insensitive))
             if pre and suf:
                 m = jnp.logical_and(m, str_lengths(col) >= len(pre) + len(suf))
             return m
-        if len(parts) == 3 and parts[0] == "" and parts[2] == "" and parts[1]:
-            return contains(col, parts[1].encode(), case_insensitive)
-    return _like_general(col, parts, case_insensitive)
+        if len(bts) == 3 and not bts[0] and not bts[2] and bts[1]:
+            return contains(col, bts[1], case_insensitive)
+    return _like_general(col, chunks, case_insensitive)
 
 
-def _match_at(col: VarColumn, chunk: bytes, pos: jnp.ndarray,
+def _match_at(col: VarColumn, chunk, pos: jnp.ndarray,
               case_insensitive: bool) -> jnp.ndarray:
-    """bool[cap]: chunk matches at byte position pos[r] of row r ('_' = any).
+    """bool[cap]: chunk matches at byte position pos[r] of row r (token < 0
+    = any byte — chunks are bytes or tokenize_like tuples).
 
     Caller guarantees pos >= row start; this checks pos + len <= row end.
     """
@@ -163,7 +217,7 @@ def _match_at(col: VarColumn, chunk: bytes, pos: jnp.ndarray,
     ok = pos + k <= ends
     vcap = col.value_capacity
     for t, ch in enumerate(chunk):
-        if ch == ord("_"):
+        if ch < 0:
             continue
         v = col.values[jnp.clip(pos + t, 0, vcap - 1)]
         pv, pc = (_upper_u8(v), _upper_u8(jnp.uint8(ch))) if case_insensitive \
@@ -172,9 +226,10 @@ def _match_at(col: VarColumn, chunk: bytes, pos: jnp.ndarray,
     return ok
 
 
-def _find_from(col: VarColumn, chunk: bytes, frm: jnp.ndarray,
+def _find_from(col: VarColumn, chunk, frm: jnp.ndarray,
                case_insensitive: bool) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Leftmost match of chunk in each row at byte position >= frm[r].
+    """Leftmost match of chunk in each row at byte position >= frm[r]
+    (token < 0 = any byte).
 
     Returns (pos int32[cap] — flat position of match, found bool[cap]).
     """
@@ -183,7 +238,7 @@ def _find_from(col: VarColumn, chunk: bytes, frm: jnp.ndarray,
     vals = _upper_u8(col.values) if case_insensitive else col.values
     hit = jnp.ones(vcap, dtype=bool)
     for t, ch in enumerate(chunk):
-        if ch == ord("_"):
+        if ch < 0:
             continue
         c = _upper_u8(jnp.uint8(ch)) if case_insensitive else jnp.uint8(ch)
         idx = jnp.arange(vcap, dtype=jnp.int32) + t
@@ -199,12 +254,12 @@ def _find_from(col: VarColumn, chunk: bytes, frm: jnp.ndarray,
     return pos, pos < sentinel
 
 
-def _like_general(col, parts: list[str], case_insensitive: bool) -> jnp.ndarray:
+def _like_general(col, chunks: list[tuple], case_insensitive: bool
+                  ) -> jnp.ndarray:
     if isinstance(col, PrefixColumn):
         raise ValueError("general LIKE needs full values, not a PrefixColumn "
                          "(planner must not stage prefix hints for '_'/multi-% "
                          "patterns)")
-    chunks = [p.encode() for p in parts]
     starts = col.offsets[:-1]
     ends = col.offsets[1:]
     ok = jnp.ones(col.capacity, dtype=bool)

@@ -199,6 +199,7 @@ class Like(Expr):
     pattern: str
     case_insensitive: bool
     negated: bool = False
+    escape: Optional[str] = None  # SQL ESCAPE clause character
 
     def children(self):
         return [self.child]
@@ -416,7 +417,7 @@ def eval_expr(expr: Expr, batch: Batch):
             return jnp.logical_not(v) if expr.negated else v
         if not isinstance(v, (VarColumn, PrefixColumn)):
             raise PlanError(f"LIKE over non-string value: {expr}")
-        m = str_ops.like(v, expr.pattern, expr.case_insensitive)
+        m = str_ops.like(v, expr.pattern, expr.case_insensitive, expr.escape)
         return jnp.logical_not(m) if expr.negated else m
     if isinstance(expr, InList):
         v = eval_expr(expr.child, batch)
@@ -534,11 +535,7 @@ def _eval_case(expr: Case, batch: Batch):
 
 def _dict_to_mask_like(v: DictColumn, expr: Like) -> jnp.ndarray:
     # evaluate LIKE over the host vocabulary, then map codes
-    import re
-
-    pat = "^" + re.escape(expr.pattern).replace("%", ".*").replace("_", ".") + "$"
-    flags = re.IGNORECASE if expr.case_insensitive else 0
-    rx = re.compile(pat.replace("\\%", ".*").replace("\\_", "."), flags)
+    rx = str_ops.like_regex(expr.pattern, expr.escape, expr.case_insensitive)
     hits = [i for i, s in enumerate(v.vocab) if rx.match(s)]
     m = jnp.zeros(v.capacity, bool)
     for h in hits:

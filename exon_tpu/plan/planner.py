@@ -255,7 +255,7 @@ def _expr_prefix_bound(e: Expr, colname: str) -> Optional[int]:
     if isinstance(e, Like) and isinstance(e.child, ColumnRef) \
             and e.child.name == colname:
         pat = e.pattern
-        if "_" in pat:
+        if "_" in pat or getattr(e, "escape", None) is not None:
             return None
         parts = pat.split("%")
         if len(parts) == 1:

@@ -529,14 +529,16 @@ class Parser:
             elif t.kind == "kw" and t.value.lower() in ("like", "ilike"):
                 self.next()
                 pat = self.next()
-                e = Like(e, pat.value, t.value.lower() == "ilike")
+                e = Like(e, pat.value, t.value.lower() == "ilike",
+                         escape=self._maybe_escape())
             elif t.kind == "kw" and t.value.lower() == "not" and \
                     self.peek(1).value.lower() in ("like", "ilike", "in", "between"):
                 self.next()
                 nxt = self.next().value.lower()
                 if nxt in ("like", "ilike"):
                     pat = self.next()
-                    e = Like(e, pat.value, nxt == "ilike", negated=True)
+                    e = Like(e, pat.value, nxt == "ilike", negated=True,
+                             escape=self._maybe_escape())
                 elif nxt == "in":
                     e = self._parse_in(e, negated=True)
                 else:
@@ -809,6 +811,18 @@ class Parser:
             frame = self._maybe_frame()
             self.expect_op(")")
             return partition_by, order_by, frame
+        return None
+
+    def _maybe_escape(self):
+        """Optional ESCAPE '<ch>' clause after a LIKE pattern."""
+        t = self.peek()
+        if t.kind in ("kw", "ident") and t.value.lower() == "escape":
+            self.next()
+            ch = self.next().value
+            if len(ch) != 1:
+                raise SqlError("ESCAPE must be a single character, got "
+                               f"{ch!r}")
+            return ch
         return None
 
     def _maybe_frame(self):

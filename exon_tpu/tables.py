@@ -49,6 +49,8 @@ def _prefix_like_pred(schema: Schema, expr: Expr):
         return None
     if not isinstance(expr.child, ColumnRef):
         return None
+    if getattr(expr, "escape", None) is not None:
+        return None  # escaped patterns: evaluate on the general path
     pat = expr.pattern
     if not pat.endswith("%") or "\\" in pat:
         return None

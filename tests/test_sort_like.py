@@ -153,3 +153,57 @@ def test_nulls_first_last_clauses(session):
     t = session.sql("SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC "
                     "NULLS LAST) AS r FROM nf2 ORDER BY r").to_pandas()
     assert t["x"].tolist()[:3] == [3.0, 2.5, 1.0] and pd.isna(t["x"][3])
+
+
+@pytest.fixture(scope="module")
+def esc_fasta(tmp_path_factory):
+    # ids with literal '%', '_', and '!' characters for ESCAPE tests
+    d = tmp_path_factory.mktemp("likeesc")
+    p = os.path.join(d, "e.fasta")
+    with open(p, "w") as f:
+        f.write(">a_b d\nAC\n>axb d\nAC\n>100% d\nGG\n>100x d\nGG\n"
+                ">x%yz d\nTT\n>xAyz d\nTT\n>!bang d\nCC\n>_under d\nCC\n")
+    return p
+
+
+def _esc(ctx, esc_fasta, pred):
+    return _ids(ctx, f"SELECT id FROM fasta_scan('{esc_fasta}') "
+                     f"WHERE {pred} ORDER BY id")
+
+
+def test_like_escape_underscore_literal(ctx, esc_fasta):
+    assert _esc(ctx, esc_fasta, "id LIKE 'a!_b' ESCAPE '!'") == ["a_b"]
+
+
+def test_like_escape_percent_literal(ctx, esc_fasta):
+    assert _esc(ctx, esc_fasta, "id LIKE '100!%' ESCAPE '!'") == ["100%"]
+
+
+def test_like_escape_prefix_then_wild(ctx, esc_fasta):
+    # literal '%' at position 2, then anything
+    assert _esc(ctx, esc_fasta, "id LIKE 'x!%%' ESCAPE '!'") == ["x%yz"]
+
+
+def test_like_escaped_escape_char(ctx, esc_fasta):
+    assert _esc(ctx, esc_fasta, "id LIKE '!!%' ESCAPE '!'") == ["!bang"]
+
+
+def test_like_escape_mixed_general(ctx, esc_fasta):
+    # '_' stays a wildcard when not escaped, '%' escaped mid-pattern
+    got = _esc(ctx, esc_fasta, "id LIKE 'x_yz' ESCAPE '!'")
+    assert got == ["x%yz", "xAyz"]
+
+
+def test_not_like_escape(ctx, esc_fasta):
+    got = _esc(ctx, esc_fasta, "id NOT LIKE '!_%' ESCAPE '!'")
+    assert "_under" not in got and len(got) == 7
+
+
+def test_ilike_escape(ctx, esc_fasta):
+    assert _esc(ctx, esc_fasta, "id ILIKE 'X!%YZ' ESCAPE '!'") == ["x%yz"]
+
+
+def test_like_escape_backslash_default_none(ctx, esc_fasta):
+    # without ESCAPE, '!' is an ordinary character: '!%' = starts with '!'
+    assert _esc(ctx, esc_fasta, "id LIKE '!%'") == ["!bang"]
+    assert _esc(ctx, esc_fasta, "id LIKE '!!%'") == []
