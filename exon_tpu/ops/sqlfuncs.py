@@ -592,6 +592,31 @@ def fn_regexp_replace(batch: Batch, v, pattern, replacement, flags=None
     return _host_var_from(out, valid)
 
 
+def fn_regexp_like(batch: Batch, v, pattern, flags=None) -> jnp.ndarray:
+    """regexp_like(str, pattern[, flags]) — true when the regex matches
+    anywhere in the string (datafusion's builtin the reference exposes)."""
+    import re
+
+    col = _as_var(v, "regexp_like")
+    if not isinstance(pattern, (str, bytes)):
+        raise PlanError("regexp_like pattern must be a string literal")
+    pat = pattern if isinstance(pattern, str) else pattern.decode()
+    fl = 0
+    if flags:
+        ff = flags if isinstance(flags, str) else flags.decode()
+        if "i" in ff:
+            fl |= re.IGNORECASE
+        if "s" in ff:
+            fl |= re.DOTALL
+        if "m" in ff:
+            fl |= re.MULTILINE
+    rx = re.compile(pat.encode(), fl)
+    strs, _valid = _host_strings(col)
+    mask = np.array([s is not None and rx.search(s) is not None
+                     for s in strs], bool)
+    return jnp.asarray(mask)
+
+
 # ---------------------------------------------------------------------------
 # conditional functions
 # ---------------------------------------------------------------------------
@@ -865,6 +890,8 @@ def _register_all() -> None:
     reg("initcap", fn_initcap); regt("initcap", _utf8)
     reg("replace", fn_replace, host=True); regt("replace", _utf8)
     reg("split_part", fn_split_part, host=True); regt("split_part", _utf8)
+    reg("regexp_like", fn_regexp_like, host=True)
+    regt("regexp_like", _bool)
     reg("regexp_replace", fn_regexp_replace, host=True)
     regt("regexp_replace", _utf8)
     # conditionals

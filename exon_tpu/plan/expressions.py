@@ -75,11 +75,11 @@ class Expr:
     def __hash__(self):
         return hash(repr(self))
 
-    def like(self, pattern: str):
-        return Like(self, pattern, case_insensitive=False)
+    def like(self, pattern: str, escape: "Optional[str]" = None):
+        return Like(self, pattern, case_insensitive=False, escape=escape)
 
-    def ilike(self, pattern: str):
-        return Like(self, pattern, case_insensitive=True)
+    def ilike(self, pattern: str, escape: "Optional[str]" = None):
+        return Like(self, pattern, case_insensitive=True, escape=escape)
 
     def is_null(self):
         return IsNull(self, negated=False)

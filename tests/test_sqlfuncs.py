@@ -248,3 +248,25 @@ def test_string_functions_on_literals_and_dict_columns(session):
                     f"FROM gff_scan('{base}/gff/test.gff') LIMIT 1"
                     ).to_pandas()
     assert t.iloc[0].tolist() == ["SQ0", 3]
+
+
+def test_regexp_like(session, tmp_path):
+    p = tmp_path / "r.fasta"
+    p.write_text(">AB12 d\nAC\n>xy d\nAC\n>A9 d\nGG\n")
+    def q(pred):
+        return sorted(session.sql(
+            f"SELECT id FROM fasta_scan('{p}') WHERE {pred}")
+            .collect_arrow().column(0).to_pylist())
+    assert q("regexp_like(id, '^[A-Z]+[0-9]+$')") == ["A9", "AB12"]
+    assert q("regexp_like(id, '^xy')") == ["xy"]
+    assert q("regexp_like(id, '^XY', 'i')") == ["xy"]
+    assert q("NOT regexp_like(id, '[0-9]')") == ["xy"]
+
+
+def test_dataframe_like_escape(session, tmp_path):
+    from exon_tpu import col
+    p = tmp_path / "e.fasta"
+    p.write_text(">a_b d\nAC\n>axb d\nAC\n")
+    df = session.read_fasta(str(p))
+    assert df.filter(col("id").like("a!_b", escape="!")).count() == 1
+    assert df.filter(col("id").like("a_b")).count() == 2
