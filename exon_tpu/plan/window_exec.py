@@ -218,11 +218,9 @@ def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
     frame = getattr(call, "frame", None)
     if frame is not None:
         # ROWS frame: per-row [idx+lo, idx+hi] clipped to the partition;
-        # cumulative-sum endpoint math for count/sum/avg (no peer sharing
-        # — ROWS is row-positional by definition)
-        if fn in ("min", "max"):
-            raise PlanError(
-                "MIN/MAX with an explicit ROWS frame is not supported")
+        # cumulative-sum endpoint math for count/sum/avg, sparse-table
+        # range queries for min/max (no peer sharing — ROWS is
+        # row-positional by definition)
         lo_off, hi_off = frame[1], frame[2]
         raw_lo = start_of if lo_off is None else idx + lo_off
         raw_hi = end_of if hi_off is None else idx + hi_off
@@ -242,6 +240,29 @@ def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
         run_cnt = ranged(cnt)
         if fn == "count":
             return run_cnt, mask_s
+        if fn in ("min", "max"):
+            # sparse table: level k holds op over x[i : i+2^k]; a range of
+            # length L is covered by two overlapping power-of-two spans
+            big = _ident(fn, vals_s.dtype)
+            op = jnp.minimum if fn == "min" else jnp.maximum
+            x = jnp.where(vv_s, vals_s, big)
+            levels, step = [x], 1
+            while step * 2 <= cap:
+                prev = levels[-1]
+                shifted = jnp.concatenate(
+                    [prev[step:], jnp.full(step, big, x.dtype)])
+                levels.append(op(prev, shifted))
+                step *= 2
+            flat = jnp.stack(levels).reshape(-1)
+            length = jnp.maximum(hic - loc + 1, 1).astype(jnp.int64)
+            k = jnp.clip(63 - jax.lax.clz(length), 0, len(levels) - 1)
+            pow2 = jnp.left_shift(jnp.int64(1), k)
+            a = flat[k * cap + loc]
+            b = flat[k * cap + jnp.clip(hic - pow2 + 1, 0, cap - 1)]
+            res = op(a, b)
+            ok = jnp.logical_and(mask_s, jnp.logical_and(
+                jnp.logical_not(empty), run_cnt > 0))
+            return res, ok
         cs = jnp.cumsum(jnp.where(vv_s, vals_s, 0))
         run_sum = ranged(cs)
         if fn == "avg":

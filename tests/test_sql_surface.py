@@ -273,3 +273,50 @@ def test_window_frames_and_ranking(session):
     got = col("SELECT CUME_DIST() OVER (PARTITION BY g ORDER BY o) AS s "
               "FROM wf ORDER BY o")
     assert got == [0.25, 0.5, 0.75, 1.0]
+
+
+def test_window_minmax_rows_frames(session):
+    """MIN/MAX over explicit ROWS frames (sparse-table range queries),
+    checked against a pandas rolling oracle on randomized data."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 200
+    g = rng.integers(0, 5, n)
+    o = np.arange(n)
+    x = rng.integers(-50, 50, n)
+    session.sql("CREATE TABLE wmm (g INT, o INT, x INT)")
+    vals = ",".join(f"({gi},{oi},{xi})" for gi, oi, xi in zip(g, o, x))
+    session.sql(f"INSERT INTO wmm VALUES {vals}")
+    df = pd.DataFrame({"g": g, "o": o, "x": x}).sort_values(["g", "o"])
+
+    for fn, lo, hi in [("MIN", 3, 0), ("MAX", 3, 0), ("MIN", 2, 2),
+                       ("MAX", 0, 4), ("MIN", 5, 1)]:
+        if hi == 0:
+            clause = f"ROWS BETWEEN {lo} PRECEDING AND CURRENT ROW"
+        elif lo == 0:
+            clause = f"ROWS BETWEEN CURRENT ROW AND {hi} FOLLOWING"
+        else:
+            clause = f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING"
+        got = session.sql(
+            f"SELECT g, o, {fn}(x) OVER (PARTITION BY g ORDER BY o "
+            f"{clause}) AS s FROM wmm ORDER BY g, o").to_pandas()
+        op = np.min if fn == "MIN" else np.max
+        want = []
+        for _, sub in df.groupby("g", sort=True):
+            xs = sub["x"].to_numpy()
+            for i in range(len(xs)):
+                a, b = max(0, i - lo), min(len(xs) - 1, i + hi)
+                want.append(float(op(xs[a:b + 1])) if a <= b else np.nan)
+        ok = np.array_equal(got["s"].to_numpy(float), np.array(want),
+                            equal_nan=True)
+        assert ok, (fn, clause)
+
+    # empty frame (2..1 PRECEDING beyond partition start) yields NULL
+    r = session.sql(
+        "SELECT o, MIN(x) OVER (PARTITION BY g ORDER BY o ROWS BETWEEN "
+        "3 PRECEDING AND 2 PRECEDING) AS s FROM wmm ORDER BY g, o "
+        "LIMIT 2").to_pandas()
+    assert r["s"].isna().tolist() == [True, True]
+    session.sql("DROP TABLE wmm")
