@@ -14,7 +14,8 @@ without ORDER BY the frame is the whole partition.
 
 Supported: row_number, rank, dense_rank, ntile, percent_rank, cume_dist,
 count, sum, min, max, avg, lag, lead, first_value, last_value; explicit
-ROWS frames for count/sum/avg.
+ROWS frames (cumsum endpoints; sparse-table min/max) and RANGE frames
+(per-row binary search on the sorted order key) for the aggregates.
 """
 
 from __future__ import annotations
@@ -183,9 +184,33 @@ def _window_column(call: WindowCall, batch: Batch):
             rem + (r - cut) // jnp.maximum(base, 1)) + 1
         valid_s = mask_s
     elif fn in ("count", "sum", "min", "max", "avg"):
+        range_info = None
+        frame = getattr(call, "frame", None)
+        if frame is not None and frame[0] == "range":
+            # RANGE offsets are value offsets on the (single) ORDER BY key
+            if len(call.order_by) != 1:
+                raise PlanError("RANGE frame offsets require exactly one "
+                                "ORDER BY key")
+            e0, asc0 = call.order_by[0]
+            if isinstance(e0, NullsOrder):
+                e0 = e0.child
+            v0 = eval_expr(e0, batch)
+            if not isinstance(v0, (jnp.ndarray, np.ndarray)) and \
+                    not hasattr(v0, "values"):
+                raise PlanError("RANGE frame ORDER BY key must be numeric")
+            nums = _as_values(v0, batch)
+            if not (jnp.issubdtype(nums.dtype, jnp.integer)
+                    or jnp.issubdtype(nums.dtype, jnp.floating)):
+                raise PlanError("RANGE frame ORDER BY key must be numeric")
+            vnum_s = nums[perm]
+            if not asc0:
+                vnum_s = -vnum_s  # normalize to ascending
+            kvalid_s = jnp.logical_and(_validity_of(v0, batch)[perm],
+                                       mask_s)
+            range_info = (vnum_s, kvalid_s)
         res_s, valid_s = _window_aggregate(call, batch, perm, mask_s,
                                            seg_id, start_of, pl, idx,
-                                           end_of)
+                                           end_of, range_info=range_info)
     elif fn in ("lag", "lead"):
         res_s, valid_s = _window_shift(call, batch, perm, mask_s,
                                        start_of, end_of, idx)
@@ -204,8 +229,29 @@ def _window_column(call: WindowCall, batch: Batch):
     return out, jnp.logical_and(out_valid, mask)
 
 
+def _bsearch(vals, lo0, hi0, target, strict: bool):
+    """Vectorized per-row binary search over sorted ``vals``.
+
+    Returns the smallest j in [lo0, hi0+1) with vals[j] >= target
+    (strict=False) or vals[j] > target (strict=True); hi0+1 if none.
+    All arguments are per-row arrays; iteration count is static."""
+    n = vals.shape[0]
+    lo = lo0.astype(jnp.int64)
+    hi = (hi0 + 1).astype(jnp.int64)
+    for _ in range(max(n, 2).bit_length() + 1):
+        active = lo < hi
+        mid = (lo + hi) // 2
+        vm = vals[jnp.clip(mid, 0, n - 1)]
+        right = vm <= target if strict else vm < target
+        lo = jnp.where(jnp.logical_and(active, right), mid + 1, lo)
+        hi = jnp.where(jnp.logical_and(active, jnp.logical_not(right)),
+                       mid, hi)
+    return lo
+
+
 def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
-                      seg_id, start_of, peer_last_of, idx, end_of=None):
+                      seg_id, start_of, peer_last_of, idx, end_of=None,
+                      range_info=None):
     cap = batch.capacity
     if call.child is not None:
         v = eval_expr(call.child, batch)
@@ -217,13 +263,43 @@ def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
     fn = call.fn
     frame = getattr(call, "frame", None)
     if frame is not None:
-        # ROWS frame: per-row [idx+lo, idx+hi] clipped to the partition;
-        # cumulative-sum endpoint math for count/sum/avg, sparse-table
-        # range queries for min/max (no peer sharing — ROWS is
-        # row-positional by definition)
+        # ROWS frame: per-row [idx+lo, idx+hi] clipped to the partition.
+        # RANGE frame: per-row value window [key+lo, key+hi] resolved to
+        # index bounds by binary search over the sorted key run. Either
+        # way the endpoints feed cumulative-sum math for count/sum/avg
+        # and sparse-table range queries for min/max.
         lo_off, hi_off = frame[1], frame[2]
-        raw_lo = start_of if lo_off is None else idx + lo_off
-        raw_hi = end_of if hi_off is None else idx + hi_off
+        if frame[0] == "range":
+            vnum_s, kvalid_s = range_info
+            # the contiguous run of valid-key rows inside each partition
+            # (nulls sort together at one end and are excluded from the
+            # value window; a null-key row's frame is its peer group)
+            nn_start = jnp.full(cap, cap, jnp.int32).at[seg_id].min(
+                jnp.where(kvalid_s, idx, cap))
+            nn_end = jnp.full(cap, -1, jnp.int32).at[seg_id].max(
+                jnp.where(kvalid_s, idx, -1))
+            nns, nne = nn_start[seg_id], nn_end[seg_id]
+            vsearch = jnp.where(kvalid_s, vnum_s,
+                                jnp.zeros((), vnum_s.dtype))
+            before = idx < nns  # null run precedes (or no valid run)
+            null_lo = jnp.where(before, start_of, nne + 1)
+            null_hi = jnp.where(before, jnp.minimum(nns - 1, end_of),
+                                end_of)
+            if lo_off is None:
+                raw_lo = start_of
+            else:
+                found = _bsearch(vsearch, nns, nne, vnum_s + lo_off,
+                                 strict=False)
+                raw_lo = jnp.where(kvalid_s, found, null_lo)
+            if hi_off is None:
+                raw_hi = end_of
+            else:
+                found = _bsearch(vsearch, nns, nne, vnum_s + hi_off,
+                                 strict=True) - 1
+                raw_hi = jnp.where(kvalid_s, found, null_hi)
+        else:
+            raw_lo = start_of if lo_off is None else idx + lo_off
+            raw_hi = end_of if hi_off is None else idx + hi_off
         lo_idx = jnp.maximum(raw_lo, start_of)
         hi_idx = jnp.minimum(raw_hi, end_of)
         empty = hi_idx < lo_idx

@@ -826,9 +826,9 @@ class Parser:
         return None
 
     def _maybe_frame(self):
-        """ROWS [BETWEEN] frame clause → ("rows", lo, hi) row offsets
-        (None = unbounded). RANGE with explicit bounds is rejected (the
-        default frame already has RANGE semantics)."""
+        """ROWS/RANGE [BETWEEN] frame clause → (kind, lo, hi) offsets
+        (None = unbounded). The default RANGE frame returns None — the
+        engine's running path already has those semantics."""
         t = self.peek()
         word = t.value.lower() if t.kind in ("kw", "ident") else ""
         if word not in ("rows", "range"):
@@ -867,12 +867,9 @@ class Parser:
         else:
             lo = bound()
             hi = 0
-        if kind == "range":
-            if lo is None and hi == 0:
-                return None  # the default frame
-            raise SqlError(
-                "RANGE frames with explicit offsets are not supported")
-        return ("rows", lo, hi)
+        if kind == "range" and lo is None and hi == 0:
+            return None  # the default frame
+        return (kind, lo, hi)
 
 
 def parse_sql(sql: str) -> list:
