@@ -183,7 +183,9 @@ def _window_column(call: WindowCall, batch: Batch):
             r // jnp.maximum(base + 1, 1),
             rem + (r - cut) // jnp.maximum(base, 1)) + 1
         valid_s = mask_s
-    elif fn in ("count", "sum", "min", "max", "avg"):
+    elif fn in ("count", "sum", "min", "max", "avg") or (
+            fn in ("first_value", "last_value")
+            and getattr(call, "frame", None) is not None):
         range_info = None
         frame = getattr(call, "frame", None)
         if frame is not None and frame[0] == "range":
@@ -312,6 +314,12 @@ def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
                 c[hic] - jnp.where(lo_idx > 0,
                                    c[jnp.clip(lo_idx - 1, 0, cap - 1)], 0))
 
+        if fn in ("first_value", "last_value"):
+            # frame-edge picks (null when the frame is empty)
+            pos = loc if fn == "first_value" else hic
+            ok = jnp.logical_and(mask_s, jnp.logical_and(
+                jnp.logical_not(empty), vv_s[pos]))
+            return vals_s[pos], ok
         cnt = jnp.cumsum(vv_s.astype(jnp.int64))
         run_cnt = ranged(cnt)
         if fn == "count":

@@ -404,3 +404,32 @@ def test_window_range_frames(session):
         run("SELECT SUM(x) OVER (ORDER BY g, k RANGE BETWEEN 1 PRECEDING "
             "AND 1 FOLLOWING) AS s FROM wr")
     session.sql("DROP TABLE wr")
+
+
+def test_first_last_value_with_frames(session):
+    """first_value/last_value honor explicit ROWS and RANGE frames."""
+    session.sql("CREATE TABLE wfl (g INT, o INT, x INT)")
+    session.sql("INSERT INTO wfl VALUES (1,1,10),(1,2,20),(1,5,50),(1,9,90)")
+
+    def col(q):
+        return session.sql(q).to_pandas()["s"].tolist()
+
+    assert col("SELECT first_value(x) OVER (ORDER BY o ROWS BETWEEN "
+               "1 PRECEDING AND CURRENT ROW) AS s FROM wfl ORDER BY o") == \
+        [10, 10, 20, 50]
+    assert col("SELECT last_value(x) OVER (ORDER BY o ROWS BETWEEN "
+               "CURRENT ROW AND 1 FOLLOWING) AS s FROM wfl ORDER BY o") == \
+        [20, 50, 90, 90]
+    # RANGE: values within o +/- 3
+    assert col("SELECT first_value(x) OVER (ORDER BY o RANGE BETWEEN "
+               "3 PRECEDING AND 3 FOLLOWING) AS s FROM wfl ORDER BY o") == \
+        [10, 10, 20, 90]
+    # default frame unchanged: last_value runs to the current peer group
+    assert col("SELECT last_value(x) OVER (ORDER BY o) AS s FROM wfl "
+               "ORDER BY o") == [10, 20, 50, 90]
+    # empty frame -> NULL
+    r = session.sql("SELECT first_value(x) OVER (ORDER BY o ROWS BETWEEN "
+                    "3 PRECEDING AND 2 PRECEDING) AS s FROM wfl "
+                    "ORDER BY o").to_pandas()["s"]
+    assert r.isna().iloc[0] and r.isna().iloc[1]
+    session.sql("DROP TABLE wfl")
