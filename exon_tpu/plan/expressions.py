@@ -611,8 +611,8 @@ def _eval_binary(expr: BinaryOp, batch: Batch):
         if op == "/" and not jnp.issubdtype(jnp.result_type(a), jnp.floating) \
                 and not jnp.issubdtype(jnp.result_type(b), jnp.floating):
             # SQL integer division truncates
-            return (a / jnp.where(b == 0, 1, b)).astype(jnp.int64)
-        if op == "%":
+            out = (a / jnp.where(b == 0, 1, b)).astype(jnp.int64)
+        elif op == "%":
             # SQL %: sign follows the DIVIDEND (truncated division), not
             # numpy's floored remainder: -7 % 3 = -1, 7 % -3 = 1
             a = jnp.asarray(a)
@@ -620,8 +620,15 @@ def _eval_binary(expr: BinaryOp, batch: Batch):
             bz = jnp.where(b == 0, jnp.ones((), b.dtype), b)
             r = jnp.remainder(a, bz)
             flip = jnp.logical_and(r != 0, jnp.sign(a) != jnp.sign(bz))
-            return jnp.where(flip, r - bz, r)
-        return _ARITH[op](a, b)
+            out = jnp.where(flip, r - bz, r)
+        else:
+            out = _ARITH[op](a, b)
+        if getattr(out, "ndim", 0) == 0:
+            return out  # scalar arithmetic (literal folding)
+        # NULL propagation: a NULL operand nulls the result row
+        valid = jnp.logical_and(_validity_of(lv, batch),
+                                _validity_of(rv, batch))
+        return FixedColumn(out, valid)
     raise PlanError(f"unknown operator {op}")
 
 

@@ -336,6 +336,36 @@ def _contains_agg(e: Expr) -> bool:
     return any(_contains_agg(c) for c in e.children())
 
 
+def _map_expr(e: Expr, f):
+    """Rebuild ``e`` with ``f`` applied top-down: if f returns a new node,
+    that subtree is replaced wholesale; otherwise children are recursed.
+    Works generically over the dataclass Expr hierarchy (lists and
+    (when, then) tuple pairs included)."""
+    import dataclasses as _dc
+
+    r = f(e)
+    if r is not None:
+        return r
+    if not _dc.is_dataclass(e):
+        return e
+    kw, changed = {}, False
+
+    def walk(v):
+        nonlocal changed
+        if isinstance(v, Expr):
+            nv = _map_expr(v, f)
+            changed = changed or nv is not v
+            return nv
+        if isinstance(v, (list, tuple)):
+            nv = type(v)(walk(i) for i in v)
+            return nv
+        return v
+
+    for fld in _dc.fields(e):
+        kw[fld.name] = walk(getattr(e, fld.name))
+    return _dc.replace(e, **kw) if changed else e
+
+
 # CTE scope stack: WITH bindings visible while planning the attached
 # statement (and its subqueries). The reference inherits CTEs from
 # DataFusion's SQL frontend.
@@ -1124,8 +1154,26 @@ def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
             gi = group_index(base)
             if gi is None:
                 if _contains_agg(base):
-                    raise SqlError(
-                        "expressions over aggregates not yet supported")
+                    # expression over aggregates: hoist each AggregateCall
+                    # into the Aggregate node and evaluate the expression
+                    # in a post-projection over its output columns
+                    def hoist(e):
+                        g = group_index(e)
+                        if g is not None:
+                            return ColumnRef(f"\x00grp:{g}")
+                        if isinstance(e, AggregateCall):
+                            for i, c in enumerate(calls):
+                                if repr(c) == repr(e):
+                                    return ColumnRef(names[i])
+                            calls.append(e)
+                            names.append(f"__agg{len(calls) - 1}")
+                            return ColumnRef(names[-1])
+                        return None
+
+                    out_exprs.append(
+                        ("expr", (_map_expr(base, hoist),
+                                  alias or base.display_name()), alias))
+                    continue
                 # implicit group expr (no GROUP BY: scalar agg context error)
                 if not stmt.group_by:
                     raise SqlError(
@@ -1160,14 +1208,26 @@ def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
     agg_schema = agg.schema()
     n_group = len(group_exprs)
     proj = []
+    any_expr = False
     for kind, payload, alias in out_exprs:
+        if kind == "expr":
+            any_expr = True
+            e, outname = payload
+
+            def resolve(x):
+                if isinstance(x, ColumnRef) and x.name.startswith("\x00grp:"):
+                    return ColumnRef(agg_schema.names[int(x.name[5:])])
+                return None
+
+            proj.append(Alias(_map_expr(e, resolve), outname))
+            continue
         if kind == "group":
             name = agg_schema.names[payload]
         else:
             name = agg_schema.names[n_group + payload]
         proj.append(Alias(ColumnRef(name), alias) if alias else ColumnRef(name))
-    needs_proj = [p.name if isinstance(p, ColumnRef) else p.name for p in proj] \
-        != agg_schema.names
+    needs_proj = any_expr or \
+        [p.name for p in proj] != agg_schema.names
     if needs_proj or having is not None:
         out = L.Project(proj, out)
     return out

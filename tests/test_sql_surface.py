@@ -433,3 +433,39 @@ def test_first_last_value_with_frames(session):
                     "ORDER BY o").to_pandas()["s"]
     assert r.isna().iloc[0] and r.isna().iloc[1]
     session.sql("DROP TABLE wfl")
+
+
+def test_expressions_over_aggregates(session):
+    session.sql("CREATE TABLE ea (g INT, x DOUBLE, y DOUBLE)")
+    session.sql("INSERT INTO ea VALUES (1,1.0,2.0),(1,2.0,3.5),(1,4.0,1.0),"
+                "(2,8.0,NULL)")
+    r = session.sql("SELECT sum(x)/count(x) + 1 AS r FROM ea").to_pandas()
+    assert abs(r["r"].iloc[0] - 4.75) < 1e-12
+    r = session.sql("SELECT g, max(x) - min(x) AS spread FROM ea GROUP BY g "
+                    "ORDER BY g").to_pandas()
+    assert r["spread"].tolist() == [3.0, 0.0]
+    r = session.sql("SELECT g, g + count(*) AS gc FROM ea GROUP BY g "
+                    "ORDER BY g").to_pandas()
+    assert r["gc"].tolist() == [4, 3]
+    r = session.sql("SELECT CASE WHEN sum(x) > 10 THEN 'big' ELSE 'small' "
+                    "END AS c FROM ea").to_pandas()
+    assert r["c"].iloc[0] == "big"
+    # NULL aggregate propagates through the expression
+    r = session.sql("SELECT g, sum(x*y)/sum(x) AS r FROM ea GROUP BY g "
+                    "ORDER BY g").to_pandas()
+    assert abs(r["r"].iloc[0] - 6.5 / 3.5) < 1e-12 and r["r"].isna().iloc[1]
+    session.sql("DROP TABLE ea")
+
+
+def test_arithmetic_null_propagation(session):
+    session.sql("CREATE TABLE np1 (x DOUBLE, y BIGINT)")
+    session.sql("INSERT INTO np1 VALUES (2.0, 4), (NULL, 6), (3.0, NULL)")
+    r = session.sql("SELECT x + 1 AS a, y / 2 AS b, x * y AS c FROM np1"
+                    ).to_pandas()
+    assert r["a"].isna().tolist() == [False, True, False]
+    assert r["b"].isna().tolist() == [False, False, True]
+    assert r["c"].isna().tolist() == [False, True, True]
+    # NULL comparison excludes the row
+    n = session.sql("SELECT count(*) FROM np1 WHERE x + 1 > 0").to_pandas()
+    assert int(n.iloc[0, 0]) == 2
+    session.sql("DROP TABLE np1")
