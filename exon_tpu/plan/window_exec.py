@@ -36,6 +36,7 @@ from .physical import (PhysicalPlan, _group_key_i64, _sort_key_values,
 
 WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "count", "sum", "min",
                 "max", "avg", "lag", "lead", "first_value", "last_value",
+                "nth_value",
                 "ntile", "percent_rank", "cume_dist"}
 
 
@@ -184,7 +185,7 @@ def _window_column(call: WindowCall, batch: Batch):
             rem + (r - cut) // jnp.maximum(base, 1)) + 1
         valid_s = mask_s
     elif fn in ("count", "sum", "min", "max", "avg") or (
-            fn in ("first_value", "last_value")
+            fn in ("first_value", "last_value", "nth_value")
             and getattr(call, "frame", None) is not None):
         range_info = None
         frame = getattr(call, "frame", None)
@@ -216,13 +217,21 @@ def _window_column(call: WindowCall, batch: Batch):
     elif fn in ("lag", "lead"):
         res_s, valid_s = _window_shift(call, batch, perm, mask_s,
                                        start_of, end_of, idx)
-    elif fn in ("first_value", "last_value"):
+    elif fn in ("first_value", "last_value", "nth_value"):
         v = eval_expr(call.child, batch)
         vals_s = _as_values(v, batch)[perm]
         vv_s = jnp.logical_and(_validity_of(v, batch)[perm], mask_s)
-        src = start_of if fn == "first_value" else pl
-        res_s = vals_s[src]
-        valid_s = jnp.logical_and(vv_s[src], mask_s)
+        if fn == "nth_value":
+            # default frame runs to the current peer group's end
+            raw = start_of + call.offset - 1
+            src = jnp.clip(raw, 0, cap - 1)
+            res_s = vals_s[src]
+            valid_s = jnp.logical_and(
+                jnp.logical_and(vv_s[src], mask_s), raw <= pl)
+        else:
+            src = start_of if fn == "first_value" else pl
+            res_s = vals_s[src]
+            valid_s = jnp.logical_and(vv_s[src], mask_s)
     else:
         raise PlanError(f"window function {fn!r} unsupported")
 
@@ -314,11 +323,17 @@ def _window_aggregate(call: WindowCall, batch: Batch, perm, mask_s,
                 c[hic] - jnp.where(lo_idx > 0,
                                    c[jnp.clip(lo_idx - 1, 0, cap - 1)], 0))
 
-        if fn in ("first_value", "last_value"):
-            # frame-edge picks (null when the frame is empty)
-            pos = loc if fn == "first_value" else hic
+        if fn in ("first_value", "last_value", "nth_value"):
+            # frame-edge picks (null when the frame is empty/too short)
+            if fn == "nth_value":
+                raw = loc + call.offset - 1
+                pos = jnp.clip(raw, 0, cap - 1)
+                short = raw > hic
+            else:
+                pos = loc if fn == "first_value" else hic
+                short = jnp.zeros(cap, bool)
             ok = jnp.logical_and(mask_s, jnp.logical_and(
-                jnp.logical_not(empty), vv_s[pos]))
+                jnp.logical_not(jnp.logical_or(empty, short)), vv_s[pos]))
             return vals_s[pos], ok
         cnt = jnp.cumsum(vv_s.astype(jnp.int64))
         run_cnt = ranged(cnt)

@@ -390,7 +390,14 @@ def plan_select(session, stmt: A.SelectStmt) -> L.LogicalPlan:
 
 def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
     stmt = _resolve_subqueries(session, stmt)
-    plan, qual = _plan_from(session, stmt)
+    if stmt.from_ is None and any(
+            not _is_star(e) and _contains_agg(e)
+            for e, _ in stmt.projections):
+        # aggregate over the implicit one-row dual (SELECT sum(1))
+        plan, qual = L.Values(
+            dt.Schema((dt.Field("__dummy", dt.int64, False),)), [(0,)]), {}
+    else:
+        plan, qual = _plan_from(session, stmt)
     if qual:
         stmt = _rewrite_stmt_quals(stmt, qual)
 

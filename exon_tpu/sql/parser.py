@@ -729,8 +729,8 @@ class Parser:
         return Case(operand, whens, else_)
 
     _WINDOW_FUNCS = {"row_number", "rank", "dense_rank", "lag", "lead",
-                     "first_value", "last_value", "ntile", "percent_rank",
-                     "cume_dist"}
+                     "first_value", "last_value", "nth_value", "ntile",
+                     "percent_rank", "cume_dist"}
 
     def _parse_call(self, name: str) -> Expr:
         lname = name.lower()
@@ -768,12 +768,69 @@ class Parser:
                 if len(args) != 1 or not isinstance(args[0], Literal):
                     raise SqlError("ntile(n) needs a literal bucket count")
                 child, offset = None, int(args[0].value)
+            if lname == "nth_value":
+                if len(args) != 2 or not isinstance(args[1], Literal) \
+                        or int(args[1].value) < 1:
+                    raise SqlError("nth_value(expr, n) needs a positive "
+                                   "literal n")
+                offset = int(args[1].value)
             return WindowCall(lname, child, over[0], over[1], offset,
                               default, over[2])
         if star:
             if lname == "count":
                 return AggregateCall("count", None, distinct)
             raise SqlError(f"{name}(*) not supported")
+        if lname in ("bool_and", "every", "bool_or"):
+            # lower onto min/max over a 0/1 indicator (datafusion builtins)
+            if len(args) != 1:
+                raise SqlError(f"{name} takes one argument")
+            ind = Case(None, [(args[0], Literal(1))], Literal(0))
+            mfn = "max" if lname == "bool_or" else "min"
+            return BinaryOp("=", AggregateCall(mfn, ind, False), Literal(1))
+        if lname == "approx_distinct":
+            if len(args) != 1:
+                raise SqlError("approx_distinct takes one argument")
+            return AggregateCall("count", args[0], True)  # exact count
+        if lname == "approx_median":
+            if len(args) != 1:
+                raise SqlError("approx_median takes one argument")
+            return AggregateCall("median", args[0], distinct)
+        if lname in ("corr", "covar", "covar_samp", "covar_pop"):
+            # lower onto single-argument sum/count partials; pair counting
+            # masks each side by the other's nullity so NULLs in either
+            # column drop the pair (datafusion's accumulator semantics)
+            if len(args) != 2:
+                raise SqlError(f"{name} takes two arguments")
+            x, y = args
+            xy = BinaryOp("*", x, y)
+            xm = Case(None, [(IsNull(y, True), x)], None)
+            ym = Case(None, [(IsNull(x, True), y)], None)
+            n = Cast(AggregateCall("count", xy, False), dt.float64)
+            sxy = AggregateCall("sum", xy, False)
+            sx = AggregateCall("sum", xm, False)
+            sy = AggregateCall("sum", ym, False)
+            if lname == "corr":
+                sxx = AggregateCall("sum", BinaryOp("*", xm, xm), False)
+                syy = AggregateCall("sum", BinaryOp("*", ym, ym), False)
+                num = BinaryOp("-", BinaryOp("*", n, sxy),
+                               BinaryOp("*", sx, sy))
+                vx = BinaryOp("-", BinaryOp("*", n, sxx),
+                              BinaryOp("*", sx, sx))
+                vy = BinaryOp("-", BinaryOp("*", n, syy),
+                              BinaryOp("*", sy, sy))
+                den = BinaryOp("*", FunctionCall("sqrt", [vx]),
+                               FunctionCall("sqrt", [vy]))
+                return Case(None, [(BinaryOp(">", den, Literal(0)),
+                                    BinaryOp("/", num, den))], None)
+            cov = BinaryOp("-", sxy,
+                           BinaryOp("/", BinaryOp("*", sx, sy), n))
+            if lname == "covar_pop":
+                return Case(None, [(BinaryOp(">", n, Literal(0)),
+                                    BinaryOp("/", cov, n))], None)
+            return Case(None, [(BinaryOp(">", n, Literal(1)),
+                                BinaryOp("/", cov,
+                                         BinaryOp("-", n, Literal(1))))],
+                        None)
         if lname in AGG_FUNCS:
             child = args[0] if args else None
             extra = ()

@@ -469,3 +469,52 @@ def test_arithmetic_null_propagation(session):
     n = session.sql("SELECT count(*) FROM np1 WHERE x + 1 > 0").to_pandas()
     assert int(n.iloc[0, 0]) == 2
     session.sql("DROP TABLE np1")
+
+
+def test_bool_corr_approx_aggregates(session):
+    """bool_and/bool_or/every, corr/covar, approx_* lower onto the
+    streaming partials; checked against numpy on complete pairs only."""
+    import numpy as np
+
+    session.sql("CREATE TABLE ba (g INT, x DOUBLE, y DOUBLE)")
+    session.sql("INSERT INTO ba VALUES (1,1.0,2.0),(1,2.0,3.5),(1,4.0,1.0),"
+                "(2,8.0,NULL)")
+    xs, ys = np.array([1.0, 2.0, 4.0]), np.array([2.0, 3.5, 1.0])
+
+    def one(q):
+        return session.sql(q).to_pandas().iloc[0, 0]
+
+    assert bool(one("SELECT bool_and(x > 0) FROM ba")) is True
+    assert bool(one("SELECT bool_and(x > 5) FROM ba")) is False
+    assert bool(one("SELECT bool_or(x > 5) FROM ba")) is True
+    assert bool(one("SELECT every(x > 0) FROM ba")) is True
+    assert int(one("SELECT approx_distinct(g) FROM ba")) == 2
+    assert float(one("SELECT approx_median(x) FROM ba")) == 3.0
+    assert abs(one("SELECT corr(x, y) FROM ba")
+               - np.corrcoef(xs, ys)[0, 1]) < 1e-9
+    assert abs(one("SELECT covar_samp(x, y) FROM ba")
+               - np.cov(xs, ys, ddof=1)[0, 1]) < 1e-9
+    assert abs(one("SELECT covar_pop(x, y) FROM ba")
+               - np.cov(xs, ys, ddof=0)[0, 1]) < 1e-9
+    # degenerate: single pair -> NULL
+    r = one("SELECT corr(x, x) FROM ba WHERE g = 2")
+    assert r is None or np.isnan(r)
+    # grouped
+    r = session.sql("SELECT g, bool_or(y IS NULL) AS b FROM ba GROUP BY g "
+                    "ORDER BY g").to_pandas()
+    assert r["b"].tolist() == [False, True]
+    session.sql("DROP TABLE ba")
+
+
+def test_nth_value(session):
+    session.sql("CREATE TABLE nv (g INT, x DOUBLE)")
+    session.sql("INSERT INTO nv VALUES (1,1.0),(1,2.0),(1,4.0),(2,8.0)")
+    r = session.sql("SELECT nth_value(x, 2) OVER (PARTITION BY g ORDER BY x)"
+                    " AS r FROM nv ORDER BY g, x").to_pandas()["r"]
+    assert r.isna().tolist() == [True, False, False, True]
+    assert r.iloc[1] == 2.0 and r.iloc[2] == 2.0
+    r = session.sql("SELECT nth_value(x, 2) OVER (ORDER BY x ROWS BETWEEN "
+                    "1 PRECEDING AND 1 FOLLOWING) AS r FROM nv WHERE g = 1 "
+                    "ORDER BY x").to_pandas()["r"]
+    assert r.tolist() == [2.0, 2.0, 4.0]
+    session.sql("DROP TABLE nv")
