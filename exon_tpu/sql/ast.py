@@ -42,6 +42,9 @@ class SelectStmt:
     joins: list = dataclasses.field(default_factory=list)
     where: Optional[Expr] = None
     group_by: list = dataclasses.field(default_factory=list)
+    # GROUPING SETS / ROLLUP / CUBE: list of grouping sets (each a list of
+    # exprs drawn from group_by); None = plain GROUP BY
+    group_sets: Optional[list] = None
     having: Optional[Expr] = None
     order_by: list = dataclasses.field(default_factory=list)  # [(Expr, asc)]
     limit: Optional[int] = None

@@ -15,8 +15,9 @@ import numpy as np
 from .. import datatypes as dt
 from ..errors import PlanError, SqlError
 from ..plan import logical as L
-from ..plan.expressions import (AggregateCall, Alias, BinaryOp, ColumnRef,
-                                Expr, FunctionCall, Literal, split_conjunction)
+from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Case,
+                                ColumnRef, Expr, FieldAccess, FunctionCall,
+                                Literal, split_conjunction)
 from . import ast as A
 from .parser import parse_sql
 
@@ -334,6 +335,12 @@ def _contains_agg(e: Expr) -> bool:
     if isinstance(e, AggregateCall):
         return True
     return any(_contains_agg(c) for c in e.children())
+
+
+def _contains_colref(e: Expr) -> bool:
+    if isinstance(e, (ColumnRef, FieldAccess)):
+        return True
+    return any(_contains_colref(c) for c in e.children())
 
 
 def _map_expr(e: Expr, f):
@@ -1110,8 +1117,48 @@ def _rewrite_distinct_aggs(group_exprs: list, calls: list,
     return new_groups, new_calls, inner
 
 
+def _plan_grouping_sets(session, stmt: A.SelectStmt, plan: L.LogicalPlan
+                        ) -> L.LogicalPlan:
+    """GROUPING SETS / ROLLUP / CUBE: one aggregate branch per set,
+    un-grouped columns projected as typed NULLs, branches UNION ALLed
+    (DataFusion plans these natively; the multiset union is equivalent)."""
+    import dataclasses as _dc
+
+    from ..plan.planner import infer_expr_field
+
+    all_reprs = {repr(g.child if isinstance(g, Alias) else g)
+                 for g in stmt.group_by}
+    in_schema = plan.schema()
+    out = None
+    for S in stmt.group_sets:
+        sreprs = {repr(g) for g in S}
+        projs = []
+        for e, alias in stmt.projections:
+            base = e.child if isinstance(e, Alias) else e
+            name = alias or (e.name if isinstance(e, Alias) else None)
+            if repr(base) in all_reprs and repr(base) not in sreprs:
+                f = infer_expr_field(base, in_schema)
+                kind = f.dtype.kind.value
+                dummy = Literal("") if "utf8" in kind or \
+                    kind == "dictionary" else \
+                    Literal(False) if kind == "bool" else \
+                    Literal(0.0) if "float" in kind else Literal(0)
+                ne = Case(None, [(Literal(False), dummy)], None)
+                projs.append((Alias(ne, name or base.display_name()), name))
+            else:
+                projs.append((e, alias))
+        stmt_b = _dc.replace(stmt, projections=projs, group_by=list(S),
+                             group_sets=None)
+        branch = _plan_aggregate(session, stmt_b, plan)
+        out = branch if out is None else _plan_set_op(
+            out, "union", True, branch)
+    return out
+
+
 def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
                     ) -> L.LogicalPlan:
+    if getattr(stmt, "group_sets", None) is not None:
+        return _plan_grouping_sets(session, stmt, plan)
     # GROUP BY may reference projection ALIASES (GROUP BY bucket) or
     # ordinals (GROUP BY 1) — resolve both to the projected expression
     alias_map = {}
@@ -1180,6 +1227,12 @@ def _plan_aggregate(session, stmt: A.SelectStmt, plan: L.LogicalPlan
                     out_exprs.append(
                         ("expr", (_map_expr(base, hoist),
                                   alias or base.display_name()), alias))
+                    continue
+                if not _contains_colref(base):
+                    # constant projection alongside aggregates
+                    out_exprs.append(
+                        ("expr", (base, alias or base.display_name()),
+                         alias))
                     continue
                 # implicit group expr (no GROUP BY: scalar agg context error)
                 if not stmt.group_by:

@@ -219,9 +219,56 @@ class Parser:
                 stmt.where = self.parse_expr()
             if self.accept_kw("group"):
                 self.expect_kw("by")
-                stmt.group_by = [self.parse_expr()]
-                while self.accept_op(","):
-                    stmt.group_by.append(self.parse_expr())
+                w = self.peek()
+                word = w.value.lower() if w.kind in ("kw", "ident") else ""
+                if word in ("rollup", "cube"):
+                    self.next()
+                    self.expect_op("(")
+                    cols = [self.parse_expr()]
+                    while self.accept_op(","):
+                        cols.append(self.parse_expr())
+                    self.expect_op(")")
+                    stmt.group_by = cols
+                    if word == "rollup":
+                        stmt.group_sets = [cols[:i] for i in
+                                           range(len(cols), -1, -1)]
+                    else:
+                        import itertools
+                        stmt.group_sets = [
+                            list(c) for r in range(len(cols), -1, -1)
+                            for c in itertools.combinations(cols, r)]
+                elif word == "grouping" and \
+                        self.peek(1).value.lower() == "sets":
+                    self.next()
+                    self.next()
+                    self.expect_op("(")
+                    sets = []
+                    while True:
+                        if self.accept_op("("):
+                            s = []
+                            if not self.accept_op(")"):
+                                s.append(self.parse_expr())
+                                while self.accept_op(","):
+                                    s.append(self.parse_expr())
+                                self.expect_op(")")
+                            sets.append(s)
+                        else:
+                            sets.append([self.parse_expr()])
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                    cols, seen = [], set()
+                    for s in sets:
+                        for e in s:
+                            if repr(e) not in seen:
+                                seen.add(repr(e))
+                                cols.append(e)
+                    stmt.group_by = cols
+                    stmt.group_sets = sets
+                else:
+                    stmt.group_by = [self.parse_expr()]
+                    while self.accept_op(","):
+                        stmt.group_by.append(self.parse_expr())
             if self.accept_kw("having"):
                 stmt.having = self.parse_expr()
         return stmt

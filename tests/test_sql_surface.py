@@ -518,3 +518,31 @@ def test_nth_value(session):
                     "ORDER BY x").to_pandas()["r"]
     assert r.tolist() == [2.0, 2.0, 4.0]
     session.sql("DROP TABLE nv")
+
+
+def test_rollup_cube_grouping_sets(session):
+    session.sql("CREATE TABLE gs (a VARCHAR, b INT, x DOUBLE)")
+    session.sql("INSERT INTO gs VALUES ('p',1,1.0),('p',1,2.0),('p',2,4.0),"
+                "('q',1,8.0)")
+    r = session.sql(
+        "SELECT a, b, sum(x) AS s FROM gs GROUP BY ROLLUP(a, b) "
+        "ORDER BY a NULLS LAST, b NULLS LAST").to_pandas()
+    rows = [(row["a"] if row["a"] == row["a"] else None,
+             int(row["b"]) if row["b"] == row["b"] else None,
+             row["s"]) for _, row in r.iterrows()]
+    assert rows == [("p", 1, 3.0), ("p", 2, 4.0), ("p", None, 7.0),
+                    ("q", 1, 8.0), ("q", None, 8.0), (None, None, 15.0)]
+    r = session.sql("SELECT a, sum(x) AS s FROM gs GROUP BY CUBE(a) "
+                    "ORDER BY a NULLS LAST").to_pandas()
+    assert r["s"].tolist() == [7.0, 8.0, 15.0]
+    r = session.sql(
+        "SELECT a, b, count(*) AS n FROM gs GROUP BY GROUPING SETS "
+        "((a), (b), ()) ORDER BY a NULLS LAST, b NULLS LAST").to_pandas()
+    assert r["n"].tolist() == [3, 1, 3, 1, 4]
+    assert r["a"].isna().tolist() == [False, False, True, True, True]
+    # HAVING applies per branch
+    r = session.sql(
+        "SELECT a, sum(x) AS s FROM gs GROUP BY ROLLUP(a) "
+        "HAVING sum(x) > 7.5 ORDER BY a NULLS LAST").to_pandas()
+    assert r["s"].tolist() == [8.0, 15.0]
+    session.sql("DROP TABLE gs")
