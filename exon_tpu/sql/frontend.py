@@ -414,6 +414,23 @@ def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
     has_agg = any(not _is_star(e) and _contains_agg(e) for e, _ in stmt.projections) \
         or stmt.group_by or (stmt.having is not None)
 
+    # ORDER BY over aggregate expressions (ORDER BY sum(x) DESC): hoist
+    # each such key into a hidden projection, sort by it, strip it after
+    hidden_ob: list[str] = []
+    if has_agg and stmt.order_by and not stmt.set_ops and not stmt.distinct:
+        new_ob, new_projs = [], list(stmt.projections)
+        for i, (e, asc) in enumerate(stmt.order_by):
+            if _contains_agg(e):
+                nm = f"__ob{i}"
+                new_projs.append((Alias(e, nm), nm))
+                hidden_ob.append(nm)
+                new_ob.append((ColumnRef(nm), asc))
+            else:
+                new_ob.append((e, asc))
+        if hidden_ob:
+            stmt = __import__("dataclasses").replace(
+                stmt, projections=new_projs, order_by=new_ob)
+
     if has_agg:
         plan = _plan_aggregate(session, stmt, plan)
     else:
@@ -469,6 +486,10 @@ def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
                 plan = L.Sort(keys, plan)
         else:
             plan = L.Sort(keys, plan)
+
+    if hidden_ob:
+        kept = [n for n in plan.schema().names if n not in hidden_ob]
+        plan = L.Project([ColumnRef(n) for n in kept], plan)
 
     if stmt.limit is not None or stmt.offset:
         plan = L.Limit(stmt.offset, stmt.limit, plan)
@@ -1132,8 +1153,19 @@ def _plan_grouping_sets(session, stmt: A.SelectStmt, plan: L.LogicalPlan
     out = None
     for S in stmt.group_sets:
         sreprs = {repr(g) for g in S}
+
+        def gr(e, _sr=sreprs):
+            # GROUPING(cols...) is a per-branch constant bitmask
+            if isinstance(e, FunctionCall) and e.name == "grouping":
+                val = 0
+                for a in e.args:
+                    val = (val << 1) | (0 if repr(a) in _sr else 1)
+                return Literal(val)
+            return None
+
         projs = []
         for e, alias in stmt.projections:
+            e = _map_expr(e, gr)
             base = e.child if isinstance(e, Alias) else e
             name = alias or (e.name if isinstance(e, Alias) else None)
             if repr(base) in all_reprs and repr(base) not in sreprs:

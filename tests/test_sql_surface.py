@@ -546,3 +546,19 @@ def test_rollup_cube_grouping_sets(session):
         "HAVING sum(x) > 7.5 ORDER BY a NULLS LAST").to_pandas()
     assert r["s"].tolist() == [8.0, 15.0]
     session.sql("DROP TABLE gs")
+
+
+def test_order_by_aggregate_and_grouping_fn(session):
+    session.sql("CREATE TABLE oba (g INT, x DOUBLE)")
+    session.sql("INSERT INTO oba VALUES (1,1.0),(1,2.0),(2,8.0)")
+    r = session.sql("SELECT g, sum(x) AS s FROM oba GROUP BY g "
+                    "ORDER BY sum(x) DESC").to_pandas()
+    assert r["g"].tolist() == [2, 1] and list(r.columns) == ["g", "s"]
+    # aggregate key not in the SELECT list
+    r = session.sql("SELECT g FROM oba GROUP BY g ORDER BY count(*) * -1"
+                    ).to_pandas()
+    assert r["g"].tolist() == [1, 2]
+    r = session.sql("SELECT g, grouping(g) AS gr, sum(x) AS s FROM oba "
+                    "GROUP BY ROLLUP(g) ORDER BY gr, g").to_pandas()
+    assert r["gr"].tolist() == [0, 0, 1] and r["s"].tolist() == [3.0, 8.0, 11.0]
+    session.sql("DROP TABLE oba")
