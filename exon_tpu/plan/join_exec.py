@@ -245,14 +245,13 @@ def _jit_emit(out_schema: Schema, how: str, out_cap: int, on: tuple,
                                            out_vcaps=lcaps)
         right_taken = layout_ops.take_batch(build, build_idx, ocount,
                                             out_vcaps=rcaps)
-        # left-join: unmatched rows keep left values, null right side
-        cols = list(left_taken.columns)
-        for c in right_taken.columns:
-            cols.append(_null_where(c, jnp.logical_not(has_match))
-                        if how == "left" else c)
-        out = Batch(out_schema, cols, ocount)
-        # exact-match verification for hashed (string) keys + residual filter
-        ok = jnp.ones(out_cap, dtype=bool)
+        # raw join output (right side not yet null-extended): the residual
+        # filter must see real match values, never nulled ones
+        raw = Batch(out_schema,
+                    list(left_taken.columns) + list(right_taken.columns),
+                    ocount)
+        # exact-match verification for hashed (string) keys
+        keq = jnp.ones(out_cap, dtype=bool)
         for li, (le, re) in enumerate(on):
             lv = eval_expr(le, pb)
             if isinstance(lv, VarColumn):
@@ -266,14 +265,29 @@ def _jit_emit(out_schema: Schema, how: str, out_cap: int, on: tuple,
                                            out_vcap=kc[1])
                 from .expressions import _string_col_eq
 
-                eq = _string_col_eq(lcol, rcol)
-                if how == "left":
-                    eq = jnp.logical_or(eq, jnp.logical_not(has_match))
-                ok = jnp.logical_and(ok, eq)
-        if filter_expr is not None:
-            ok = jnp.logical_and(ok, as_bool_mask(eval_expr(filter_expr, out), out))
-        ok = jnp.logical_and(ok, live_out)
-        return layout_ops.filter_batch(out, ok)
+                keq = jnp.logical_and(keq, _string_col_eq(lcol, rcol))
+        fm = jnp.ones(out_cap, dtype=bool) if filter_expr is None else \
+            as_bool_mask(eval_expr(filter_expr, raw), raw)
+        if how == "left":
+            # a match survives only if the keys verify AND the ON filter
+            # passes; probe rows with NO surviving match keep one
+            # null-extended row (their first emitted slot)
+            match_ok = jnp.logical_and(
+                jnp.logical_and(keq, fm),
+                jnp.logical_and(has_match, live_out))
+            surv = jnp.zeros(pb.capacity, dtype=bool).at[probe_idx].max(
+                match_ok)
+            rescue = jnp.logical_and(
+                intra == 0, jnp.logical_not(surv[probe_idx]))
+            rescue = jnp.logical_and(
+                rescue, jnp.logical_and(pb.row_mask()[probe_idx], live_out))
+            cols = list(left_taken.columns) + \
+                [_null_where(c, rescue) for c in right_taken.columns]
+            out = Batch(out_schema, cols, ocount)
+            return layout_ops.filter_batch(
+                out, jnp.logical_or(match_ok, rescue))
+        ok = jnp.logical_and(jnp.logical_and(keq, fm), live_out)
+        return layout_ops.filter_batch(raw, ok)
 
     return step
 

@@ -756,7 +756,11 @@ def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
         elif isinstance(v, VarColumn):
             parts.append(_hash_var(v))
         else:
-            parts.append(jnp.asarray(v).astype(jnp.int64))
+            arr = jnp.asarray(v).astype(jnp.int64)
+            if arr.ndim == 0:
+                # constant key (CROSS JOIN lowers to a Literal pair)
+                arr = jnp.full(batch.capacity, arr, jnp.int64)
+            parts.append(arr)
     key = parts[0]
     for p in parts[1:]:
         k = key.astype(jnp.uint64) * jnp.uint64(0x100000001B3) \

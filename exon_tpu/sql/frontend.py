@@ -17,7 +17,7 @@ from ..errors import PlanError, SqlError
 from ..plan import logical as L
 from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Case,
                                 ColumnRef, Expr, FieldAccess, FunctionCall,
-                                Literal, split_conjunction)
+                                IsNull, Literal, split_conjunction)
 from . import ast as A
 from .parser import parse_sql
 
@@ -337,6 +337,16 @@ def _contains_agg(e: Expr) -> bool:
     return any(_contains_agg(c) for c in e.children())
 
 
+def _typed_null_expr(dtype) -> Expr:
+    """An all-NULL expression of the given dtype (a CASE that never
+    matches, whose THEN literal pins the type)."""
+    kind = dtype.kind.value
+    dummy = Literal("") if "utf8" in kind or kind == "dictionary" else \
+        Literal(False) if kind == "bool" else \
+        Literal(0.0) if "float" in kind else Literal(0)
+    return Case(None, [(Literal(False), dummy)], None)
+
+
 def _contains_colref(e: Expr) -> bool:
     if isinstance(e, (ColumnRef, FieldAccess)):
         return True
@@ -635,20 +645,72 @@ def _plan_from(session, stmt: A.SelectStmt):
         qual[a0.lower()] = {n: n for n in plan.schema().names}
     for j in stmt.joins:
         right = _plan_table_ref(session, j.table)
-        if j.using:
+        if j.how == "cross":
+            # cross join: constant-key hash join (every row matches)
+            pairs = [(Literal(1), Literal(1))]
+            filt = None
+        elif j.using:
             pairs = [(ColumnRef(c), ColumnRef(c)) for c in j.using]
             filt = None
         else:
             pairs, filt = _join_pairs(j.on, plan.schema(), right.schema())
-        how = j.how if j.how in ("inner", "left") else "inner"
         lnames = {f.name for f in plan.schema().all_fields}
         rmap = {f.name: (f.name + "_right" if f.name in lnames else f.name)
                 for f in right.schema().all_fields}
         ra = _ref_alias(j.table)
         if ra:
             qual[ra.lower()] = dict(rmap)
-        plan = L.Join(plan, right, pairs, how, filt, right_names=rmap)
+        if j.how in ("right", "full"):
+            plan = _plan_outer_join(plan, right, pairs, filt, j.how, rmap)
+        else:
+            how = "left" if j.how == "left" else "inner"
+            plan = L.Join(plan, right, pairs, how, filt, right_names=rmap)
     return plan, qual
+
+
+def _plan_outer_join(plan: L.LogicalPlan, right: L.LogicalPlan, pairs,
+                     filt, how: str, rmap: dict) -> L.LogicalPlan:
+    """RIGHT JOIN = LEFT JOIN with the sides swapped, re-projected to the
+    unswapped column layout. FULL JOIN = LEFT JOIN branch UNION ALL the
+    unmatched-right rows (detected via a non-null build-side indicator)
+    with the left columns as typed NULLs."""
+    lf = list(plan.schema().all_fields)
+    rf = list(right.schema().all_fields)
+    rnames_set = {f.name for f in rf}
+    lmap = {f.name: (f.name + "_right" if f.name in rnames_set else f.name)
+            for f in lf}
+    swapped_pairs = [(r, l) for l, r in pairs]
+    filt2 = None
+    if filt is not None:
+        ren = {f.name: lmap[f.name] for f in lf}
+        ren.update({rmap[f.name]: f.name for f in rf})
+
+        def rr(e, _ren=ren):
+            if isinstance(e, ColumnRef) and e.name in _ren:
+                return ColumnRef(_ren[e.name])
+            return None
+
+        filt2 = _map_expr(filt, rr)
+    if how == "right":
+        sj = L.Join(right, plan, swapped_pairs, "left", filt2,
+                    right_names=lmap)
+        proj = [Alias(ColumnRef(lmap[f.name]), f.name) for f in lf] + \
+               [Alias(ColumnRef(f.name), rmap[f.name]) for f in rf]
+        return L.Project(proj, sj)
+    left_branch = L.Join(plan, right, pairs, "left", filt,
+                         right_names=rmap)
+    ind = "__fj_ind"
+    plan_ind = L.Project([ColumnRef(f.name) for f in lf] +
+                         [Alias(Literal(1), ind)], plan)
+    lmap2 = dict(lmap)
+    lmap2[ind] = ind + "_right" if ind in rnames_set else ind
+    sj2 = L.Join(right, plan_ind, swapped_pairs, "left", filt2,
+                 right_names=lmap2)
+    unmatched = L.Filter(IsNull(ColumnRef(lmap2[ind]), False), sj2)
+    anti = L.Project(
+        [Alias(_typed_null_expr(f.dtype), f.name) for f in lf] +
+        [Alias(ColumnRef(f.name), rmap[f.name]) for f in rf], unmatched)
+    return _plan_set_op(left_branch, "union", True, anti)
 
 
 def _ref_table_names(stmt) -> set:
@@ -1170,12 +1232,7 @@ def _plan_grouping_sets(session, stmt: A.SelectStmt, plan: L.LogicalPlan
             name = alias or (e.name if isinstance(e, Alias) else None)
             if repr(base) in all_reprs and repr(base) not in sreprs:
                 f = infer_expr_field(base, in_schema)
-                kind = f.dtype.kind.value
-                dummy = Literal("") if "utf8" in kind or \
-                    kind == "dictionary" else \
-                    Literal(False) if kind == "bool" else \
-                    Literal(0.0) if "float" in kind else Literal(0)
-                ne = Case(None, [(Literal(False), dummy)], None)
+                ne = _typed_null_expr(f.dtype)
                 projs.append((Alias(ne, name or base.display_name()), name))
             else:
                 projs.append((e, alias))

@@ -202,11 +202,18 @@ class Parser:
                         self.accept_kw("outer")
                         self.expect_kw("join")
                         how = "full"
+                    elif self.peek().value.lower() == "cross" and \
+                            self.peek(1).value.lower() == "join":
+                        self.next()
+                        self.next()
+                        how = "cross"
+                    elif self.accept_op(","):
+                        how = "cross"  # comma join: filter via WHERE
                     else:
                         break
                     table = self.parse_table_ref()
                     on = using = None
-                    if self.accept_kw("on"):
+                    if how != "cross" and self.accept_kw("on"):
                         on = self.parse_expr()
                     elif self.accept_kw("using"):
                         self.expect_op("(")
@@ -360,11 +367,14 @@ class Parser:
             return t.value.lower() == "true"
         return self.parse_expr()
 
+    # idents that start a clause and therefore can't be a bare table alias
+    _NO_ALIAS = {"cross", "natural", "lateral"}
+
     def _maybe_alias(self) -> Optional[str]:
         if self.accept_kw("as"):
             return self.ident()
         t = self.peek()
-        if t.kind == "ident":
+        if t.kind == "ident" and t.value.lower() not in self._NO_ALIAS:
             return self.ident()
         return None
 

@@ -141,3 +141,52 @@ def test_join_keys_hashing_above_sentinel(session, tmp_path):
         .groupby("k").size().reset_index(name="n").sort_values("k")
     assert g["k"].tolist() == gp["k"].tolist()
     assert g["n"].tolist() == gp["n"].tolist()
+
+
+def test_right_full_cross_joins(session):
+    session.sql("CREATE TABLE ja (k INT, v INT)")
+    session.sql("INSERT INTO ja VALUES (1,10),(2,20)")
+    session.sql("CREATE TABLE jb (k INT, w INT)")
+    session.sql("INSERT INTO jb VALUES (2,200),(3,300)")
+
+    r = session.sql("SELECT * FROM ja RIGHT JOIN jb ON ja.k = jb.k "
+                    "ORDER BY jb.k").to_pandas()
+    assert r["k_right"].tolist() == [2, 3]
+    assert r["v"].isna().tolist() == [False, True]
+
+    r = session.sql("SELECT * FROM ja FULL JOIN jb ON ja.k = jb.k "
+                    "ORDER BY ja.k NULLS LAST").to_pandas()
+    assert len(r) == 3
+    assert r["v"].isna().tolist() == [False, False, True]
+    assert r["w"].isna().tolist() == [True, False, False]
+
+    r = session.sql("SELECT * FROM ja CROSS JOIN jb ORDER BY ja.k, jb.k"
+                    ).to_pandas()
+    assert len(r) == 4
+    r = session.sql("SELECT count(*) FROM ja, jb").to_pandas()
+    assert int(r.iloc[0, 0]) == 4
+    r = session.sql("SELECT * FROM ja, jb WHERE ja.k = jb.k").to_pandas()
+    assert r.values.tolist() == [[2, 20, 2, 200]]
+    session.sql("DROP TABLE ja")
+    session.sql("DROP TABLE jb")
+
+
+def test_left_join_on_filter_null_extends(session):
+    """An ON filter invalidates matches but must not drop probe rows:
+    they null-extend instead (the old behavior silently dropped them)."""
+    session.sql("CREATE TABLE fa (k INT, v INT)")
+    session.sql("INSERT INTO fa VALUES (1,10),(2,20)")
+    session.sql("CREATE TABLE fb (k INT, w INT)")
+    session.sql("INSERT INTO fb VALUES (2,200),(3,300)")
+    r = session.sql("SELECT * FROM fb LEFT JOIN fa ON fb.k = fa.k "
+                    "AND fa.v > 15 ORDER BY fb.k").to_pandas()
+    assert len(r) == 2 and r["v"].isna().tolist() == [False, True]
+    r = session.sql("SELECT * FROM fb LEFT JOIN fa ON fb.k = fa.k "
+                    "AND fa.v > 25 ORDER BY fb.k").to_pandas()
+    assert len(r) == 2 and r["v"].isna().all()
+    # RIGHT JOIN keeps all right rows under a failing ON filter too
+    r = session.sql("SELECT fb.w FROM fa RIGHT JOIN fb ON fa.k = fb.k "
+                    "AND fa.v > 15 ORDER BY fb.w").to_pandas()
+    assert r["w"].tolist() == [200, 300]
+    session.sql("DROP TABLE fa")
+    session.sql("DROP TABLE fb")
