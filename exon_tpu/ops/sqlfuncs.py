@@ -194,7 +194,8 @@ def _trim_counts(col: VarColumn, chars: bytes):
     n = row_lengths(col.offsets)
     all_trim = first_keep == sent
     lead = jnp.where(all_trim, n, first_keep - starts)
-    trail = jnp.where(all_trim, 0, ends - 1 - last_keep)
+    # an all-trim-chars row empties from EITHER side (rtrim('aa','a')='')
+    trail = jnp.where(all_trim, n, ends - 1 - last_keep)
     return lead, trail
 
 

@@ -793,6 +793,35 @@ class Parser:
         lname = name.lower()
         distinct = self.accept_kw("distinct")
         star = False
+        if lname in ("substring", "substr") and not distinct:
+            # SQL form: substring(s FROM start [FOR length])
+            e = self.parse_expr()
+            if self.accept_kw("from") or (
+                    self.peek().value.lower() == "from" and self.next()):
+                args = [e, self.parse_expr()]
+                if self.peek().value.lower() == "for":
+                    self.next()
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return FunctionCall("substr", args)
+            args = [e]
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return FunctionCall("substr", args)
+        if lname == "trim" and not distinct and \
+                self.peek().value.lower() in ("both", "leading", "trailing"):
+            # SQL form: trim([BOTH|LEADING|TRAILING] [chars] FROM s)
+            side = self.next().value.lower()
+            chars = None
+            if self.peek().value.lower() != "from":
+                chars = self.parse_expr()
+            self.next()  # FROM
+            s = self.parse_expr()
+            self.expect_op(")")
+            fn = {"both": "btrim", "leading": "ltrim",
+                  "trailing": "rtrim"}[side]
+            return FunctionCall(fn, [s] + ([chars] if chars else []))
         if self.accept_op(")"):
             args = []
         elif self.accept_op("*"):
@@ -804,6 +833,17 @@ class Parser:
             while self.accept_op(","):
                 args.append(self.parse_expr())
             self.expect_op(")")
+        # aggregate FILTER (WHERE cond) → agg over a CASE indicator
+        if self.peek().value.lower() == "filter" and \
+                self.peek(1).value == "(" and lname in AGG_FUNCS:
+            self.next()
+            self.expect_op("(")
+            self.expect_kw("where")
+            cond = self.parse_expr()
+            self.expect_op(")")
+            src = args[0] if args else Literal(1)
+            args = [Case(None, [(cond, src)], None)]
+            star = False
         over = self._maybe_over()
         if over is not None:
             if star and lname != "count":

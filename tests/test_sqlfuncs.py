@@ -270,3 +270,29 @@ def test_dataframe_like_escape(session, tmp_path):
     df = session.read_fasta(str(p))
     assert df.filter(col("id").like("a!_b", escape="!")).count() == 1
     assert df.filter(col("id").like("a_b")).count() == 2
+
+
+def test_filter_clause_substring_trim_forms(session, tmp_path):
+    session.sql("CREATE TABLE fc (g INT, x DOUBLE, s VARCHAR)")
+    session.sql("INSERT INTO fc VALUES (1,1.0,'aa'),(1,2.0,'abba'),"
+                "(2,8.0,NULL)")
+    r = session.sql("SELECT g, count(*) FILTER (WHERE x > 1.5) AS n, "
+                    "sum(x) FILTER (WHERE x < 5) AS s FROM fc "
+                    "GROUP BY g ORDER BY g").to_pandas()
+    assert r["n"].tolist() == [1, 1] and r["s"].tolist()[0] == 3.0
+    assert r["s"].isna().iloc[1]
+
+    def vals(q):
+        return session.sql(q).to_pandas().iloc[:, 0].tolist()
+
+    assert vals("SELECT substring(s FROM 2 FOR 2) FROM fc "
+                "WHERE s IS NOT NULL ORDER BY s") == ["a", "bb"]
+    assert vals("SELECT trim(BOTH 'a' FROM s) FROM fc WHERE g = 1 "
+                "ORDER BY s") == ["", "bb"]
+    assert vals("SELECT trim(LEADING 'a' FROM s) FROM fc WHERE g = 1 "
+                "ORDER BY s") == ["", "bba"]
+    assert vals("SELECT trim(TRAILING 'a' FROM s) FROM fc WHERE g = 1 "
+                "ORDER BY s") == ["", "abb"]
+    # rtrim of an all-trim-chars string empties (was returning it intact)
+    assert vals("SELECT rtrim('aaa', 'a')") == [""]
+    session.sql("DROP TABLE fc")
