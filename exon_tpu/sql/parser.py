@@ -37,6 +37,8 @@ class Parser:
     def __init__(self, sql: str):
         self.tokens = tokenize(sql)
         self.i = 0
+        # WindowCalls using OVER <name>, resolved by the WINDOW clause
+        self._named_over: list = []
 
     # -- token helpers ------------------------------------------------------
 
@@ -278,6 +280,32 @@ class Parser:
                         stmt.group_by.append(self.parse_expr())
             if self.accept_kw("having"):
                 stmt.having = self.parse_expr()
+            if self.peek().value.lower() == "window" and \
+                    self.peek(1).kind == "ident":
+                self.next()
+                specs = {}
+                while True:
+                    nm = self.ident().lower()
+                    if not self.accept_kw("as"):
+                        raise SqlError("expected AS in WINDOW clause")
+                    self.expect_op("(")
+                    specs[nm] = self._parse_window_spec()
+                    self.expect_op(")")
+                    if not self.accept_op(","):
+                        break
+                unresolved = []
+                for wc in self._named_over:
+                    spec = specs.get(wc.order_by)
+                    if spec is None:
+                        unresolved.append(wc)
+                        continue
+                    wc.partition_by, wc.order_by, wc.frame = spec
+                self._named_over = unresolved
+            if self._named_over:
+                names = sorted({w.order_by for w in self._named_over
+                                if isinstance(w.order_by, str)})
+                self._named_over = []
+                raise SqlError(f"unknown window name(s): {names}")
         return stmt
 
     def parse_with(self) -> A.SelectStmt:
@@ -368,7 +396,7 @@ class Parser:
         return self.parse_expr()
 
     # idents that start a clause and therefore can't be a bare table alias
-    _NO_ALIAS = {"cross", "natural", "lateral"}
+    _NO_ALIAS = {"cross", "natural", "lateral", "window"}
 
     def _maybe_alias(self) -> Optional[str]:
         if self.accept_kw("as"):
@@ -871,8 +899,12 @@ class Parser:
                     raise SqlError("nth_value(expr, n) needs a positive "
                                    "literal n")
                 offset = int(args[1].value)
-            return WindowCall(lname, child, over[0], over[1], offset,
-                              default, over[2])
+            wc = WindowCall(lname, child, over[0], over[1], offset,
+                            default, over[2])
+            if over[0] == "\x00named":
+                wc.partition_by = []
+                self._named_over.append(wc)
+            return wc
         if star:
             if lname == "count":
                 return AggregateCall("count", None, distinct)
@@ -942,29 +974,38 @@ class Parser:
             return AggregateCall(lname, child, distinct, extra)
         return FunctionCall(lname, args)
 
+    def _parse_window_spec(self):
+        """The body of a window specification (inside parentheses)."""
+        partition_by: list = []
+        order_by: list = []
+        nxt = self.peek().value.lower()
+        if nxt == "partition":
+            self.next()
+            self.expect_kw("by")
+            partition_by.append(self.parse_expr())
+            while self.accept_op(","):
+                partition_by.append(self.parse_expr())
+        if self.accept_kw("order"):
+            self.expect_kw("by")
+            order_by.append(self.parse_order_key())
+            while self.accept_op(","):
+                order_by.append(self.parse_order_key())
+        frame = self._maybe_frame()
+        return partition_by, order_by, frame
+
     def _maybe_over(self):
         t = self.peek()
-        if t.kind in ("ident", "kw") and t.value.lower() == "over" and \
-                self.peek(1).value == "(":
-            self.next()
-            self.expect_op("(")
-            partition_by: list = []
-            order_by: list = []
-            nxt = self.peek().value.lower()
-            if nxt == "partition":
+        if t.kind in ("ident", "kw") and t.value.lower() == "over":
+            if self.peek(1).value == "(":
                 self.next()
-                self.expect_kw("by")
-                partition_by.append(self.parse_expr())
-                while self.accept_op(","):
-                    partition_by.append(self.parse_expr())
-            if self.accept_kw("order"):
-                self.expect_kw("by")
-                order_by.append(self.parse_order_key())
-                while self.accept_op(","):
-                    order_by.append(self.parse_order_key())
-            frame = self._maybe_frame()
-            self.expect_op(")")
-            return partition_by, order_by, frame
+                self.expect_op("(")
+                spec = self._parse_window_spec()
+                self.expect_op(")")
+                return spec
+            if self.peek(1).kind == "ident":
+                # OVER w — a named window; resolved after the WINDOW clause
+                self.next()
+                return ("\x00named", self.ident().lower(), None)
         return None
 
     def _maybe_escape(self):

@@ -562,3 +562,23 @@ def test_order_by_aggregate_and_grouping_fn(session):
                     "GROUP BY ROLLUP(g) ORDER BY gr, g").to_pandas()
     assert r["gr"].tolist() == [0, 0, 1] and r["s"].tolist() == [3.0, 8.0, 11.0]
     session.sql("DROP TABLE oba")
+
+
+def test_named_window_clause(session):
+    session.sql("CREATE TABLE nw (g INT, x DOUBLE)")
+    session.sql("INSERT INTO nw VALUES (1,1.0),(1,2.0),(2,8.0)")
+    r = session.sql(
+        "SELECT x, row_number() OVER w AS rn, sum(x) OVER w AS s FROM nw "
+        "WINDOW w AS (PARTITION BY g ORDER BY x) ORDER BY g, x").to_pandas()
+    assert r["rn"].tolist() == [1, 2, 1]
+    assert r["s"].tolist() == [1.0, 3.0, 8.0]
+    r = session.sql(
+        "SELECT x, sum(x) OVER w1 AS a, count(*) OVER w2 AS b FROM nw "
+        "WINDOW w1 AS (ORDER BY x), w2 AS (PARTITION BY g) "
+        "ORDER BY x").to_pandas()
+    assert r["a"].tolist() == [1.0, 3.0, 11.0]
+    assert r["b"].tolist() == [2, 2, 1]
+    import pytest as _pt
+    with _pt.raises(Exception, match="window name"):
+        session.sql("SELECT row_number() OVER nope FROM nw").to_pandas()
+    session.sql("DROP TABLE nw")
