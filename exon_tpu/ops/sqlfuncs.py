@@ -13,6 +13,7 @@ them out of jit regions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -593,6 +594,154 @@ def fn_regexp_replace(batch: Batch, v, pattern, replacement, flags=None
     return _host_var_from(out, valid)
 
 
+def fn_bit_length(batch: Batch, v) -> FixedColumn:
+    col = _as_var(v, "bit_length")
+    return FixedColumn(row_lengths(col.offsets).astype(jnp.int64) * 8,
+                       col.validity)
+
+
+def _fn_hash(algo: str):
+    def fn(batch: Batch, v):
+        import hashlib
+
+        col = _as_var(v, algo)
+        strs, valid = _host_strings(col)
+        out = [getattr(hashlib, algo)(s).hexdigest().encode()
+               if s is not None else None for s in strs]
+        return _host_var_from(out, valid)
+    return fn
+
+
+def fn_to_hex(batch: Batch, v):
+    vals, valid = _vals_valid(v, batch)
+    cap = _cap_of(batch)
+    arr = np.asarray(jax.device_get(jnp.asarray(vals))).reshape(-1)
+    if arr.shape[0] == 1 and cap > 1:
+        arr = np.repeat(arr, cap)
+    out = [format(int(x), "x").encode() for x in arr.astype(np.int64)]
+    return _host_var_from(
+        out, np.asarray(jax.device_get(valid)) if valid is not None
+        else np.ones(len(out), bool))
+
+
+def fn_factorial(batch: Batch, v):
+    import math
+
+    vals, valid = _vals_valid(v, batch)
+    cap = _cap_of(batch)
+    arr = np.asarray(jax.device_get(jnp.asarray(vals))).reshape(-1)
+    if arr.shape[0] == 1 and cap > 1:
+        arr = np.repeat(arr, cap)
+    arr = arr.astype(np.int64)
+    if (arr > 20).any() or (arr < 0).any():
+        raise PlanError("factorial argument must be in [0, 20] "
+                        "(int64 range)")
+    out = np.array([math.factorial(int(x)) for x in arr], np.int64)
+    return FixedColumn(jnp.asarray(out),
+                       jnp.asarray(valid) if valid is not None
+                       else jnp.ones(len(out), bool))
+
+
+def fn_gcd(batch: Batch, a, b):
+    av, avd = _vals_valid(a, batch)
+    bv, bvd = _vals_valid(b, batch)
+    out = jnp.gcd(jnp.asarray(av).astype(jnp.int64),
+                  jnp.asarray(bv).astype(jnp.int64))
+    valid = jnp.ones(out.shape, bool) if out.ndim else None
+    for v in (avd, bvd):
+        if v is not None:
+            valid = jnp.logical_and(valid, v)
+    return FixedColumn(out, valid) if valid is not None else out
+
+
+def fn_lcm(batch: Batch, a, b):
+    av, avd = _vals_valid(a, batch)
+    bv, bvd = _vals_valid(b, batch)
+    out = jnp.lcm(jnp.asarray(av).astype(jnp.int64),
+                  jnp.asarray(bv).astype(jnp.int64))
+    valid = jnp.ones(out.shape, bool) if out.ndim else None
+    for v in (avd, bvd):
+        if v is not None:
+            valid = jnp.logical_and(valid, v)
+    return FixedColumn(out, valid) if valid is not None else out
+
+
+def fn_random(batch: Batch):
+    return jnp.asarray(np.random.random(_cap_of(batch)))
+
+
+def fn_uuid(batch: Batch):
+    import uuid
+
+    out = [str(uuid.uuid4()).encode() for _ in range(_cap_of(batch))]
+    return _host_var_from(out, np.ones(len(out), bool))
+
+
+def _host_str_arg(x, batch: Batch, cap: int):
+    """Per-row python byte strings for a string column or literal."""
+    if isinstance(x, (str, bytes)):
+        b = x.encode() if isinstance(x, str) else bytes(x)
+        return [b] * cap, np.ones(cap, bool)
+    col = _as_var(x, "string argument")
+    return _host_strings(col)
+
+
+def fn_levenshtein(batch: Batch, a, b) -> FixedColumn:
+    cap = _cap_of(batch)
+    sa, va = _host_str_arg(a, batch, cap)
+    sb, vb = _host_str_arg(b, batch, cap)
+
+    def dist(x: bytes, y: bytes) -> int:
+        if len(x) < len(y):
+            x, y = y, x
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x):
+            cur = [i + 1]
+            for j, cy in enumerate(y):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    out = np.zeros(cap, np.int64)
+    valid = np.asarray(va) & np.asarray(vb)
+    for i in range(cap):
+        if valid[i] and sa[i] is not None and sb[i] is not None:
+            out[i] = dist(sa[i], sb[i])
+        else:
+            valid[i] = False
+    return FixedColumn(jnp.asarray(out), jnp.asarray(valid))
+
+
+def fn_find_in_set(batch: Batch, v, lst) -> FixedColumn:
+    cap = _cap_of(batch)
+    sa, va = _host_str_arg(v, batch, cap)
+    sl, vl = _host_str_arg(lst, batch, cap)
+    out = np.zeros(cap, np.int64)
+    valid = np.asarray(va) & np.asarray(vl)
+    for i in range(cap):
+        if valid[i] and sa[i] is not None and sl[i] is not None:
+            parts = sl[i].split(b",")
+            out[i] = parts.index(sa[i]) + 1 if sa[i] in parts else 0
+        else:
+            valid[i] = False
+    return FixedColumn(jnp.asarray(out), jnp.asarray(valid))
+
+
+def fn_overlay(batch: Batch, s, rep, start, length=None) -> VarColumn:
+    """overlay(s PLACING rep FROM start [FOR length])."""
+    col = _as_var(s, "overlay")
+    strs, valid = _host_strings(col)
+    if not isinstance(rep, (str, bytes)):
+        raise PlanError("overlay replacement must be a string literal")
+    rb = rep.encode() if isinstance(rep, str) else bytes(rep)
+    p = int(start)
+    n = len(rb) if length is None else int(length)
+    out = [x[:p - 1] + rb + x[p - 1 + n:] if x is not None else None
+           for x in strs]
+    return _host_var_from(out, valid)
+
+
 def fn_regexp_like(batch: Batch, v, pattern, flags=None) -> jnp.ndarray:
     """regexp_like(str, pattern[, flags]) — true when the regex matches
     anywhere in the string (datafusion's builtin the reference exposes)."""
@@ -864,6 +1013,21 @@ def _register_all() -> None:
     reg("upper", fn_upper); regt("upper", _utf8)
     reg("lower", fn_lower); regt("lower", _utf8)
     reg("octet_length", fn_octet_length); regt("octet_length", _i64)
+    reg("bit_length", fn_bit_length); regt("bit_length", _i64)
+    reg("md5", _fn_hash("md5"), host=True); regt("md5", _utf8)
+    reg("sha256", _fn_hash("sha256"), host=True); regt("sha256", _utf8)
+    reg("sha512", _fn_hash("sha512"), host=True); regt("sha512", _utf8)
+    reg("to_hex", fn_to_hex, host=True); regt("to_hex", _utf8)
+    reg("factorial", fn_factorial, host=True); regt("factorial", _i64)
+    reg("gcd", fn_gcd); regt("gcd", _i64)
+    reg("lcm", fn_lcm); regt("lcm", _i64)
+    reg("random", fn_random, host=True); regt("random", _f64)
+    reg("uuid", fn_uuid, host=True); regt("uuid", _utf8)
+    reg("levenshtein", fn_levenshtein, host=True)
+    regt("levenshtein", _i64)
+    reg("find_in_set", fn_find_in_set, host=True)
+    regt("find_in_set", _i64)
+    reg("overlay", fn_overlay, host=True); regt("overlay", _utf8)
     reg("substr", fn_substr); regt("substr", _utf8)
     reg("substring", fn_substr); regt("substring", _utf8)
     reg("left", fn_left); regt("left", _utf8)
@@ -918,7 +1082,9 @@ def _register_all() -> None:
                   ("atan", jnp.arctan), ("sinh", jnp.sinh),
                   ("cosh", jnp.cosh), ("tanh", jnp.tanh),
                   ("degrees", jnp.degrees), ("radians", jnp.radians),
-                  ("cbrt", jnp.cbrt), ("isnan", jnp.isnan)]:
+                  ("cbrt", jnp.cbrt), ("isnan", jnp.isnan),
+                  ("asinh", jnp.arcsinh), ("acosh", jnp.arccosh),
+                  ("atanh", jnp.arctanh)]:
         reg(nm, _unary_math(nm, f))
         regt(nm, _bool if nm == "isnan" else _f64)
     def _signum(x):

@@ -850,6 +850,38 @@ class Parser:
             fn = {"both": "btrim", "leading": "ltrim",
                   "trailing": "rtrim"}[side]
             return FunctionCall(fn, [s] + ([chars] if chars else []))
+        if lname == "position" and not distinct:
+            # SQL form: position(needle IN haystack) — the needle parses
+            # below comparison level so IN isn't taken as the operator
+            e = self.parse_additive()
+            if self.accept_kw("in"):
+                hay = self.parse_expr()
+                self.expect_op(")")
+                return FunctionCall("strpos", [hay, e])
+            args = [e]
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return FunctionCall("strpos", args)
+        if lname == "overlay" and not distinct:
+            # SQL form: overlay(s PLACING rep FROM start [FOR length])
+            s = self.parse_expr()
+            if self.peek().value.lower() == "placing":
+                self.next()
+                rep = self.parse_expr()
+                self.expect_kw("from")
+                start = self.parse_expr()
+                args = [s, rep, start]
+                if self.peek().value.lower() == "for":
+                    self.next()
+                    args.append(self.parse_expr())
+                self.expect_op(")")
+                return FunctionCall("overlay", args)
+            args = [s]
+            while self.accept_op(","):
+                args.append(self.parse_expr())
+            self.expect_op(")")
+            return FunctionCall("overlay", args)
         if self.accept_op(")"):
             args = []
         elif self.accept_op("*"):

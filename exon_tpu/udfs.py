@@ -457,6 +457,8 @@ def _register_all() -> None:
     register_function_type("length", _i64_type)
     register_function("char_length", length_fn)
     register_function_type("char_length", _i64_type)
+    register_function("character_length", length_fn)
+    register_function_type("character_length", _i64_type)
     for name, bit in SAM_FLAGS.items():
         register_function(name, _make_flag_fn(bit))
         register_function_type(name, _bool_type)

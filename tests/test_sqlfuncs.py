@@ -296,3 +296,33 @@ def test_filter_clause_substring_trim_forms(session, tmp_path):
     # rtrim of an all-trim-chars string empties (was returning it intact)
     assert vals("SELECT rtrim('aaa', 'a')") == [""]
     session.sql("DROP TABLE fc")
+
+
+def test_scalar_function_additions(session):
+    """md5/sha256, to_hex, gcd/lcm/factorial, inverse-hyperbolics,
+    levenshtein/find_in_set, overlay PLACING, position IN, bit_length."""
+    def one(q):
+        return session.sql(f"SELECT {q} AS v").to_pandas()["v"].iloc[0]
+
+    assert one("md5('abc')") == "900150983cd24fb0d6963f7d28e17f72"
+    assert one("sha256('')") == ("e3b0c44298fc1c149afbf4c8996fb924"
+                                 "27ae41e4649b934ca495991b7852b855")
+    assert one("to_hex(255)") == "ff"
+    assert one("gcd(12, 18)") == 6 and one("lcm(4, 6)") == 12
+    assert one("factorial(5)") == 120
+    assert abs(one("acosh(1)")) < 1e-12 and abs(one("asinh(0)")) < 1e-12
+    assert one("bit_length('ab')") == 16
+    assert one("character_length('abc')") == 3
+    assert one("levenshtein('kitten', 'sitting')") == 3
+    assert one("find_in_set('b', 'a,b,c')") == 2
+    assert one("overlay('abcdef' PLACING 'xx' FROM 2)") == "axxdef"
+    assert one("overlay('abcdef' PLACING 'xx' FROM 2 FOR 4)") == "axxf"
+    assert one("position('b' IN 'abc')") == 2
+    assert one("position('x' IN 'abc')") == 0
+    # volatile functions give per-row values
+    session.sql("CREATE TABLE vf (i INT)")
+    session.sql("INSERT INTO vf VALUES (1),(2),(3)")
+    r = session.sql("SELECT uuid() AS u, random() AS r FROM vf").to_pandas()
+    assert len(set(r["u"])) == 3
+    assert ((r["r"] >= 0) & (r["r"] < 1)).all()
+    session.sql("DROP TABLE vf")
