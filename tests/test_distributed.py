@@ -398,3 +398,27 @@ def test_distributed_window_partition_parity(session):
         assert any(routed), "window did not route to the mesh"
     finally:
         D.plan_distributed_window = orig
+
+
+def test_distributed_rollup_and_frames_parity(session, big_fasta):
+    """Round-4 SQL additions compose with the distributed substrate:
+    ROLLUP branches and windows with explicit frames match the
+    single-device path exactly."""
+    dist = _dist_session()
+    for q in [
+        "SELECT description, count(*) AS n, sum(length(sequence)) AS s "
+        "FROM fasta_scan('{p}') GROUP BY ROLLUP(description) "
+        "ORDER BY description NULLS LAST",
+        "SELECT description, count(*) FILTER (WHERE length(sequence) > 30)"
+        " AS n FROM fasta_scan('{p}') GROUP BY description "
+        "ORDER BY description",
+        "SELECT id, min(length(sequence)) OVER (PARTITION BY description "
+        "ORDER BY id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m "
+        "FROM fasta_scan('{p}') ORDER BY id LIMIT 50",
+        "SELECT description, max(length(sequence)) - "
+        "min(length(sequence)) AS spread FROM fasta_scan('{p}') "
+        "GROUP BY description ORDER BY description",
+    ]:
+        q = q.format(p=big_fasta)
+        _assert_tables_equal(session.sql(q).collect_arrow(),
+                             dist.sql(q).collect_arrow())
