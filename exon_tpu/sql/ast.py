@@ -50,6 +50,8 @@ class SelectStmt:
     limit: Optional[int] = None
     offset: int = 0
     distinct: bool = False
+    # DISTINCT ON (exprs): keep the first row per key by ORDER BY
+    distinct_on: Optional[list] = None
     # set-operation chain, left-associative: [(op, all_flag, SelectStmt)]
     # op in {"union", "intersect", "except"} (reference: DataFusion set ops)
     set_ops: list = dataclasses.field(default_factory=list)

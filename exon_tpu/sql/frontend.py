@@ -421,6 +421,36 @@ def _plan_select_inner(session, stmt: A.SelectStmt) -> L.LogicalPlan:
     if stmt.where is not None:
         plan = L.Filter(stmt.where, plan)
 
+    if getattr(stmt, "distinct_on", None):
+        # DISTINCT ON (k): keep the first row per key by ORDER BY —
+        # row_number() OVER (PARTITION BY k ORDER BY ...) = 1
+        if stmt.group_by or any(not _is_star(e) and _contains_agg(e)
+                                for e, _ in stmt.projections):
+            raise SqlError("DISTINCT ON cannot combine with aggregates")
+        from ..plan.expressions import WindowCall
+        from ..plan.planner import expr_columns
+
+        names = plan.schema().names
+        if not any(_is_star(e) for e, _ in stmt.projections):
+            # narrow to referenced columns so the window breaker doesn't
+            # materialize unrelated (possibly nested) scan columns
+            need = set()
+            for e, _ in stmt.projections:
+                need |= expr_columns(e)
+            for e in stmt.distinct_on:
+                need |= expr_columns(e)
+            for e, _asc in stmt.order_by:
+                need |= expr_columns(e)
+            keepn = [n for n in names if n in need]
+            if keepn and len(keepn) < len(names):
+                plan = L.Project([ColumnRef(n) for n in keepn], plan)
+        keep = [ColumnRef(n) for n in plan.schema().names]
+        wc = WindowCall("row_number", None, list(stmt.distinct_on),
+                        list(stmt.order_by))
+        plan = L.Window([wc], ["__don"], plan)
+        plan = L.Filter(BinaryOp("=", ColumnRef("__don"), Literal(1)), plan)
+        plan = L.Project(keep, plan)
+
     has_agg = any(not _is_star(e) and _contains_agg(e) for e, _ in stmt.projections) \
         or stmt.group_by or (stmt.having is not None)
 

@@ -183,6 +183,17 @@ class Parser:
             self.expect_kw("select")
             stmt = A.SelectStmt(projections=[])
             stmt.distinct = self.accept_kw("distinct")
+            if stmt.distinct and self.peek().value.lower() == "on" and \
+                    self.peek(1).value == "(":
+                # DISTINCT ON (exprs): first row per key by ORDER BY
+                self.next()
+                self.expect_op("(")
+                on_exprs = [self.parse_expr()]
+                while self.accept_op(","):
+                    on_exprs.append(self.parse_expr())
+                self.expect_op(")")
+                stmt.distinct = False
+                stmt.distinct_on = on_exprs
             stmt.projections = self.parse_projections()
             if self.accept_kw("from"):
                 stmt.from_ = self.parse_table_ref()

@@ -582,3 +582,19 @@ def test_named_window_clause(session):
     with _pt.raises(Exception, match="window name"):
         session.sql("SELECT row_number() OVER nope FROM nw").to_pandas()
     session.sql("DROP TABLE nw")
+
+
+def test_distinct_on(session):
+    session.sql("CREATE TABLE don (g INT, x DOUBLE, s VARCHAR)")
+    session.sql("INSERT INTO don VALUES (1,1.0,'a'),(1,2.0,'b'),"
+                "(2,8.0,'c'),(2,5.0,'d')")
+    r = session.sql("SELECT DISTINCT ON (g) g, x, s FROM don "
+                    "ORDER BY g, x DESC").to_pandas()
+    assert r.values.tolist() == [[1, 2.0, "b"], [2, 8.0, "c"]]
+    r = session.sql("SELECT DISTINCT ON (g) g, x FROM don "
+                    "ORDER BY g, x").to_pandas()
+    assert r["x"].tolist() == [1.0, 5.0]
+    # plain DISTINCT unaffected
+    r = session.sql("SELECT DISTINCT g FROM don ORDER BY g").to_pandas()
+    assert r["g"].tolist() == [1, 2]
+    session.sql("DROP TABLE don")
