@@ -577,4 +577,22 @@ def _column_from_arrow(arr, dtype: DataType) -> Column:
                     for f in dtype.children}
         valid = ~np.asarray(arr.is_null())
         return StructColumn(children, valid)
+    if dtype.kind == TypeKind.MAP:
+        # maps round-trip as list<struct<key, value>> (the engine's native
+        # encoding — attrmap.parse_attributes builds the same shape)
+        kv = dtype.value_type
+        off = np.asarray(arr.offsets).astype(np.int32)
+        base = off[0]
+        keys, items = arr.keys, arr.items
+        if base:
+            off = off - base
+            keys = keys.slice(base, int(off[-1]))
+            items = items.slice(base, int(off[-1]))
+        kcol = _column_from_arrow(keys, kv.children[0].dtype)
+        vcol = _column_from_arrow(items, kv.children[1].dtype)
+        child = StructColumn({kv.children[0].name: kcol,
+                              kv.children[1].name: vcol},
+                             np.ones(len(keys), bool))
+        valid = ~np.asarray(arr.is_null())
+        return ListColumn(child, off, valid)
     raise TypeError(f"from_arrow unsupported for {dtype}")

@@ -162,3 +162,25 @@ def test_decoder_edge_cases(session, tmp_path):
     assert t["pos"].tolist() == [100, 5]
     assert t["id"][0] is None and list(t["id"][1]) == ["rs1"]
     assert t["alt"][0] is None and list(t["alt"][1]) == ["G", "T"]
+
+
+def test_map_column_through_breakers(ctx):
+    """ORDER BY / window over a table with a Map column (GFF attributes)
+    round-trips the map through the breaker's host concat (batch.py
+    from_arrow MAP support)."""
+    gff = ("/root/reference/exon/exon-core/test-data/datasources/gff/"
+           "test.gff")
+    plain = ctx.sql(f"SELECT * FROM gff_scan('{gff}')").collect_arrow()
+    srt = ctx.sql(f"SELECT * FROM gff_scan('{gff}') "
+                  "ORDER BY seqname, start, \"end\"").collect_arrow()
+    assert srt.num_rows == plain.num_rows
+    assert srt.column_names == plain.column_names
+    # multiset equality of (row-key, rendered attributes)
+    def keyed(t):
+        d = t.to_pydict()
+        return sorted(zip(d["seqname"], d["start"], d["end"],
+                          [str(a) for a in d["attributes"]]))
+    assert keyed(srt) == keyed(plain)
+    r = ctx.sql(f"SELECT *, row_number() OVER (ORDER BY start) AS rn "
+                f"FROM gff_scan('{gff}') LIMIT 3").collect_arrow()
+    assert r.column("attributes")[0] is not None
