@@ -1151,18 +1151,47 @@ def _join_pairs(on: Optional[Expr], lschema, rschema):
     on = _unqualify(on, lschema, rschema)
     pairs = []
     residual = []
+    from ..plan.planner import expr_columns
+
+    lcols = {f.name for f in lschema.all_fields}
+    rcols = {f.name for f in rschema.all_fields}
+
+    def side(e):
+        if isinstance(e, ColumnRef):
+            # precedence for ambiguous bare names: left side
+            return "l" if e.name in lcols else \
+                ("r" if e.name in rcols else None)
+        cols = expr_columns(e)
+        if not cols:
+            return None  # constant — not a key
+        inl, inr = cols <= lcols, cols <= rcols
+        if inl and not inr:
+            return "l"
+        if inr and not inl:
+            return "r"
+        return None  # ambiguous or mixed-side expression
+
     for c in split_conjunction(on):
-        if isinstance(c, BinaryOp) and c.op == "=" and \
-                isinstance(c.left, ColumnRef) and isinstance(c.right, ColumnRef):
-            l, r = c.left, c.right
-            if lschema.has_field(l.name) and rschema.has_field(r.name):
-                pairs.append((l, r))
-            elif lschema.has_field(r.name) and rschema.has_field(l.name):
-                pairs.append((r, l))
+        if isinstance(c, BinaryOp) and c.op == "=":
+            if isinstance(c.left, ColumnRef) and \
+                    isinstance(c.right, ColumnRef):
+                # bare names: self-joins resolve each name on both sides
+                l, r = c.left, c.right
+                if lschema.has_field(l.name) and rschema.has_field(r.name):
+                    pairs.append((l, r))
+                    continue
+                if lschema.has_field(r.name) and rschema.has_field(l.name):
+                    pairs.append((r, l))
+                    continue
             else:
-                residual.append(c)
-        else:
-            residual.append(c)
+                sl, sr = side(c.left), side(c.right)
+                if sl == "l" and sr == "r":
+                    pairs.append((c.left, c.right))
+                    continue
+                if sl == "r" and sr == "l":
+                    pairs.append((c.right, c.left))
+                    continue
+        residual.append(c)
     if not pairs:
         raise SqlError("JOIN ON must contain at least one equality")
     from ..plan.expressions import conjoin
