@@ -197,13 +197,21 @@ def _leading_header_lines(arr: np.ndarray) -> list[bytes]:
     pos = 0
     n = len(arr)
     while pos < n and arr[pos] == ord("#"):
-        nl = arr[pos:pos + (1 << 20)]
-        hits = np.flatnonzero(nl == 10)
-        if len(hits) == 0:
+        # scan successive windows: a single header line can exceed any
+        # fixed cap (a #CHROM line for a large cohort easily tops 1 MiB)
+        end = -1
+        win = pos
+        while win < n:
+            nl = arr[win:win + (1 << 20)]
+            hits = np.flatnonzero(nl == 10)
+            if len(hits):
+                end = win + int(hits[0])
+                break
+            win += len(nl)
+        if end < 0:
             lines.append(bytes(arr[pos:]))
             pos = n
             break
-        end = pos + int(hits[0])
         lines.append(bytes(arr[pos:end]))
         pos = end + 1
     return lines

@@ -259,15 +259,24 @@ def stack_wave(batches: list[Batch], mesh: Mesh) -> Batch:
 
 def pad_wave(wave: list, n_slots: int):
     """Pad to n_slots batches with wave-shape caps synchronized across
-    processes (jit steps must see identical shapes everywhere)."""
-    if wave:
-        cap, vcaps = wave_shape(wave)
-    else:
-        cap, vcaps = 1, {}
+    processes (jit steps must see identical shapes everywhere).
+
+    Multi-host waves are guaranteed non-empty by lockstep_wave_iter (a
+    drained process yields a zero-row template batch), so the column count
+    of the shape vector is schema-determined and identical on every
+    process. An empty wave here is a caller bug — raise BEFORE entering
+    the collective so the failure is loud rather than a shape-mismatched
+    allgather."""
+    if not wave:
+        raise ExecutionError(
+            "pad_wave on an empty wave: multi-host waves must come from "
+            "lockstep_wave_iter, which pads drained processes with a "
+            "zero-row template batch")
+    cap, vcaps = wave_shape(wave)
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
-        ncols = len(wave[0].columns) if wave else 64
+        ncols = len(wave[0].columns)
         vec = np.zeros(ncols + 1, np.int64)
         vec[0] = cap
         for i, v in vcaps.items():
@@ -278,14 +287,45 @@ def pad_wave(wave: list, n_slots: int):
         cap = int(vec[0])
         vcaps = {i: int(vec[i + 1]) for i in range(ncols)
                  if vec[i + 1] > 0}
-    if not wave:
-        raise ExecutionError(
-            "multi-host wave padding without a local template batch "
-            "(process has no files); give every process at least one "
-            "file or lower the process count")
     while len(wave) < n_slots:
         wave.append(empty_like_host(wave[0], cap, vcaps))
     return wave, cap, vcaps
+
+
+def _zero_row_template(b: Batch) -> Batch:
+    """A minimal zero-row host batch with b's schema and column kinds."""
+    vcaps = {i: 1 for i, c in enumerate(b.columns)
+             if isinstance(c, (VarColumn, DictColumn))}
+    return empty_like_host(b, 1, vcaps)
+
+
+def _sync_template(tpl):
+    """Collectively agree on a zero-row template batch across processes.
+
+    Every process calls this (it is an allgather); processes that have
+    seen a local batch pass its template, drained/file-less processes pass
+    None and reconstruct one from a peer's pickled bytes. Keeps uneven
+    per-process batch counts (3 files over 2 processes, or a process with
+    zero files) from crashing the lockstep wave loop."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    buf = (np.frombuffer(pickle.dumps(tpl), np.uint8)
+           if tpl is not None else np.zeros(0, np.uint8))
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray([buf.size], np.int64))).reshape(-1)
+    m = int(np.max(sizes))
+    if m == 0:
+        raise ExecutionError(
+            "no process produced a batch to derive the wave schema")
+    pad = np.zeros(m, np.uint8)
+    pad[:buf.size] = buf
+    allb = np.asarray(multihost_utils.process_allgather(pad)).reshape(-1, m)
+    if tpl is not None:
+        return tpl
+    p = int(np.argmax(sizes > 0))
+    return pickle.loads(allb[p, :int(sizes[p])].tobytes())
 
 
 def lockstep_wave_iter(source: Callable[[], Iterator[Batch]], mesh: Mesh):
@@ -306,16 +346,28 @@ def lockstep_wave_iter(source: Callable[[], Iterator[Batch]], mesh: Mesh):
         if multi else contextlib.nullcontext()
     with ctx:
         it = iter(source())
+        tpl = None
+        synced = False
         while True:
             wave = list(itertools.islice(it, n_local))
             have = len(wave) > 0
             if multi:
                 from jax.experimental import multihost_utils
 
-                total = multihost_utils.process_allgather(
-                    np.asarray([1 if have else 0], np.int32))
+                total = np.asarray(multihost_utils.process_allgather(
+                    np.asarray([1 if have else 0], np.int32)))
                 if int(np.sum(total)) == 0:
                     return
+                if have and tpl is None:
+                    tpl = _zero_row_template(wave[0])
+                # some process drained (or never had files): collectively
+                # agree on a zero-row template once, then pad empty local
+                # waves with it so every process takes the same SPMD steps
+                if int(np.min(total)) == 0 and not synced:
+                    tpl = _sync_template(tpl)
+                    synced = True
+                if not have:
+                    wave = [tpl]
             elif not have:
                 return
             yield wave

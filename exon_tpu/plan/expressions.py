@@ -708,11 +708,17 @@ def _eval_cast(v, dtype: dt.DataType, batch: Batch):
     from ..datatypes import numpy_dtype
 
     if isinstance(v, str):
-        # literal: parse host-side
+        # literal: parse host-side (invalid → typed engine error, like
+        # DataFusion's "Cannot cast string ... to value of <T> type")
         if dtype.is_fixed_width:
             npdt = numpy_dtype(dtype)
-            return np.asarray(float(v) if np.issubdtype(npdt, np.floating)
-                              else int(v), dtype=npdt).item()
+            try:
+                return np.asarray(
+                    float(v) if np.issubdtype(npdt, np.floating)
+                    else int(v), dtype=npdt).item()
+            except ValueError:
+                raise PlanError(
+                    f"cannot cast string '{v}' to {dtype}") from None
         return v
     if isinstance(v, (int, float, bool)) and dtype.kind in (
             dt.TypeKind.UTF8, dt.TypeKind.LARGE_UTF8):
@@ -754,10 +760,103 @@ def _pow10():
     return jnp.asarray(_POW10_NP)
 
 
+_POW10F_NP = np.asarray([10.0 ** k for k in range(309)], np.float64)
+
+
+def _pow10f():
+    return jnp.asarray(_POW10F_NP)
+
+
+def _window(v: VarColumn, W: int):
+    """[cap, W] byte window per row (zero beyond row end) + lengths."""
+    cap = v.capacity
+    offs = jnp.asarray(v.offsets).astype(jnp.int32)
+    vals = jnp.asarray(v.values)
+    lens = offs[1:] - offs[:-1]
+    idx = offs[:-1][:, None] + jnp.arange(W, dtype=jnp.int32)[None, :]
+    win = vals[jnp.clip(idx, 0, max(vals.shape[0] - 1, 0))] \
+        if vals.shape[0] else jnp.zeros((cap, W), jnp.uint8)
+    pos = jnp.arange(W, dtype=jnp.int32)[None, :]
+    in_row = pos < lens[:, None]
+    return jnp.where(in_row, win, 0), lens, pos, in_row
+
+
+def _cast_utf8_to_float(v: VarColumn, npdt) -> FixedColumn:
+    """Device parse of utf8 decimal/scientific forms ('3.5', '-1.25e-3',
+    '1e3') to float, matching arrow's cast semantics (invalid → NULL).
+    Jittable: [cap, 32] byte window; exact for <=18 mantissa digits and
+    |decimal exponent| <= 308 (int64 mantissa scaled by an exact float
+    power-of-ten table, the classic strtod fast path)."""
+    W = 32
+    ch, lens, pos, in_row = _window(v, W)
+    neg = jnp.logical_and(lens > 0, ch[:, 0] == ord("-"))
+    plus = jnp.logical_and(lens > 0, ch[:, 0] == ord("+"))
+    sign_skip = jnp.logical_or(neg, plus).astype(jnp.int32)
+    digit = (ch - ord("0")).astype(jnp.int32)
+    is_digit = jnp.logical_and(digit >= 0, digit <= 9) & in_row
+    is_dot = (ch == ord(".")) & in_row
+    is_e = (jnp.logical_or(ch == ord("e"), ch == ord("E"))) & in_row
+    BIG = jnp.int32(W)
+    e_pos = jnp.min(jnp.where(is_e, pos, BIG), axis=1)
+    dot_pos = jnp.min(jnp.where(is_dot, pos, BIG), axis=1)
+    mant_end = jnp.minimum(e_pos, lens)
+    mant_region = (pos >= sign_skip[:, None]) & (pos < mant_end[:, None])
+    mant_digit = is_digit & mant_region
+    n_mant = jnp.sum(mant_digit, axis=1)
+    int_digits = jnp.sum(mant_digit & (pos < dot_pos[:, None]), axis=1)
+    frac_digits = n_mant - int_digits
+    rank = jnp.cumsum(mant_digit, axis=1) - mant_digit  # exclusive rank
+    # exact int64 mantissa over the first 18 digits; dropped low digits
+    # shift the decimal exponent instead
+    n_used = jnp.minimum(n_mant, 18)
+    use = mant_digit & (rank < 18)
+    mpow = jnp.clip(n_used[:, None] - 1 - rank, 0, 18)
+    mant_i = jnp.sum(jnp.where(use, digit.astype(jnp.int64) *
+                               _pow10()[mpow], 0), axis=1)
+    # exponent part: optional sign after 'e', then digits
+    has_e = e_pos < lens
+    es_pos = e_pos + 1
+    esign_ch = jnp.take_along_axis(
+        ch, jnp.clip(es_pos, 0, W - 1)[:, None], axis=1)[:, 0]
+    eneg = has_e & (esign_ch == ord("-"))
+    eplus = has_e & (esign_ch == ord("+"))
+    e_start = es_pos + jnp.logical_or(eneg, eplus).astype(jnp.int32)
+    exp_digit = is_digit & (pos >= e_start[:, None])
+    n_exp = jnp.sum(exp_digit, axis=1)
+    epow = jnp.clip(lens[:, None] - 1 - pos, 0, 18)
+    expval = jnp.sum(jnp.where(exp_digit, digit.astype(jnp.int64) *
+                               _pow10()[epow], 0), axis=1)
+    expval = jnp.where(eneg, -expval, expval)
+    dec_exp = expval - frac_digits + (n_mant - n_used)
+    mag = jnp.clip(jnp.abs(dec_exp), 0, 308)
+    scale = _pow10f()[mag]
+    mant_f = mant_i.astype(jnp.float64)
+    out = jnp.where(dec_exp >= 0, mant_f * scale, mant_f / scale)
+    out = jnp.where(dec_exp > 308,
+                    jnp.where(mant_f != 0, jnp.float64(jnp.inf), 0.0), out)
+    out = jnp.where(neg, -out, out)
+    # every in-row byte must be accounted for by exactly one role
+    legal = ((pos < sign_skip[:, None]) | mant_digit |
+             (is_dot & (pos == dot_pos[:, None]) &
+              (dot_pos[:, None] < mant_end[:, None])) |
+             (is_e & (pos == e_pos[:, None])) |
+             ((pos == es_pos[:, None]) & (eneg | eplus)[:, None]) |
+             exp_digit)
+    ok = jnp.asarray(v.validity)
+    ok = ok & (lens - sign_skip > 0) & (lens <= W) & (n_mant >= 1)
+    ok = ok & jnp.where(has_e, n_exp >= 1, True)
+    ok = ok & jnp.all((~in_row) | legal, axis=1)
+    return FixedColumn(out.astype(npdt), ok)
+
+
 def _cast_utf8_to_number(v: VarColumn, npdt) -> FixedColumn:
     """Device decimal parse of utf8 rows (optional '-' sign; non-numeric →
     NULL, matching arrow's safe-cast-to-null behavior on overflow-free
-    inputs). Fully jittable: a [cap, 20] byte window gather."""
+    inputs). Floating targets route to _cast_utf8_to_float, which also
+    accepts decimal-point and exponent forms ('3.5', '1e3').
+    Fully jittable: a [cap, 20] byte window gather."""
+    if np.issubdtype(npdt, np.floating):
+        return _cast_utf8_to_float(v, npdt)
     cap = v.capacity
     offs = jnp.asarray(v.offsets).astype(jnp.int32)
     vals = jnp.asarray(v.values)

@@ -175,6 +175,18 @@ class Parser:
         return stmt
 
     def _parse_select_body(self) -> A.SelectStmt:
+        # named-OVER references scope to their own select body: a subquery
+        # in FROM parses after the outer SELECT list, so without a fresh
+        # list per body the nested end-of-body check would see the outer
+        # body's still-unresolved OVER <name> refs and spuriously fail
+        saved = self._named_over
+        self._named_over = []
+        try:
+            return self._parse_select_body_impl()
+        finally:
+            self._named_over = saved
+
+    def _parse_select_body_impl(self) -> A.SelectStmt:
         if self.accept_op("("):
             inner = self.parse_select()
             self.expect_op(")")

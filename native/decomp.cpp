@@ -271,6 +271,11 @@ int64_t exon_bam_spans(const uint8_t *data, int64_t n, const int64_t *offsets,
       int32_t pos = (int32_t)le32(data + body + 4);
       uint8_t l_read_name = data[body + 8];
       uint16_t n_cigar = le16(data + body + 12);
+      // truncated/corrupt record: CIGAR array must lie inside the buffer
+      if (body + 32 + (int64_t)l_read_name + 4 * (int64_t)n_cigar > n) {
+        bad.store(1);
+        return;
+      }
       const uint8_t *cig = data + body + 32 + l_read_name;
       int64_t span = 0;
       for (uint16_t c = 0; c < n_cigar; c++) {
@@ -301,6 +306,12 @@ int64_t exon_bam_spans(const uint8_t *data, int64_t n, const int64_t *offsets,
 int64_t exon_gather_le(const uint8_t *data, int64_t n, const int64_t *idx,
                        int64_t count, int64_t delta, int32_t width,
                        int32_t *out) {
+  // bounds-check every load (truncated/corrupt BAM): -1 sends the Python
+  // caller to the checked numpy fancy-index path, which raises IndexError
+  for (int64_t i = 0; i < count; i++) {
+    int64_t p = idx[i] + delta;
+    if (p < 0 || p + width > n) return -1;
+  }
   switch (width) {
     case 1:
       for (int64_t i = 0; i < count; i++) out[i] = data[idx[i] + delta];

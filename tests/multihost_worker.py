@@ -13,6 +13,7 @@ import sys
 
 def main() -> None:
     data_dir, out_path = sys.argv[1], sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "full"
 
     import jax
 
@@ -43,6 +44,26 @@ def main() -> None:
 
     results = {}
     ctx.sql(f"CREATE EXTERNAL TABLE t STORED AS FASTA LOCATION '{data_dir}'")
+
+    if mode == "uneven":
+        # 9 files over 2 processes x 4 local slots: process 0 owns 5
+        # batches (2 waves) while process 1 owns 4 (1 wave), so the second
+        # wave exercises the lockstep template-padding path (empty
+        # straggler wave)
+        df = ctx.sql("SELECT COUNT(*) AS n FROM t")
+        results["count_star"] = df.to_pandas().to_dict("records")
+        df = ctx.sql("SELECT description, COUNT(*) AS n FROM t "
+                     "GROUP BY description ORDER BY description")
+        results["group_by"] = df.to_pandas().to_dict("records")
+        df = ctx.sql("SELECT id, description FROM t "
+                     "ORDER BY description, id LIMIT 4")
+        results["topk"] = df.to_pandas().to_dict("records")
+        assert shard_calls and all(tot == 9 and mine in (4, 5)
+                                   for tot, mine in shard_calls), shard_calls
+        results["shard_calls"] = len(shard_calls)
+        with open(out_path, "w") as f:
+            json.dump(results, f, sort_keys=True)
+        return
 
     df = ctx.sql("SELECT COUNT(*) AS n FROM t")
     results["count_star"] = df.to_pandas().to_dict("records")

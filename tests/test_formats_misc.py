@@ -184,3 +184,21 @@ def test_map_column_through_breakers(ctx):
     r = ctx.sql(f"SELECT *, row_number() OVER (ORDER BY start) AS rn "
                 f"FROM gff_scan('{gff}') LIMIT 3").collect_arrow()
     assert r.column("attributes")[0] is not None
+
+
+def test_vcf_header_line_over_1mib(tmp_path):
+    """A #CHROM header line longer than the 1 MiB scan window (large-cohort
+    sample lists) must still split into lines correctly."""
+    from exon_tpu.formats.vcf import _leading_header_lines
+
+    samples = "\t".join(f"SAMP{i:07d}" for i in range(150000))
+    chrom_line = ("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                  + samples)
+    assert len(chrom_line) > (1 << 20)
+    body = ("##fileformat=VCFv4.2\n" + chrom_line + "\n"
+            "chr1\t5\t.\tA\tT\t50\tPASS\t.\tGT" + "\t0/1" * 150000 + "\n")
+    arr = np.frombuffer(body.encode(), np.uint8)
+    lines = _leading_header_lines(arr)
+    assert len(lines) == 2
+    assert lines[0] == b"##fileformat=VCFv4.2"
+    assert lines[1] == chrom_line.encode()

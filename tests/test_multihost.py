@@ -43,10 +43,7 @@ def _make_fasta_files(d: str) -> None:
             fh.write("".join(lines))
 
 
-def test_two_process_parity(tmp_path):
-    data_dir = str(tmp_path / "fasta")
-    _make_fasta_files(data_dir)
-
+def _run_workers(tmp_path, data_dir, mode=None):
     port = _free_port()
     procs = []
     outs = []
@@ -62,11 +59,11 @@ def test_two_process_parity(tmp_path):
             "JAX_PLATFORMS": "cpu",
             "PYTHONPATH": REPO,
         })
+        argv = [sys.executable,
+                os.path.join(REPO, "tests", "multihost_worker.py"),
+                data_dir, out] + ([mode] if mode else [])
         procs.append(subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "tests",
-                                          "multihost_worker.py"),
-             data_dir, out],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+            argv, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
     rcs = []
     errs = []
     for p in procs:
@@ -83,8 +80,14 @@ def test_two_process_parity(tmp_path):
     results = [json.load(open(o)) for o in outs]
     # both processes must see identical (replicated-final) results
     assert results[0] == results[1]
+    return results[0]
 
-    got = results[0]
+
+def test_two_process_parity(tmp_path):
+    data_dir = str(tmp_path / "fasta")
+    _make_fasta_files(data_dir)
+
+    got = _run_workers(tmp_path, data_dir)
     # ground truth from the fixture definition: 4 files x 50 records
     assert got["count_star"] == [{"n": 200}]
     # 50 records/file over 5 descriptions -> 10/desc/file, 40 per desc
@@ -115,3 +118,26 @@ def test_two_process_parity(tmp_path):
     out = str(tmp_path / "copy_out.fasta")
     n_records = sum(1 for line in open(out) if line.startswith(">"))
     assert n_records == want_copy
+
+
+def test_two_process_uneven_files(tmp_path):
+    """9 files over 2 processes (5/4 split): the straggler process feeds an
+    empty second wave, exercising lockstep template padding."""
+    data_dir = str(tmp_path / "fasta9")
+    os.makedirs(data_dir, exist_ok=True)
+    for f in range(9):
+        lines = []
+        for i in range(20):
+            desc = f"group{i % 5}"
+            seq = ("ACGT" if i % 3 else "TTGA") * 4
+            lines.append(f">f{f}r{i} {desc}\n{seq}\n")
+        with open(os.path.join(data_dir, f"part{f}.fasta"), "w") as fh:
+            fh.write("".join(lines))
+
+    got = _run_workers(tmp_path, data_dir, mode="uneven")
+    assert got["count_star"] == [{"n": 180}]
+    assert got["group_by"] == [
+        {"description": f"group{i}", "n": 36} for i in range(5)]
+    ids = sorted(f"f{f}r{i}" for f in range(9) for i in range(0, 20, 5))
+    assert got["topk"] == [
+        {"id": i, "description": "group0"} for i in ids[:4]]

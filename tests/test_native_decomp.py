@@ -134,3 +134,32 @@ def test_streaming_chunks_native_bgzf_path():
     assert len(chunks) > 1
     for c in chunks:
         assert c.endswith(b"\n")
+
+
+def test_gather_le_bounds_checked():
+    """Out-of-range loads (truncated/corrupt BAM) return None so callers
+    fall back to the checked numpy path instead of reading OOB."""
+    data = np.arange(16, dtype=np.uint8)
+    ok = native.gather_le(data, np.asarray([0, 4, 12]), 0, 4)
+    if ok is None:
+        pytest.skip("native library unavailable")
+    assert ok.tolist() == [50462976, 117835012, 252579084]
+    # idx+delta+width past the end
+    assert native.gather_le(data, np.asarray([0, 13]), 0, 4) is None
+    # negative effective offset
+    assert native.gather_le(data, np.asarray([2]), -4, 2) is None
+
+
+def test_bam_spans_truncated_cigar():
+    """A record whose n_cigar walks past the buffer end must fail cleanly
+    (None), not read out of bounds."""
+    if native.get_lib() is None:
+        pytest.skip("native library unavailable")
+    # minimal fake record: block at offset 0, body starts at 4
+    rec = np.zeros(40, np.uint8)
+    rec[0:4] = np.frombuffer(np.int32(36).tobytes(), np.uint8)  # block_size
+    rec[4 + 8] = 2        # l_read_name
+    rec[4 + 12] = 255     # n_cigar low byte -> 255 ops, way past end
+    rec[4 + 13] = 0
+    out = native.bam_spans(rec, np.asarray([0], np.int64))
+    assert out is None

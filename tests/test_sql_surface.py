@@ -581,6 +581,14 @@ def test_named_window_clause(session):
     import pytest as _pt
     with _pt.raises(Exception, match="window name"):
         session.sql("SELECT row_number() OVER nope FROM nw").to_pandas()
+    # a subquery in FROM parses after the outer SELECT list: the outer
+    # body's OVER w must not leak into the nested body's unknown-window
+    # check (named-OVER scoping is per select body)
+    r = session.sql(
+        "SELECT x, sum(x) OVER w AS s FROM "
+        "(SELECT g, x FROM nw WHERE x < 5) t "
+        "WINDOW w AS (PARTITION BY g ORDER BY x) ORDER BY x").to_pandas()
+    assert r["s"].tolist() == [1.0, 3.0]
     session.sql("DROP TABLE nw")
 
 

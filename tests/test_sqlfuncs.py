@@ -239,6 +239,31 @@ def test_cast_string_number_roundtrip(session, tmp_path):
     assert n == 1
 
 
+def test_cast_string_to_float_decimal_and_exponent(session, tmp_path):
+    """CAST utf8 → DOUBLE parses decimal-point and scientific forms (arrow
+    semantics), not just integer strings; malformed rows become NULL."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(tmp_path / "f.parquet")
+    strs = ["3.5", "-1.25e-3", "1e3", "0012.50", "+2.5E2", ".5", "5.",
+            "-0.0", "17", "1e", "2.3.4", "e5", "--1", "3,5", None, "1e400"]
+    pq.write_table(pa.table({"s": pa.array(strs, type=pa.string())}), p)
+    session.sql(f"CREATE EXTERNAL TABLE cf STORED AS PARQUET LOCATION '{p}'")
+    t = session.sql("SELECT CAST(s AS DOUBLE) AS x FROM cf").to_pandas()
+    want = [3.5, -1.25e-3, 1e3, 12.5, 250.0, 0.5, 5.0, -0.0, 17.0,
+            None, None, None, None, None, None, float("inf")]
+    for got, w in zip(t["x"].tolist(), want):
+        if w is None:
+            assert pd.isna(got), (got, w)
+        else:
+            assert got == w, (got, w)
+    n = session.sql("SELECT COUNT(*) FROM cf WHERE CAST(s AS DOUBLE) > 100"
+                    ).to_pandas().iloc[0, 0]
+    assert n == 3  # 1e3, 250.0, inf
+
+
 def test_string_functions_on_literals_and_dict_columns(session):
     t = session.sql("SELECT UPPER('aCgT') AS a, LOWER('AcGt') AS b, "
                     "LENGTH('hello') AS c").to_pandas()
