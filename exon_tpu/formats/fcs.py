@@ -57,6 +57,47 @@ def fcs_schema(options=None) -> Schema:
     return Schema.of(dt.Field("channel", dt.float32, False))
 
 
+def encode_fcs(mat: np.ndarray, channels: list[str]) -> bytes:
+    """Encode an event×channel float matrix as an FCS 3.0 file (inverse of
+    decode_host: header offsets + '/'-delimited TEXT segment + little-
+    endian float32 DATA segment). $BEGINDATA/$ENDDATA are zero-padded so
+    the TEXT length is independent of the offsets they carry."""
+    mat = np.asarray(mat, np.float32)
+    if mat.ndim != 2 or mat.shape[1] != len(channels):
+        raise ExonError("encode_fcs: matrix must be [events, channels]")
+    n_events, n_par = mat.shape
+    payload = np.ascontiguousarray(mat.astype("<f4")).tobytes()
+    delim = "/"
+
+    def text_for(begin: int, end: int) -> bytes:
+        kv = [("$BEGINANALYSIS", "0"), ("$ENDANALYSIS", "0"),
+              ("$BEGINSTEXT", "0"), ("$ENDSTEXT", "0"),
+              ("$BEGINDATA", f"{begin:08d}"), ("$ENDDATA", f"{end:08d}"),
+              ("$DATATYPE", "F"), ("$BYTEORD", "1,2,3,4"), ("$MODE", "L"),
+              ("$NEXTDATA", "0"),
+              ("$PAR", str(n_par)), ("$TOT", str(n_events))]
+        for i, c in enumerate(channels, 1):
+            kv += [(f"$P{i}N", c), (f"$P{i}B", "32"),
+                   (f"$P{i}E", "0,0"), (f"$P{i}R", "262144")]
+        s = delim + delim.join(x for pair in kv for x in pair) + delim
+        return s.encode("ascii")
+
+    header_len = 58
+    text = text_for(0, 0)
+    text_start = header_len
+    text_end = text_start + len(text) - 1      # inclusive, per spec
+    data_start = text_end + 1
+    data_end = data_start + len(payload) - 1   # inclusive
+    text = text_for(data_start, data_end)
+    hdr = (b"FCS3.0    "
+           + f"{text_start:8d}{text_end:8d}".encode()
+           + f"{data_start:8d}{data_end:8d}".encode()
+           + f"{0:8d}{0:8d}".encode())
+    if len(hdr) != header_len:
+        raise ExonError("FCS header offsets exceed 8 ASCII digits")
+    return hdr + text + payload
+
+
 def decode_host(data: bytes, options: FcsOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
     kv = parse_text_segment(data)

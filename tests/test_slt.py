@@ -19,6 +19,43 @@ SLT_DIR = "/root/reference/exon/exon-core/tests/sqllogictests/slt"
 REF_MANIFEST = "/root/reference/exon/exon-core"
 
 
+def _make_fcs_fixtures(ds: str) -> None:
+    """Synthesize Guava Muse.fcs (108 events, slt-exact first row) and the
+    fcs-partition/ hive dirs (sample=2 has 108 events), using the package
+    FCS encoder. Channel layout mirrors a Guava Muse acquisition: three
+    lin/width pairs, time, three log channels (log10 of the lin values)."""
+    import numpy as np
+
+    from exon_tpu.formats.fcs import encode_fcs
+
+    channels = ["FSC-HLin", "FSC-W", "YEL-HLin", "YEL-W", "RED-HLin",
+                "RED-W", "TIME", "FSC-HLog", "YEL-HLog", "RED-HLog"]
+
+    def matrix(seed: int, n: int) -> np.ndarray:
+        rng = np.random.RandomState(seed)
+        lin = rng.uniform(10.0, 1000.0, size=(n, 3)).astype(np.float32)
+        mat = np.zeros((n, 10), np.float32)
+        mat[:, 0], mat[:, 2], mat[:, 4] = lin[:, 0], lin[:, 1], lin[:, 2]
+        mat[:, 1] = mat[:, 3] = mat[:, 5] = np.float32(7.5)
+        mat[:, 6] = (35964 + np.arange(n) * 17).astype(np.float32)
+        mat[:, 7:10] = np.log10(lin)
+        return mat
+
+    guava = matrix(7, 108)
+    guava[0] = np.array([481.9313, 7.5, 84.2256, 7.5, 395.87415, 7.5,
+                         35964, 2.682985, 1.9254441, 2.597557], np.float32)
+    fcs_dir = os.path.join(ds, "fcs")
+    os.makedirs(fcs_dir, exist_ok=True)
+    with open(os.path.join(fcs_dir, "Guava Muse.fcs"), "wb") as f:
+        f.write(encode_fcs(guava, channels))
+    for sample, (seed, n) in {"1": (11, 75), "2": (13, 108),
+                              "3": (17, 42)}.items():
+        d = os.path.join(ds, "fcs-partition", f"sample={sample}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "events.fcs"), "wb") as f:
+            f.write(encode_fcs(matrix(seed, n), channels))
+
+
 @pytest.fixture(scope="session")
 def slt_env(tmp_path_factory):
     """Writable copy of the reference fixtures + fake s3://test-bucket —
@@ -36,6 +73,10 @@ def slt_env(tmp_path_factory):
         data = f.read()
     with open(sdf_gz[:-3], "wb") as f:
         f.write(data)
+    # the FCS fixtures are absent from the reference checkout; synthesize
+    # files whose query results reproduce fcs-select-tests.slt verbatim
+    # (first Guava Muse row + 108 events; hive partition dirs)
+    _make_fcs_fixtures(os.path.join(dst, "datasources"))
     # fake s3 bucket contents per bin/test.sh
     bucket = os.path.join(root, "s3-test-bucket")
     os.makedirs(bucket)
@@ -80,6 +121,7 @@ PASSING = [
     "cram-select-tests.slt",
     "delta.slt",
     "fasta-copy-tests.slt",
+    "fcs-select-tests.slt",
     "fasta-indexed-scan-tests.slt",
     "fasta-scan-s3-tests.slt",
     "fasta-scan-tests.slt",
@@ -99,10 +141,9 @@ PASSING = [
     "vcf-udfs.slt",
 ]
 
-# files whose fixtures are absent from the reference checkout
-SKIPPED = [
-    "fcs-select-tests.slt",       # fcs/ fixtures not in reference checkout
-]
+# files whose fixtures are absent from the reference checkout (none: the
+# FCS fixtures are synthesized by _make_fcs_fixtures)
+SKIPPED: list = []
 
 
 @pytest.mark.parametrize("name", PASSING)
