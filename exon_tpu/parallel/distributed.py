@@ -299,6 +299,30 @@ def _zero_row_template(b: Batch) -> Batch:
     return empty_like_host(b, 1, vcaps)
 
 
+def allgather_pickled(obj) -> list:
+    """Exchange one picklable host object per process; returns the list of
+    every process's object in process order (identical on all processes).
+
+    The cross-process host data plane for operators whose final result
+    must replicate (window payload tables, sorted runs, join sides): one
+    padded byte allgather over DCN — sizes first, then the max-padded
+    buffers."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    buf = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.asarray([buf.size], np.int64))).reshape(-1)
+    m = int(np.max(sizes))
+    pad = np.zeros(max(m, 1), np.uint8)
+    pad[:buf.size] = buf
+    allb = np.asarray(multihost_utils.process_allgather(pad))
+    allb = allb.reshape(-1, max(m, 1))
+    return [pickle.loads(allb[p, :int(sizes[p])].tobytes())
+            for p in range(len(sizes))]
+
+
 def _sync_template(tpl):
     """Collectively agree on a zero-row template batch across processes.
 
@@ -307,25 +331,46 @@ def _sync_template(tpl):
     None and reconstruct one from a peer's pickled bytes. Keeps uneven
     per-process batch counts (3 files over 2 processes, or a process with
     zero files) from crashing the lockstep wave loop."""
-    import pickle
+    objs = allgather_pickled(tpl)
+    for o in ([tpl] if tpl is not None else []) + objs:
+        if o is not None:
+            return o
+    raise ExecutionError(
+        "no process produced a batch to derive the wave schema")
 
-    from jax.experimental import multihost_utils
 
-    buf = (np.frombuffer(pickle.dumps(tpl), np.uint8)
-           if tpl is not None else np.zeros(0, np.uint8))
-    sizes = np.asarray(multihost_utils.process_allgather(
-        np.asarray([buf.size], np.int64))).reshape(-1)
-    m = int(np.max(sizes))
-    if m == 0:
-        raise ExecutionError(
-            "no process produced a batch to derive the wave schema")
-    pad = np.zeros(m, np.uint8)
-    pad[:buf.size] = buf
-    allb = np.asarray(multihost_utils.process_allgather(pad)).reshape(-1, m)
-    if tpl is not None:
-        return tpl
-    p = int(np.argmax(sizes > 0))
-    return pickle.loads(allb[p, :int(sizes[p])].tobytes())
+def local_row_indices(mesh: Mesh) -> list[int]:
+    """Global shard-axis rows whose devices this process addresses, in
+    mesh order (the rows this process must feed to stack_wave)."""
+    if jax.process_count() <= 1:
+        return list(range(mesh.shape["shard"]))
+    pid = jax.process_index()
+    return [i for i, row in enumerate(mesh.devices)
+            if all(d.process_index == pid for d in np.atleast_1d(row))]
+
+
+def put_sharded_rows(arrs, mesh: Mesh):
+    """Place host arrays with leading dim n_dev sharded over 'shard'.
+    Single-process: device_put. Multi-host: every process holds the full
+    (identical) host value and contributes only its local rows."""
+    sharding = NamedSharding(mesh, P("shard"))
+    if jax.process_count() <= 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), arrs)
+    rows = local_row_indices(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(np.asarray(x)[rows])), arrs)
+
+
+def _scan_chain(node) -> bool:
+    """True if the logical subtree is row-wise ops over one Scan — the
+    shape whose multi-host execution shards ingest cleanly (each process
+    decodes files[p::P] and the shards are disjoint row sets)."""
+    from ..plan import logical as L
+
+    while isinstance(node, (L.Filter, L.Project)):
+        node = node.input
+    return isinstance(node, L.Scan)
 
 
 def lockstep_wave_iter(source: Callable[[], Iterator[Batch]], mesh: Mesh):
@@ -1427,27 +1472,48 @@ class DistributedWindowExec(PhysicalPlan):
         return self.out_schema
 
     def batches(self) -> Iterator[Batch]:
+        import contextlib
+
         import pyarrow as pa
 
         from ..plan.physical import _emit_table, _empty_batch
         from ..plan.planner import expr_columns
+        from .mesh import scan_shard_context
 
+        multi = jax.process_count() > 1
         in_schema = self.input.schema()
         part_exprs = tuple(self.calls[0].partition_by)
         key_step = _pjoin_key_step(part_exprs)
         rbs, hashes = [], []
-        for b in self.input.batches():
-            k, _m = jax.device_get(key_step(b))
-            n = b.num_rows_host()
-            if n == 0:
-                continue
-            hashes.append(np.asarray(k)[:n])
-            rbs.append(b.to_arrow())
-        if not rbs:
-            yield _empty_batch(self.out_schema)
-            return
-        tab = pa.Table.from_batches(rbs)
-        h = np.concatenate(hashes)
+        # multi-host: each process decodes only its file shard; the decoded
+        # payload is exchanged once below so every process emits the full,
+        # identical result
+        ctx = scan_shard_context(jax.process_index(), jax.process_count()) \
+            if multi else contextlib.nullcontext()
+        with ctx:
+            for b in self.input.batches():
+                k, _m = jax.device_get(key_step(b))
+                n = b.num_rows_host()
+                if n == 0:
+                    continue
+                hashes.append(np.asarray(k)[:n])
+                rbs.append(b.to_arrow())
+        if multi:
+            local = (pa.Table.from_batches(rbs) if rbs else None,
+                     np.concatenate(hashes) if hashes else None)
+            parts = allgather_pickled(local)
+            tabs = [t for t, _h in parts if t is not None]
+            if not tabs:
+                yield _empty_batch(self.out_schema)
+                return
+            tab = pa.concat_tables(tabs).combine_chunks()
+            h = np.concatenate([hh for _t, hh in parts if hh is not None])
+        else:
+            if not rbs:
+                yield _empty_batch(self.out_schema)
+                return
+            tab = pa.Table.from_batches(rbs)
+            h = np.concatenate(hashes)
         n = len(h)
         n_dev = self.mesh.shape["shard"]
         dev = ((h % n_dev) + n_dev) % n_dev
@@ -1476,9 +1542,15 @@ class DistributedWindowExec(PhysicalPlan):
                     _empty_batch(sub_schema))
         cap, vcaps = wave_shape(dev_batches)
         dev_batches = [pad_host_batch(b, cap, vcaps) for b in dev_batches]
-        stacked = stack_wave(dev_batches, self.mesh)
+        if multi:
+            # all processes hold identical dev_batches; each contributes
+            # only its addressable shard rows to the global array
+            rows = local_row_indices(self.mesh)
+            stacked = stack_wave([dev_batches[r] for r in rows], self.mesh)
+        else:
+            stacked = stack_wave(dev_batches, self.mesh)
         step = _dist_window_step(self.mesh, tuple(self.calls))
-        outs = jax.device_get(step(stacked))
+        outs = gather_full(step(stacked), self.mesh)
         # scatter each call's [n_dev, cap] result back to input row order
         arrays = []
         for j, (call, name) in enumerate(zip(self.calls, self.names)):
@@ -1523,13 +1595,15 @@ def _dist_window_step(mesh: Mesh, calls: tuple):
 
 def plan_distributed_window(win_plan, config) -> Optional[PhysicalPlan]:
     """Route an L.Window to the mesh when every call shares one non-empty
-    PARTITION BY (partitions are the unit of data parallelism)."""
-    if jax.process_count() > 1:
-        return None
+    PARTITION BY (partitions are the unit of data parallelism). Multi-host
+    additionally requires a scan-rooted input so per-process ingest
+    sharding yields disjoint row shards."""
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan
     from ..plan.window_exec import WINDOW_FUNCS
 
+    if jax.process_count() > 1 and not _scan_chain(win_plan.input):
+        return None
     mesh = _config_mesh(config)
     if mesh is None or mesh.shape["shard"] <= 1:
         return None
@@ -1550,6 +1624,78 @@ def plan_distributed_window(win_plan, config) -> Optional[PhysicalPlan]:
         names=list(win_plan.names),
         out_schema=win_plan.schema(),
         input=create_physical_plan(win_plan.input, config),
+        mesh=mesh,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-host full ORDER BY: per-process sorted runs + cross-process merge
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DistributedSortExec(PhysicalPlan):
+    """Full ORDER BY across processes.
+
+    Each process external-run-sorts only its file shard (the expensive
+    decode + sort work parallelizes N-way), producing one merged
+    (arrow table, byte-comparable key matrix, chunk widths) run — the
+    exact artifact the single-process external sort spills. The runs are
+    exchanged once over DCN and merged with the same searchsorted ladder
+    (_merge_runs), so every process emits the identical fully sorted
+    table. Ties resolve process-major (process 0's rows first) —
+    deterministic and identical everywhere. Takes over the role of
+    DataFusion's repartitioned sort (exon-core/src/config/mod.rs:40-43
+    repartition_sorts) on the multi-host axis."""
+
+    keys: list          # [(Expr, ascending)]
+    input: PhysicalPlan
+    fetch: Optional[int]
+    mesh: Mesh
+
+    def schema(self) -> Schema:
+        return self.input.schema()
+
+    def children(self):
+        return [self.input]
+
+    def batches(self) -> Iterator[Batch]:
+        from ..plan.physical import (SortExec, _emit_table, _empty_batch,
+                                     _merge_runs)
+        from .mesh import scan_shard_context
+
+        inner = SortExec(self.keys, self.input, self.fetch)
+        with scan_shard_context(jax.process_index(), jax.process_count()):
+            run = inner.merged_run()
+        runs = [r for r in allgather_pickled(run) if r is not None]
+        if not runs:
+            yield _empty_batch(self.schema())
+            return
+        tab = _merge_runs(runs, [a for _e, a in self.keys])[0]
+        if self.fetch is not None:
+            tab = tab.slice(0, self.fetch)
+        yield from _emit_table(tab, self.schema())
+
+
+def plan_distributed_sort(sort_plan, config) -> Optional[PhysicalPlan]:
+    """Route a full L.Sort to per-process sharded execution. Only fires
+    multi-host (the single-process external run sort already parallelizes
+    ingest) and only over a scan-rooted input (disjoint row shards)."""
+    if jax.process_count() <= 1:
+        return None
+    if not _scan_chain(sort_plan.input):
+        return None
+    mesh = _config_mesh(config)
+    if mesh is None:
+        return None
+    if any(contains_host_fn(e) for e, _a in sort_plan.keys):
+        return None
+    from ..plan.planner import create_physical_plan
+
+    return DistributedSortExec(
+        keys=list(sort_plan.keys),
+        input=create_physical_plan(sort_plan.input, config),
+        fetch=sort_plan.fetch,
         mesh=mesh,
     )
 
@@ -1604,8 +1750,8 @@ class DistributedPartitionedJoinExec(PhysicalPlan):
 
         lexprs = tuple(l for l, _ in self.on)
         rexprs = tuple(r for _, r in self.on)
-        ltab, lkeys, lvalid = _collect_side(self.left, lexprs)
-        rtab, rkeys, rvalid = _collect_side(self.right, rexprs)
+        ltab, lkeys, lvalid = _collect_side(self.left, lexprs, self.mesh)
+        rtab, rkeys, rvalid = _collect_side(self.right, rexprs, self.mesh)
         nL = len(lkeys)
         if nL == 0:
             return
@@ -1647,24 +1793,46 @@ class DistributedPartitionedJoinExec(PhysicalPlan):
         yield from plan.batches()
 
 
-def _collect_side(side: PhysicalPlan, key_exprs: tuple):
+def _collect_side(side: PhysicalPlan, key_exprs: tuple,
+                  mesh: Optional[Mesh] = None):
     """Stream a side once: host Arrow table + int64 content key + valid
-    mask per row (keys evaluated on device, only keys transferred back)."""
+    mask per row (keys evaluated on device, only keys transferred back).
+
+    Multi-host: the stream runs under the process file shard and the
+    decoded (table, keys, valid) triple is exchanged once, so every
+    process holds the identical global side while decoding only 1/N of
+    the input."""
+    import contextlib
+
     import pyarrow as pa
 
     from ..batch import arrow_type
+    from .mesh import scan_shard_context
 
+    multi = jax.process_count() > 1
     schema = side.schema()
     rbs, keys, valids = [], [], []
-    for b in side.batches():
-        step = _pjoin_key_step(key_exprs)
-        k, m = step(b)
-        k, m = jax.device_get((k, m))
-        n = b.num_rows_host()
-        keys.append(np.asarray(k)[:n])
-        valids.append(np.asarray(m)[:n])
-        rbs.append(b.to_arrow())
-    if rbs:
+    ctx = scan_shard_context(jax.process_index(), jax.process_count()) \
+        if multi else contextlib.nullcontext()
+    with ctx:
+        for b in side.batches():
+            step = _pjoin_key_step(key_exprs)
+            k, m = step(b)
+            k, m = jax.device_get((k, m))
+            n = b.num_rows_host()
+            keys.append(np.asarray(k)[:n])
+            valids.append(np.asarray(m)[:n])
+            rbs.append(b.to_arrow())
+    if multi:
+        local = ((pa.Table.from_batches(rbs), np.concatenate(keys),
+                  np.concatenate(valids)) if rbs else None)
+        parts = [p for p in allgather_pickled(local) if p is not None]
+        if parts:
+            return (pa.concat_tables([t for t, _k, _v in parts]
+                                     ).combine_chunks(),
+                    np.concatenate([k for _t, k, _v in parts]),
+                    np.concatenate([v for _t, _k, v in parts]))
+    elif rbs:
         tab = pa.Table.from_batches(rbs)
         return (tab, np.concatenate(keys), np.concatenate(valids))
     tab = pa.table({f.name: pa.array([], type=arrow_type(f.dtype))
@@ -1688,18 +1856,17 @@ def _exchange_match_pairs(mesh: Mesh, lkeys, lrow, rkeys, rrow, how: str,
     """Partition both key lists over the mesh, match per device, return
     (left_row, right_row) pairs (right −1 = unmatched left, how='left')."""
     n_dev = mesh.shape["shard"]
-    spec = NamedSharding(mesh, P("shard"))
 
     def stage(keys, rows):
         chunk = max(1, -(-len(keys) // n_dev))
         pad = chunk * n_dev - len(keys)
         k = np.pad(keys, (0, pad)).reshape(n_dev, chunk)
-        r = np.pad(rows, (0, pad)).reshape(n_dev, chunk)
+        r = np.pad(rows, (0, pad)).reshape(n_dev, chunk).astype(np.int32)
         m = np.arange(chunk)[None, :] + np.arange(n_dev)[:, None] * chunk \
             < len(keys)
-        return (jax.device_put(k, spec), jax.device_put(r.astype(np.int32),
-                                                        spec),
-                jax.device_put(m, spec))
+        # multi-host: every process holds the identical global staging
+        # arrays (allgathered sides) and contributes its local rows
+        return put_sharded_rows((k, r, m), mesh)
 
     lk, lr, lm = stage(lkeys, lrow)
     rk, rr, rm = stage(rkeys, rrow)
@@ -1707,8 +1874,8 @@ def _exchange_match_pairs(mesh: Mesh, lkeys, lrow, rkeys, rrow, how: str,
         max(64, 2 * max(len(lkeys), len(rkeys), 1) // max(n_dev, 1) + 64)))
     for attempt in range(max_tries):
         count_step = _pjoin_count_step(mesh, how, bucket_cap)
-        totals, ovf = jax.device_get(count_step(lk, lr, lm, rk, rr, rm))
-        if bool(ovf.any()):
+        totals, ovf = gather_full(count_step(lk, lr, lm, rk, rr, rm), mesh)
+        if bool(np.asarray(ovf).any()):
             bucket_cap *= 4
             continue
         max_total = int(np.max(totals, initial=0))
@@ -1716,7 +1883,7 @@ def _exchange_match_pairs(mesh: Mesh, lkeys, lrow, rkeys, rrow, how: str,
             return np.zeros((0, 2), np.int32)
         out_cap = int(bucket_capacity(max_total))
         emit_step = _pjoin_emit_step(mesh, how, bucket_cap, out_cap)
-        pairs, npairs = jax.device_get(emit_step(lk, lr, lm, rk, rr, rm))
+        pairs, npairs = gather_full(emit_step(lk, lr, lm, rk, rr, rm), mesh)
         out = [pairs[d, :int(npairs[d])] for d in range(n_dev)]
         return np.concatenate(out) if out else np.zeros((0, 2), np.int32)
     raise StateOverflowError(
@@ -1792,10 +1959,11 @@ def _pjoin_emit_step(mesh: Mesh, how: str, bucket_cap: int, out_cap: int):
 def plan_distributed_partitioned_join(join_plan, config
                                       ) -> Optional[PhysicalPlan]:
     """Planner hook: SET exon.partitioned_join = true selects the
-    partitioned exchange over the default broadcast-probe join."""
-    if jax.process_count() > 1:
-        return None  # multi-host: aggregates and broadcast joins shard
-        # ingest; topk/partitioned-join fall back to replicated execution
+    partitioned exchange over the default broadcast-probe join. Multi-host
+    requires both sides scan-rooted (disjoint per-process row shards)."""
+    if jax.process_count() > 1 and not (
+            _scan_chain(join_plan.left) and _scan_chain(join_plan.right)):
+        return None
 
     from ..plan import logical as L
     from ..plan.planner import create_physical_plan

@@ -993,9 +993,23 @@ class SortExec(PhysicalPlan):
         return self.input.schema()
 
     def batches(self) -> Iterator[Batch]:
+        schema = self.schema()
+        merged = self.merged_run()
+        if merged is None:
+            yield _empty_batch(schema)
+            return
+        merged_tab = merged[0]
+        if self.fetch is not None:
+            merged_tab = merged_tab.slice(0, self.fetch)
+        yield from _emit_table(merged_tab, schema)
+
+    def merged_run(self) -> Optional[tuple]:
+        """Sort the whole input into one merged (arrow table, key matrix,
+        chunk widths) run, or None if the input is empty. The distributed
+        sort exchanges these per-process runs and merges them with the
+        same _merge_runs ladder."""
         import os as _os
 
-        schema = self.schema()
         run_rows = int(_os.environ.get("EXON_TPU_SORT_RUN_ROWS", 1 << 21))
         runs: list = []  # (pa.Table, key_cols int64 np [n, C], chunk_list)
         acc: list[Batch] = []
@@ -1034,13 +1048,9 @@ class SortExec(PhysicalPlan):
         if acc:
             runs.append(self._sorted_run(acc))
         if not runs:
-            yield _empty_batch(schema)
-            return
+            return None
         asc_flags = [a for _e, a in self.keys]
-        merged_tab = _merge_runs(runs, asc_flags)
-        if self.fetch is not None:
-            merged_tab = merged_tab.slice(0, self.fetch)
-        yield from _emit_table(merged_tab, schema)
+        return _merge_runs(runs, asc_flags)
 
     def _sorted_run(self, acc: list) -> tuple:
         """Sort one run; spill (arrow table, key matrix, chunk widths) to
@@ -1229,9 +1239,10 @@ def _pad_key_matrix(keys: np.ndarray, chunks: list, target: list,
     return np.concatenate(cols, axis=1)
 
 
-def _merge_runs(runs: list, asc_flags: list):
+def _merge_runs(runs: list, asc_flags: list) -> tuple:
     """Pairwise stable merge of sorted (table, key-matrix, chunk-widths)
-    runs; earlier runs win ties (global stability)."""
+    runs; earlier runs win ties (global stability). Returns the merged
+    run tuple."""
     items = list(runs)
     while len(items) > 1:
         nxt = []
@@ -1240,7 +1251,7 @@ def _merge_runs(runs: list, asc_flags: list):
         if len(items) % 2:
             nxt.append(items[-1])
         items = nxt
-    return items[0][0]
+    return items[0]
 
 
 def _merge_two(a: tuple, b: tuple, asc_flags: list) -> tuple:

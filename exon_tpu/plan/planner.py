@@ -567,6 +567,13 @@ def create_physical_plan(plan: L.LogicalPlan, config=None) -> P.PhysicalPlan:
             dist = plan_distributed_topk(plan, plan.fetch, config)
             if dist is not None:
                 return dist
+        if config is not None and getattr(config, "distributed", False):
+            # multi-host full ORDER BY: per-process sorted runs + merge
+            from ..parallel.distributed import plan_distributed_sort
+
+            dist = plan_distributed_sort(plan, config)
+            if dist is not None:
+                return dist
         return P.SortExec(plan.keys, create_physical_plan(plan.input, config),
                           plan.fetch)
     if isinstance(plan, L.Limit):

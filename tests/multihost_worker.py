@@ -96,6 +96,36 @@ def main() -> None:
                  "ORDER BY description, id LIMIT 4")
     results["topk"] = df.to_pandas().to_dict("records")
 
+    # multi-host full ORDER BY: per-process sorted runs + exchanged merge
+    # (DistributedSortExec) — every process decodes only its file shard
+    before = len(shard_calls)
+    df = ctx.sql("SELECT id FROM t WHERE sequence LIKE 'AC%' "
+                 "ORDER BY id DESC")
+    results["order_by_full"] = df.to_pandas()["id"].tolist()
+    assert len(shard_calls) == before + 1, \
+        "full ORDER BY did not shard ingest across processes"
+
+    # multi-host PARTITION BY window: sharded ingest + one payload
+    # exchange, hash-partitioned window compute over the global mesh
+    before = len(shard_calls)
+    df = ctx.sql("SELECT id, row_number() OVER "
+                 "(PARTITION BY description ORDER BY id) AS rn "
+                 "FROM t ORDER BY description, id LIMIT 6")
+    results["window"] = df.to_pandas().to_dict("records")
+    assert len(shard_calls) == before + 1, \
+        "PARTITION BY window did not shard ingest across processes"
+
+    # multi-host partitioned join: both sides decode sharded, exchange
+    # once, all_to_all key match over the mesh
+    ctx.sql("SET exon.partitioned_join = true")
+    before = len(shard_calls)
+    df = ctx.sql("SELECT COUNT(*) AS n FROM t a "
+                 "JOIN t b ON a.description = b.description")
+    results["pjoin_count"] = df.to_pandas().to_dict("records")
+    assert len(shard_calls) == before + 2, \
+        "partitioned join sides did not shard ingest across processes"
+    ctx.sql("SET exon.partitioned_join = false")
+
     # COPY TO in multi-process mode: only process 0 writes, all report
     # the row count
     # NOT inside data_dir: the output would be listed as table data by

@@ -112,6 +112,16 @@ def test_two_process_parity(tmp_path):
     ids = sorted(f"f{f}r{i}" for f in range(4) for i in range(0, 50, 5))
     assert got["topk"] == [
         {"id": i, "description": "group0"} for i in ids[:4]]
+    # full ORDER BY (DistributedSortExec): every 'AC%' id, descending
+    ac_ids = sorted((f"f{f}r{i}" for f in range(4) for i in range(50)
+                     if i % 3 != 0), reverse=True)
+    assert got["order_by_full"] == ac_ids
+    # PARTITION BY window over the mesh: first 6 rows of group0 by id
+    g0 = sorted(f"f{f}r{i}" for f in range(4) for i in range(0, 50, 5))
+    assert got["window"] == [
+        {"id": i, "rn": r + 1} for r, i in enumerate(g0[:6])]
+    # partitioned join: every row matches its description's 40 rows
+    assert got["pjoin_count"] == [{"n": 200 * 40}]
     # COPY TO: single writer, consistent count (i%3!=0 rows match 'AC%')
     want_copy = sum(1 for i in range(50) if i % 3 != 0) * 4
     assert got["copy_count"] == want_copy
