@@ -699,8 +699,13 @@ class DistributedAggregateExec(PhysicalPlan):
 
     ``source`` yields HOST batches (the scan's decode stream);
     ``stages`` is the fused (filter/project) pipeline applied on-device.
-    Falls back to the single-device AggregateExec path when a group key
-    exceeds rep_w bytes or per-device groups overflow state capacity.
+
+    Cardinality is unbounded: when per-device live groups exceed
+    state_cap, the accumulated state is exchanged+merged on the mesh,
+    spilled to host as compact group rows, and the wave retries on fresh
+    state; spilled row sets merge by key hash at finalize. Only a group
+    key exceeding rep_w bytes (or a single wave whose distinct keys
+    exceed state capacity) falls back to the single-device path.
     """
 
     group_exprs: list[Expr]
@@ -730,21 +735,41 @@ class DistributedAggregateExec(PhysicalPlan):
     # -- main loop ----------------------------------------------------------
 
     def _run(self) -> Batch:
-        import contextlib
         grouped = bool(self.group_exprs)
         state = None
         global_rank = 0
+        spills: list = []   # host-merged group rows flushed on overflow
         # multi-host: this process decodes only its file shard; waves are
         # built from local batches and assembled into the global shard axis
         # without cross-host data movement (lockstep_wave_iter)
         for wave in lockstep_wave_iter(self.source, self.mesh):
-            state, global_rank = self._flush(state, wave, global_rank,
-                                             grouped)
-        if state is None:
+            state, global_rank, over = self._flush(state, wave, global_rank,
+                                                   grouped)
+            if over:
+                # stay on the mesh: the fold was refused (state intact) —
+                # exchange+merge the accumulated state, spill the compact
+                # merged group rows to host, and retry the wave on fresh
+                # state. Only a single wave whose distinct keys exceed
+                # state capacity still raises → fallback.
+                spills.append(self._host_rows(self._host_merged(state)))
+                # the retry folds into fresh state; a wave that still
+                # overflows raises inside _flush → single-device fallback
+                state, global_rank, _ = self._flush(
+                    None, wave, global_rank, grouped)
+        if state is None and not spills:
             if grouped:
                 return _empty_batch(self.out_schema)
             return self._finalize_ungrouped([])
         if grouped:
+            if spills:
+                if state is not None:
+                    spills.append(self._host_rows(
+                        self._host_merged(state)))
+                rows = self._merge_spill_rows(
+                    [r for r in spills if r is not None])
+                if rows is None:
+                    return _empty_batch(self.out_schema)
+                return self._emit_rows(*rows)
             return self._finalize_grouped(state)
         return self._finalize_ungrouped(state)
 
@@ -752,6 +777,9 @@ class DistributedAggregateExec(PhysicalPlan):
         return pad_wave(wave, n_slots)
 
     def _flush(self, state, wave: list[Batch], global_rank: int, grouped):
+        """Fold one wave. Returns (state, rank, overflowed): overflowed
+        means the grouped fold was REFUSED (state returned intact, rank
+        unadvanced) because merging would drop groups — spill + retry."""
         multi = jax.process_count() > 1
         n_dev = self.mesh.shape["shard"]
         from .mesh import local_shard_count
@@ -766,16 +794,27 @@ class DistributedAggregateExec(PhysicalPlan):
                 self.stages, self.state_cap, self.rep_w, state is not None)
             if state is None:
                 state = step(stacked, jnp.int64(global_rank), jnp.int32(cap))
+                flags = gather_full((state.overflow, state.too_long),
+                                    self.mesh)
+                if bool(np.any(flags[1])):
+                    raise RepTooLongError(
+                        f"group key exceeds rep_w={self.rep_w} bytes")
+                if bool(np.any(flags[0])):
+                    # a single wave's distinct keys exceed state capacity:
+                    # nothing to spill (the fresh fold itself truncated)
+                    raise StateOverflowError(
+                        f"one wave's distinct groups exceed "
+                        f"state_cap={self.state_cap}")
             else:
-                state = step(state, stacked, jnp.int64(global_rank),
-                             jnp.int32(cap))
-            flags = gather_full((state.overflow, state.too_long), self.mesh)
-            if bool(np.any(flags[1])):
-                raise RepTooLongError(
-                    f"group key exceeds rep_w={self.rep_w} bytes")
-            if bool(np.any(flags[0])):
-                raise StateOverflowError(
-                    f"per-device groups exceed state_cap={self.state_cap}")
+                state, over_a, long_a = step(state, stacked,
+                                             jnp.int64(global_rank),
+                                             jnp.int32(cap))
+                flags = gather_full((over_a, long_a), self.mesh)
+                if bool(np.any(np.asarray(flags[1]))):
+                    raise RepTooLongError(
+                        f"group key exceeds rep_w={self.rep_w} bytes")
+                if bool(np.any(np.asarray(flags[0]))):
+                    return state, global_rank, True
         else:
             step = _wave_step_ungrouped(self.mesh, tuple(self.agg_calls),
                                         self.stages)
@@ -783,57 +822,153 @@ class DistributedAggregateExec(PhysicalPlan):
             state = (state or []) + [part]
         # rank space advances by the FULL shard axis (devices across all
         # processes), not just this process's local slots
-        return state, global_rank + cap * n_dev
+        return state, global_rank + cap * n_dev, False
 
     # -- finalize -----------------------------------------------------------
 
     def _finalize_grouped(self, state: DistAggState) -> Batch:
+        rows = self._host_rows(self._host_merged(state))
+        if rows is None:
+            return _empty_batch(self.out_schema)
+        _keys, first, partials, reps = rows
+        return self._emit_rows(first, partials, reps)
+
+    def _host_merged(self, state: DistAggState) -> DistAggState:
+        """Final exchange + host gather, compacted: the merged state is
+        sliced to the live-group bucket before crossing the tunnel/DCN, so
+        the transfer scales with distinct groups, not state capacity."""
         fin = _final_exchange(self.mesh, tuple(self.agg_calls))
         merged = fin(state)  # sharded [n_dev, n_dev*scap]
-        host = gather_full(merged, self.mesh)
+        cnts = np.asarray(gather_full(merged.count, self.mesh))
+        maxc = bucket_capacity(max(int(np.max(cnts, initial=0)), 1), 128)
+        if maxc < merged.keys.shape[1]:
+            host = jax.device_get(
+                _cut_step(self.mesh, maxc)(merged))
+        else:
+            host = gather_full(merged, self.mesh)
         if bool(np.any(host.too_long)):
             raise RepTooLongError("group key exceeds rep_w bytes")
         if bool(np.any(host.overflow)):
             raise StateOverflowError("merge overflow")
-        return self._emit_host(host)
+        return host
 
-    def _emit_host(self, host: DistAggState) -> Batch:
-        """Concatenate the disjoint per-device merged ranges and emit in
-        global first-seen order (single-device emission parity)."""
-        from .. import datatypes as dt
-
+    def _host_rows(self, host: DistAggState):
+        """Flatten a gathered merged state's disjoint per-device ranges to
+        flat per-group row arrays (keys, first, partials, reps) — the
+        spill format; None when no groups."""
         n_dev = host.keys.shape[0]
-        rows_first = []
-        rows_partials: list[list] = [[] for _ in self.agg_calls]
-        rows_reps: list[list] = [[] for _ in self.group_exprs]
+        keys_l, first_l = [], []
+        parts_l: list[list] = [[] for _ in self.agg_calls]
+        reps_l: list[list] = [[] for _ in self.group_exprs]
         for d in range(n_dev):
             c = int(host.count[d])
             if c == 0:
                 continue
-            rows_first.append(host.first[d][:c])
-            for j, p in enumerate(self.agg_calls):
-                pj = jax.tree.map(lambda x: x[d][:c], host.partials[j])
-                rows_partials[j].append(pj)
+            keys_l.append(host.keys[d][:c])
+            first_l.append(host.first[d][:c])
+            for j in range(len(self.agg_calls)):
+                parts_l[j].append(
+                    jax.tree.map(lambda x: x[d][:c], host.partials[j]))
             for j in range(len(self.group_exprs)):
                 r = host.reps[j]
                 if isinstance(r, VarRep):
-                    rows_reps[j].append((r.prefix[d][:c], r.lens[d][:c],
-                                         r.validity[d][:c]))
+                    reps_l[j].append((r.prefix[d][:c], r.lens[d][:c],
+                                      r.validity[d][:c]))
                 else:
-                    rows_reps[j].append((r.values[d][:c], r.validity[d][:c]))
-        if not rows_first:
-            return _empty_batch(self.out_schema)
-        first = np.concatenate(rows_first)
+                    reps_l[j].append((r.values[d][:c], r.validity[d][:c]))
+        if not keys_l:
+            return None
+        keys = np.concatenate(keys_l)
+        first = np.concatenate(first_l)
+        partials = []
+        for j in range(len(self.agg_calls)):
+            pl = parts_l[j]
+            if isinstance(pl[0], tuple):
+                partials.append(tuple(
+                    np.concatenate([np.asarray(x[i]) for x in pl])
+                    for i in range(len(pl[0]))))
+            else:
+                partials.append(np.concatenate([np.asarray(x) for x in pl]))
+        reps = []
+        for j in range(len(self.group_exprs)):
+            rl = reps_l[j]
+            reps.append(tuple(
+                np.concatenate([np.asarray(x[i]) for x in rl])
+                for i in range(len(rl[0]))))
+        return keys, first, partials, reps
+
+    def _merge_spill_rows(self, rows_list: list):
+        """Merge spilled group-row sets by key hash host-side. Spills hold
+        disjoint wave ranges of the SAME keys, so partials combine with
+        the usual algebra (count/sum add, min/max reduce, first min)."""
+        if not rows_list:
+            return None
+        keys = np.concatenate([r[0] for r in rows_list])
+        first = np.concatenate([r[1] for r in rows_list])
+        uniq, inv = np.unique(keys, return_inverse=True)
+        ng = len(uniq)
+        first_m = np.full(ng, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(first_m, inv, first)
+        partials_m = []
+        for j, call in enumerate(self.agg_calls):
+            comp = [r[2][j] for r in rows_list]
+            if call.fn == "count":
+                cat = np.concatenate(comp)
+                out = np.zeros(ng, cat.dtype)
+                np.add.at(out, inv, cat)
+                partials_m.append(out)
+            elif call.fn in ("min", "max"):
+                s = np.concatenate([c[0] for c in comp])
+                cnt = np.concatenate([c[1] for c in comp])
+                live = cnt > 0
+                if np.issubdtype(s.dtype, np.floating):
+                    ident = np.inf if call.fn == "min" else -np.inf
+                else:
+                    info = np.iinfo(s.dtype)
+                    ident = info.max if call.fn == "min" else info.min
+                out_s = np.full(ng, ident, s.dtype)
+                red = np.minimum if call.fn == "min" else np.maximum
+                red.at(out_s, inv[live], s[live])
+                out_c = np.zeros(ng, cnt.dtype)
+                np.add.at(out_c, inv, cnt)
+                out_s = np.where(out_c > 0, out_s, np.zeros((), s.dtype))
+                partials_m.append((out_s, out_c))
+            else:  # sum/avg (and any additive tuple partial)
+                width = len(comp[0])
+                outs = []
+                for i in range(width):
+                    cat = np.concatenate([c[i] for c in comp])
+                    o = np.zeros(ng, cat.dtype)
+                    np.add.at(o, inv, cat)
+                    outs.append(o)
+                partials_m.append(tuple(outs))
+        # representative key values come from the globally-first row
+        order = np.lexsort((np.arange(len(first)), first))
+        _g, first_pos = np.unique(inv[order], return_index=True)
+        rep_rows = order[first_pos]
+        reps_m = []
+        for j in range(len(self.group_exprs)):
+            comp = [r[3][j] for r in rows_list]
+            cats = tuple(np.concatenate([c[i] for c in comp])
+                         for i in range(len(comp[0])))
+            reps_m.append(tuple(c[rep_rows] for c in cats))
+        return first_m, partials_m, reps_m
+
+    def _emit_rows(self, first, partials, reps) -> Batch:
+        """Emit flat group rows in global first-seen order (single-device
+        emission parity)."""
+        from .. import datatypes as dt
+
         order = np.argsort(first, kind="stable")
         n = order.shape[0]
         fields = self.out_schema.all_fields
         cols = []
         for j in range(len(self.group_exprs)):
-            parts = rows_reps[j]
-            if len(parts[0]) == 3:  # VarRep
-                pre = np.concatenate([p[0] for p in parts])[order]
-                lens = np.concatenate([p[1] for p in parts])[order]
-                val = np.concatenate([p[2] for p in parts])[order]
+            parts = reps[j]
+            if len(parts) == 3:  # VarRep
+                pre = np.asarray(parts[0])[order]
+                lens = np.asarray(parts[1])[order]
+                val = np.asarray(parts[2])[order]
                 offsets = np.zeros(n + 1, np.int32)
                 np.cumsum(lens, out=offsets[1:])
                 # vectorized ragged compaction: row-major boolean mask pick
@@ -843,20 +978,20 @@ class DistributedAggregateExec(PhysicalPlan):
                     flat = np.zeros(1, np.uint8)
                 cols.append(VarColumn(flat, offsets, val))
             else:
-                vals = np.concatenate([p[0] for p in parts])[order]
-                val = np.concatenate([p[1] for p in parts])[order]
+                vals = np.asarray(parts[0])[order]
+                val = np.asarray(parts[1])[order]
                 npdt = dt.numpy_dtype(fields[j].dtype)
                 cols.append(FixedColumn(vals.astype(npdt), val))
         for j, call in enumerate(self.agg_calls):
             f = fields[len(self.group_exprs) + j]
             npdt = dt.numpy_dtype(f.dtype)
-            parts = rows_partials[j]
+            p = partials[j]
             if call.fn == "count":
-                vals = np.concatenate([np.asarray(p) for p in parts])[order]
+                vals = np.asarray(p)[order]
                 cols.append(FixedColumn(vals.astype(npdt), np.ones(n, bool)))
             else:
-                s = np.concatenate([np.asarray(p[0]) for p in parts])[order]
-                c = np.concatenate([np.asarray(p[1]) for p in parts])[order]
+                s = np.asarray(p[0])[order]
+                c = np.asarray(p[1])[order]
                 nonnull = c > 0
                 if call.fn == "avg":
                     vals = s.astype(np.float64) / np.maximum(c, 1)
@@ -891,6 +1026,18 @@ class DistributedAggregateExec(PhysicalPlan):
         return Batch(self.out_schema, cols, np.int32(1)).to_device(capacity=128)
 
 
+@functools.cache
+def _cut_step(mesh: Mesh, maxc: int):
+    """Jit: slice a merged [n_dev, S, ...] state to its live-group bucket
+    and replicate — one compact transfer instead of a padded-capacity
+    gather."""
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        lambda s: jax.tree.map(
+            lambda x: x[:, :maxc] if getattr(x, "ndim", 0) >= 2 else x, s),
+        out_shardings=rep)
+
+
 # ---------------------------------------------------------------------------
 # Jitted wave steps (cached per mesh/expr/shape signature)
 # ---------------------------------------------------------------------------
@@ -917,11 +1064,22 @@ def _wave_step_grouped(mesh: Mesh, group_exprs: tuple, agg_calls: tuple,
         b2, mask = apply_stages(stages, b)
         t = batch_group_state(group_exprs, agg_calls, b2, mask,
                               base_rank + d * cap.astype(jnp.int64), rep_w)
-        return _expand0(merge_states([s, t], agg_calls, state_cap))
+        merged = merge_states([s, t], agg_calls, state_cap)
+        over = jax.lax.psum(merged.overflow.astype(jnp.int32), "shard") > 0
+        long = jax.lax.psum(merged.too_long.astype(jnp.int32), "shard") > 0
+        # overflow: the merge dropped groups — discard it and return the
+        # INPUT state intact (donation aliases the buffer, so the caller's
+        # host reference dies with the call; the returned value is the
+        # only live copy). The caller spills it and retries the wave.
+        out = jax.tree.map(lambda x, y: jnp.where(over, x, y), s, merged)
+        out = dataclasses.replace(out, overflow=jnp.asarray(False),
+                                  too_long=jnp.asarray(False))
+        return _expand0(out), over[None], long[None]
 
     if has_state:
         fn = jax.shard_map(per_device_update, mesh=mesh,
-                           in_specs=(spec, spec, P(), P()), out_specs=spec)
+                           in_specs=(spec, spec, P(), P()),
+                           out_specs=(spec, spec, spec))
         return jax.jit(fn, donate_argnums=(0,))
     fn = jax.shard_map(per_device_new, mesh=mesh,
                        in_specs=(spec, P(), P()), out_specs=spec)

@@ -422,3 +422,59 @@ def test_distributed_rollup_and_frames_parity(session, big_fasta):
         q = q.format(p=big_fasta)
         _assert_tables_equal(session.sql(q).collect_arrow(),
                              dist.sql(q).collect_arrow())
+
+
+def test_distributed_aggregate_spills_past_state_cap(session, tmp_path,
+                                                     monkeypatch):
+    """High-cardinality GROUP BY with a 90%-hot-key distribution stays on
+    the mesh: on per-device state overflow the accumulated state is
+    exchanged, spilled to host, and the wave retried — no single-device
+    fallback (fallback is disabled here, so a regression raises)."""
+    import exon_tpu.parallel.distributed as D
+
+    rng = np.random.default_rng(11)
+    n_files, rows = 24, 1000
+    uid = 0
+    truth: dict = {}
+    for f in range(n_files):
+        lines = []
+        for i in range(rows):
+            if rng.random() < 0.9 and uid > 0:
+                desc = "hotkey"
+            else:
+                desc = f"u{uid:06d}"
+                uid += 1
+            truth[desc] = truth.get(desc, 0) + 1
+            lines.append(f">f{f}r{i} {desc}\nACGT\n")
+        (tmp_path / f"p{f}.fasta").write_text("".join(lines))
+
+    spills = []
+    orig_plan = D.plan_distributed_aggregate
+    orig_merged = D.DistributedAggregateExec._host_merged
+
+    def small(plan, config):
+        ex = orig_plan(plan, config)
+        if ex is not None:
+            ex.state_cap = 256        # force overflow well below default
+            ex.fallback = None        # spill must succeed, not fall back
+        return ex
+
+    def spy(self, state):
+        spills.append(1)
+        return orig_merged(self, state)
+
+    monkeypatch.setattr(D, "plan_distributed_aggregate", small)
+    monkeypatch.setattr(D.DistributedAggregateExec, "_host_merged", spy)
+
+    q = (f"SELECT description, count(*) AS n FROM t "
+         f"GROUP BY description ORDER BY description")
+    dist = _dist_session()
+    dist.sql(f"CREATE EXTERNAL TABLE t STORED AS FASTA "
+             f"LOCATION '{tmp_path}'")
+    got = dist.sql(q).collect_arrow().to_pydict()
+    want = dict(sorted(truth.items()))
+    assert got["description"] == list(want.keys())
+    assert got["n"] == list(want.values())
+    # the overflow path must actually have spilled (≥ 2 calls: at least
+    # one mid-stream spill plus the final flush)
+    assert len(spills) >= 2, f"spill path not exercised: {spills}"
