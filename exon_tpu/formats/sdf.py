@@ -17,9 +17,9 @@ import numpy as np
 
 from .. import datatypes as dt
 from ..batch import (Batch, FixedColumn, Schema, StructColumn, VarColumn,
-                     batch_from_host, utf8_column)
+                     batch_from_host, utf8_column, var_column)
 from ..errors import ExonError
-from .textutil import LineIndex, to_u8
+from .textutil import LineIndex, gather_slices, to_u8
 
 _KEY_RE = re.compile(rb">\s*<(.*?)>")
 
@@ -179,6 +179,246 @@ def _data_sections(arr: np.ndarray, li: LineIndex, first: np.ndarray,
     return data_maps, key_order
 
 
+def _ragged_arange(base: np.ndarray, m: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flatten per-segment ranges [base[i], base[i]+m[i]): returns
+    (flat_index, segment_of, within_segment)."""
+    offs = np.zeros(len(m) + 1, np.int64)
+    np.cumsum(m, out=offs[1:])
+    tot = int(offs[-1])
+    seg = np.repeat(np.arange(len(m), dtype=np.int64), m)
+    within = np.arange(tot, dtype=np.int64) - np.repeat(offs[:-1], m)
+    return np.repeat(base, m) + within, seg, within
+
+
+def _join_line_spans(arr: np.ndarray, ls: np.ndarray, le: np.ndarray,
+                     seg_offs: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Gather line spans joined with '\\n' per segment (segments are
+    contiguous runs seg_offs[i]:seg_offs[i+1] of the span list). Returns
+    (flat bytes, seg_start, seg_end) with separator bytes patched to
+    '\\n' (the raw byte after a line end may be '\\r' in CRLF files).
+    Also returns per-line output offsets via the closure-free 4th value?
+    — no: callers needing line-level offsets use the returned flat plus
+    recomputed lengths."""
+    nseg = len(seg_offs) - 1
+    m = seg_offs[1:] - seg_offs[:-1]
+    tot = int(seg_offs[-1])
+    if tot == 0:
+        return (np.zeros(0, np.uint8), np.zeros(nseg, np.int64),
+                np.zeros(nseg, np.int64))
+    within = np.arange(tot, dtype=np.int64) - np.repeat(seg_offs[:-1], m)
+    is_last = within == np.repeat(m - 1, m)
+    sep_w = (~is_last).astype(np.int64)
+    vals, offs = gather_slices(arr, ls, le + sep_w)
+    sep_rows = np.flatnonzero(sep_w == 1)
+    if len(sep_rows):
+        vals = np.asarray(vals)
+        vals[offs[1:][sep_rows] - 1] = 10
+    return vals, offs[seg_offs[:-1]], offs[seg_offs[1:]]
+
+
+_WS_SET = (9, 11, 12, 13, 32)
+
+_WS_LUT = np.zeros(256, bool)
+_WS_LUT[list(_WS_SET) + [10]] = True
+
+
+def _parse_key_lines_np(arr: np.ndarray, ls: np.ndarray, ll: np.ndarray,
+                        N: int):
+    """Numpy fallback for native.sdf_keys: windowed '>' WS* '<' key '>'
+    parse + FNV hash. Returns (ks, ke, h, valid) or (None,)*4 when a line
+    exceeds the window."""
+    W = 80
+    if int(ll.max(initial=0)) > W:
+        return None, None, None, None
+    pos = np.arange(W, dtype=np.int64)
+    win = arr[np.minimum(ls[:, None] + pos[None, :], N - 1)]
+    ch = np.where(pos[None, :] < ll[:, None], win, 0)
+    is_lt = ch == 60
+    lt_pos = np.where(is_lt.any(1), is_lt.argmax(1), W)
+    is_gt2 = (ch == 62) & (pos[None, :] > lt_pos[:, None])
+    gt_pos = np.where(is_gt2.any(1), is_gt2.argmax(1), W)
+    mid = (pos[None, :] > 0) & (pos[None, :] < lt_pos[:, None])
+    ws_ok = np.all(~mid | (ch == 32) | (ch == 9), axis=1)
+    valid = (lt_pos < W) & (gt_pos < W) & ws_ok
+    klen = gt_pos - lt_pos - 1
+    row_i = np.arange(len(ls), dtype=np.int64)[:, None]
+    kbuf = np.where(pos[None, :] < klen[:, None],
+                    ch[row_i, np.minimum(lt_pos[:, None] + 1 + pos[None, :],
+                                         W - 1)],
+                    0).astype(np.uint8)
+    with np.errstate(over="ignore"):
+        h = np.full(len(ls), 1469598103934665603, np.uint64)
+        prime = np.uint64(1099511628211)
+        live = pos[None, :] < klen[:, None]
+        for c in range(W):
+            col = kbuf[:, c].astype(np.uint64)
+            upd = (h ^ col) * prime
+            h = np.where(live[:, c], upd, h)
+    return ls + lt_pos + 1, ls + gt_pos, h, valid
+
+
+def _data_sections_fast(arr: np.ndarray, li: LineIndex, first: np.ndarray,
+                        term: np.ndarray, atom: np.ndarray,
+                        bond: np.ndarray):
+    """Vectorized '> <key>' property extraction: one gather for all value
+    bytes, per-key per-record spans into it — no per-row Python. Returns
+    (vals_flat, {key: (vs, ve, has)}, key_order), or None when a key line
+    exceeds the parse window (pathological → exact slow path)."""
+    starts = li.starts.astype(np.int64)
+    ends = li.ends.astype(np.int64)
+    lens = ends - starts
+    n = len(first)
+    nl = len(starts)
+    N = len(arr)
+    empty_res = (np.zeros(0, np.uint8), {}, [])
+    gt = np.flatnonzero((lens >= 1)
+                        & (arr[np.minimum(starts, N - 1)] == 62))
+    if len(gt) == 0:
+        return empty_res
+    rec = np.searchsorted(term, gt, side="right")
+    safe = np.clip(rec, 0, n - 1)
+    body = first + 4 + atom.astype(np.int64) + bond.astype(np.int64)
+    okr = (rec < n) & (gt >= body[safe]) & (gt < term[safe])
+    gt, rec = gt[okr], rec[okr]
+    if len(gt) == 0:
+        return empty_res
+    # -- key span parse: '>' WS* '<' key '>' + FNV-1a key hash (native
+    #    per-line loop; windowed numpy fallback). Key identity is the
+    #    64-bit content hash — the same guarantee the grouped aggregate
+    #    documents for group keys.
+    from .. import native
+
+    parsed = native.sdf_keys(arr, starts[gt], ends[gt])
+    if parsed is not None:
+        ks, ke, h, valid = parsed
+    else:
+        ks, ke, h, valid = _parse_key_lines_np(arr, starts[gt], lens[gt], N)
+        if ks is None:
+            return None
+    gt, rec = gt[valid], rec[valid]
+    if len(gt) == 0:
+        return empty_res
+    ks, ke, h = ks[valid], ke[valid], h[valid]
+    ninst = len(gt)
+    _uh, inv = np.unique(h, return_inverse=True)
+    inv = np.asarray(inv).reshape(-1)
+    nu = len(_uh)
+    firsts = np.full(nu, ninst, np.int64)
+    np.minimum.at(firsts, inv, np.arange(ninst, dtype=np.int64))
+    key_rank = np.argsort(firsts, kind="stable")
+    key_names = []
+    for u_i in key_rank:
+        f = int(firsts[u_i])
+        key_names.append(bytes(arr[ks[f]:ke[f]]).decode("utf-8", "replace"))
+    # -- value line ranges: lines j+1 .. first EMPTY line (all-ws handled
+    #    post-gather as a prefix truncation)
+    empty_idx = np.append(np.flatnonzero(lens == 0), nl)  # sentinel
+    nxt_empty = empty_idx[np.searchsorted(empty_idx, gt, side="right")]
+    vend_line = np.minimum(nxt_empty, term[rec])
+    vstart_line = gt + 1
+    m = np.maximum(vend_line - vstart_line, 0)
+    line_idx, inst_of, _within = _ragged_arange(vstart_line, m)
+    seg_offs = np.zeros(ninst + 1, np.int64)
+    np.cumsum(m, out=seg_offs[1:])
+    vals_flat, inst_start, inst_end = _join_line_spans(
+        arr, starts[line_idx], ends[line_idx], seg_offs)
+    # -- all-whitespace lines terminate a value early: the kept content is
+    #    a PREFIX of the empty-terminated gather
+    tot_lines = len(line_idx)
+    if tot_lines:
+        is_last = _within == np.repeat(m - 1, m)
+        sep_w = (~is_last).astype(np.int64)
+        out_lens = (ends[line_idx] - starts[line_idx]) + sep_w
+        offs_lines = np.zeros(tot_lines + 1, np.int64)
+        np.cumsum(out_lens, out=offs_lines[1:])
+        ws = _WS_LUT[vals_flat]
+        all_ws = np.minimum.reduceat(ws.astype(np.uint8),
+                                     offs_lines[:-1]) == 1
+        ws_rows = np.flatnonzero(all_ws)
+        if len(ws_rows):
+            first_ws = np.full(ninst, tot_lines, np.int64)
+            np.minimum.at(first_ws, inst_of[ws_rows], ws_rows)
+            trunc = first_ws < seg_offs[1:]
+            tl = np.minimum(first_ws, tot_lines - 1)
+            not_first = tl > seg_offs[:-1]
+            inst_end = np.where(
+                trunc, offs_lines[tl] - not_first.astype(np.int64),
+                inst_end)
+    # -- last occurrence wins per (record, key)
+    pair = rec.astype(np.int64) * np.int64(nu) + inv
+    order = np.argsort(pair, kind="stable")
+    p_s = pair[order]
+    last = np.r_[p_s[1:] != p_s[:-1], True] if len(p_s) else \
+        np.zeros(0, bool)
+    chosen = order[last]
+    out = {}
+    for name, u_i in zip(key_names, key_rank):
+        sel = chosen[inv[chosen] == u_i]
+        vs = np.zeros(n, np.int64)
+        ve = np.zeros(n, np.int64)
+        has = np.zeros(n, bool)
+        rr = rec[sel]
+        vs[rr] = inst_start[sel]
+        ve[rr] = inst_end[sel]
+        has[rr] = True
+        out[name] = (vs, ve, has)
+    return vals_flat, out, key_names
+
+
+def _headers_fast(arr: np.ndarray, li: LineIndex, first: np.ndarray,
+                  term: np.ndarray):
+    """Vectorized header build: first 3 lines per record, stripped,
+    non-empty joined with '\\n'. Returns (flat bytes, start, end) per
+    record, or None when a header line's edge whitespace exceeds the
+    window (pathological → slow path)."""
+    starts = li.starts.astype(np.int64)
+    ends = li.ends.astype(np.int64)
+    n = len(first)
+    N = len(arr)
+    from .. import native
+
+    m = np.maximum(np.minimum(first + 3, term) - first, 0)
+    line_idx, rec_of, _w = _ragged_arange(first, m)
+    ls, le = starts[line_idx], ends[line_idx]
+    stripped = native.strip_spans(arr, ls, le)
+    if stripped is not None:
+        s2, e2 = stripped
+    else:
+        ln = le - ls
+        W = 96
+        pos = np.arange(W, dtype=np.int64)
+        ws_b = np.asarray(_WS_SET, np.uint8)
+        # leading whitespace count (within window)
+        win = arr[np.minimum(ls[:, None] + pos[None, :], N - 1)]
+        in_l = pos[None, :] < ln[:, None]
+        nonws = in_l & ~np.isin(win, ws_b)
+        lead = np.where(nonws.any(1), nonws.argmax(1), np.minimum(ln, W))
+        if np.any((ln > W) & (lead >= W)):
+            return None  # > W leading spaces on an over-window line
+        # trailing whitespace count (window ending at le)
+        back = np.maximum(le[:, None] - 1 - pos[None, :], 0)
+        winb = arr[np.minimum(back, N - 1)]
+        in_b = pos[None, :] < ln[:, None]
+        nonwsb = in_b & ~np.isin(winb, ws_b)
+        trail = np.where(nonwsb.any(1), nonwsb.argmax(1), np.minimum(ln, W))
+        if np.any((ln > W) & (trail >= W)):
+            return None
+        s2 = ls + lead
+        e2 = np.maximum(le - trail, s2)
+    keep = e2 > s2
+    # per-record contiguous runs of kept lines
+    kept_rec = rec_of[keep]
+    s2k, e2k = s2[keep], e2[keep]
+    cnt = np.zeros(n, np.int64)
+    np.add.at(cnt, kept_rec, 1)
+    seg_offs = np.zeros(n + 1, np.int64)
+    np.cumsum(cnt, out=seg_offs[1:])
+    flat, h_start, h_end = _join_line_spans(arr, s2k, e2k, seg_offs)
+    return flat, h_start, h_end
+
+
 def decode_host(data: bytes, options: SdfOptions,
                 projection: Optional[list[str]] = None) -> Iterator[Batch]:
     from .. import native
@@ -215,24 +455,40 @@ def decode_host(data: bytes, options: SdfOptions,
         atom_counts, bond_counts = _parse_counts(arr, li, first, term)
     else:
         atom_counts = bond_counts = np.zeros(n, np.uint32)
-    headers = _headers(arr, li, first, term) if want("header") else None
-    data_maps: Optional[list[dict]] = None
+    headers_fast = headers = None
+    if want("header"):
+        headers_fast = _headers_fast(arr, li, first, term)
+        if headers_fast is None:
+            headers = _headers(arr, li, first, term)
+    data_fast = data_maps = None
     key_order: list[str] = []
     if want("data") or need_keys:
-        data_maps, key_order = _data_sections(arr, li, first, term,
-                                              atom_counts, bond_counts)
+        data_fast = _data_sections_fast(arr, li, first, term,
+                                        atom_counts, bond_counts)
+        if data_fast is None:
+            data_maps, key_order = _data_sections(arr, li, first, term,
+                                                  atom_counts, bond_counts)
+        else:
+            _vals_flat, _data_cols, key_order = data_fast
     keys = options.data_keys or (tuple(key_order) if key_order
                                  else ("canonical_smiles",))
     schema = sdf_schema(options, keys)
     proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
     bs = options.batch_size
+    none_col = None
     for lo in range(0, n, bs):
         hi = min(lo + bs, n)
         cols = []
         for name in proj:
             if name == "header":
-                cols.append(utf8_column(headers[lo:hi]))
+                if headers_fast is not None:
+                    hflat, hs, he = headers_fast
+                    v, offs = gather_slices(hflat, hs[lo:hi], he[lo:hi])
+                    cols.append(var_column(v, offs,
+                                           np.ones(hi - lo, bool)))
+                else:
+                    cols.append(utf8_column(headers[lo:hi]))
             elif name == "atom_count":
                 cols.append(FixedColumn(atom_counts[lo:hi],
                                         np.ones(hi - lo, bool)))
@@ -242,7 +498,21 @@ def decode_host(data: bytes, options: SdfOptions,
             elif name == "data":
                 children = {}
                 for k in keys:
-                    children[k] = utf8_column(
-                        [data_maps[i].get(k) for i in range(lo, hi)])
+                    if data_fast is not None:
+                        spans = _data_cols.get(k)
+                        if spans is None:
+                            if none_col is None or \
+                                    len(none_col.validity) != hi - lo:
+                                none_col = utf8_column([None] * (hi - lo))
+                            children[k] = none_col
+                            continue
+                        vs, ve, has = spans
+                        v, offs = gather_slices(
+                            _vals_flat, np.where(has, vs, 0)[lo:hi],
+                            np.where(has, ve, 0)[lo:hi])
+                        children[k] = var_column(v, offs, has[lo:hi])
+                    else:
+                        children[k] = utf8_column(
+                            [data_maps[i].get(k) for i in range(lo, hi)])
                 cols.append(StructColumn(children, np.ones(hi - lo, bool)))
         yield batch_from_host(out_schema, cols, hi - lo)

@@ -232,6 +232,22 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64),
             np.ctypeslib.ndpointer(np.uint8)]
+        lib.exon_strip_spans.restype = ctypes.c_int64
+        lib.exon_strip_spans.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64)]
+        lib.exon_sdf_keys.restype = ctypes.c_int64
+        lib.exon_sdf_keys.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.int64),
+            np.ctypeslib.ndpointer(np.uint64),
+            np.ctypeslib.ndpointer(np.uint8)]
     except AttributeError:
         pass
     try:
@@ -510,6 +526,39 @@ def sdf_terms(data, starts: np.ndarray, ends: np.ndarray):
     out = np.empty(nl, np.uint8)
     lib.exon_sdf_terms(ptr, n, starts, ends, nl, out)
     return out.astype(bool)
+
+
+def strip_spans(data, starts: np.ndarray, ends: np.ndarray):
+    """(starts, ends) with ASCII whitespace trimmed both ends, or None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_strip_spans"):
+        return None
+    ptr, n = _as_ptr(data)
+    count = len(starts)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    out_s = np.empty(count, np.int64)
+    out_e = np.empty(count, np.int64)
+    rc = int(lib.exon_strip_spans(ptr, n, starts, ends, count, out_s, out_e))
+    return (out_s, out_e) if rc >= 0 else None
+
+
+def sdf_keys(data, starts: np.ndarray, ends: np.ndarray):
+    """('> <key>' parse) per line: (key_start, key_end, fnv64, ok) or
+    None."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "exon_sdf_keys"):
+        return None
+    ptr, n = _as_ptr(data)
+    count = len(starts)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    ks = np.empty(count, np.int64)
+    ke = np.empty(count, np.int64)
+    h = np.empty(count, np.uint64)
+    ok = np.empty(count, np.uint8)
+    lib.exon_sdf_keys(ptr, n, starts, ends, count, ks, ke, h, ok)
+    return ks, ke, h, ok.astype(bool)
 
 
 def parse_ints(data, starts: np.ndarray, ends: np.ndarray):

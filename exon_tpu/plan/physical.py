@@ -44,7 +44,13 @@ class PhysicalPlan:
     def collect_arrow(self):
         import pyarrow as pa
 
-        tables = [b.to_arrow() for b in self.batches()]
+        src = self
+        if isinstance(src, ScanExec) and src.to_device:
+            # root bare scan: the device adds no compute — emit the host
+            # decode stream directly (a tunneled-TPU round-trip costs far
+            # more than the whole decode; ~tens of MB/s bulk transfer)
+            src = dataclasses.replace(src, to_device=False)
+        tables = [b.to_arrow() for b in src.batches()]
         pa_schema = None
         batches = []
         for rb in tables:

@@ -236,3 +236,55 @@ int64_t exon_parse_ints(const uint8_t *data, int64_t n,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Trim ASCII whitespace (space \t \v \f \r) from both ends of each span.
+int64_t exon_strip_spans(const uint8_t *data, int64_t n,
+                         const int64_t *starts, const int64_t *ends,
+                         int64_t count, int64_t *out_s, int64_t *out_e) {
+  auto is_ws = [](uint8_t c) {
+    return c == ' ' || c == '\t' || c == '\v' || c == '\f' || c == '\r';
+  };
+  for (int64_t i = 0; i < count; i++) {
+    int64_t s = starts[i], e = ends[i];
+    if (s < 0 || e > n || s > e) return -1;
+    while (s < e && is_ws(data[s])) s++;
+    while (e > s && is_ws(data[e - 1])) e--;
+    out_s[i] = s;
+    out_e[i] = e;
+  }
+  return count;
+}
+
+// Parse SDF property key lines: '>' WS* '<' key '>' (key = bytes to the
+// FIRST '>' after '<', matching the reference's non-greedy regex). Emits
+// the key span, a 64-bit FNV-1a hash of the key bytes, and ok per line.
+int64_t exon_sdf_keys(const uint8_t *data, int64_t n, const int64_t *starts,
+                      const int64_t *ends, int64_t count, int64_t *ks,
+                      int64_t *ke, uint64_t *hash, uint8_t *ok) {
+  for (int64_t i = 0; i < count; i++) {
+    int64_t s = starts[i], e = ends[i];
+    ks[i] = ke[i] = 0;
+    hash[i] = 0;
+    ok[i] = 0;
+    if (s < 0 || e > n || s >= e || data[s] != '>') continue;
+    int64_t p = s + 1;
+    while (p < e && (data[p] == ' ' || data[p] == '\t')) p++;
+    if (p >= e || data[p] != '<') continue;
+    int64_t k0 = p + 1, k1 = k0;
+    while (k1 < e && data[k1] != '>') k1++;
+    if (k1 >= e) continue;
+    uint64_t h = 1469598103934665603ULL;
+    for (int64_t q = k0; q < k1; q++) {
+      h = (h ^ (uint64_t)data[q]) * 1099511628211ULL;
+    }
+    ks[i] = k0;
+    ke[i] = k1;
+    hash[i] = h;
+    ok[i] = 1;
+  }
+  return count;
+}
+
+}  // extern "C"

@@ -202,3 +202,46 @@ def test_vcf_header_line_over_1mib(tmp_path):
     assert len(lines) == 2
     assert lines[0] == b"##fileformat=VCFv4.2"
     assert lines[1] == chrom_line.encode()
+
+
+def test_sdf_fast_path_edge_cases(ctx, tmp_path):
+    """Vectorized SDF property/header extraction matches the reference
+    semantics on CRLF endings, space-only value terminators, duplicate
+    keys (last wins), empty values, and multi-line values."""
+    rec = (
+        "  Title\r\n"
+        " prog\r\n"
+        "\r\n"
+        "  1  0  0  0  0  0  0  0  0  0999 V2000\r\n"
+        "    0.0000    0.0000    0.0000 C   0  0\r\n"
+        "M  END\r\n"
+        "> <a>\r\n"
+        "line1\r\n"
+        "line2\r\n"
+        "\r\n"
+        ">  <b>\r\n"
+        "val\r\n"
+        "   \r\n"
+        "ignored-after-spaces\r\n"
+        "\r\n"
+        "> <a>\r\n"
+        "wins\r\n"
+        "\r\n"
+        "> <empty>\r\n"
+        "\r\n"
+        "$$$$\r\n")
+    p = tmp_path / "edge.sdf"
+    p.write_bytes(rec.encode() * 2)
+    t = ctx.read_sdf(str(p)).collect_arrow()
+    assert t.num_rows == 2
+    assert t.column("header").to_pylist() == ["Title\nprog"] * 2
+    data = t.column("data").to_pylist()
+    assert data[0]["a"] == "wins"          # duplicate key: last wins
+    assert data[0]["b"] == "val"           # space-only line terminates
+    assert data[0]["empty"] == ""          # key present, empty value
+    assert data[0] == data[1]
+    # multi-line join must be '\n' (not '\r\n') — check via engine value
+    q = ctx.sql(
+        f"SELECT COUNT(*) AS n FROM sdf_scan('{p}') t "
+        f"WHERE t.data.a = 'wins'").to_pandas()
+    assert q["n"].tolist() == [2]
