@@ -53,12 +53,45 @@ read_inferred_exon_table <- function(path, endpoint = .exon_endpoint()) {
   exon_sql(sprintf("SELECT * FROM %s('%s')", fn, path), endpoint)
 }
 
-#' Import a query result through the Arrow C stream ABI instead of HTTP —
-#' the in-process path when R and the engine share a process via
-#' reticulate (the exact mechanism the reference's extendr binding uses).
+#' ---- In-process path (reticulate + Arrow C stream ABI) ----------------
+#'
+#' The reference's exon-r hands R a pointer to a Rust-filled
+#' FFI_ArrowArrayStream (exon-r/exonr/src/rust/src/lib.rs:31-57). The
+#' same mechanism here: R allocates the ArrowArrayStream struct
+#' (nanoarrow), the engine fills it in-process (exon_tpu.ffi.export_to_c),
+#' and R imports it zero-copy — no server, no HTTP.
+#'
+#' Requires: reticulate, nanoarrow, arrow; python env with exon_tpu.
+
+.exon_py <- local({
+  sess <- NULL
+  function() {
+    if (is.null(sess)) {
+      ex <- reticulate::import("exon_tpu")
+      sess <<- ex$ExonSession$new_exon()
+    }
+    sess
+  }
+})
+
+#' Import an exon_tpu DataFrame (reticulate handle) as an arrow Table,
+#' in-process through the Arrow C stream ABI.
 read_exon_c_stream <- function(py_dataframe) {
-  # py_dataframe: a reticulate handle to an exon_tpu DataFrame
-  reticulate::py_run_string("import exon_tpu.ffi as _ffi")
-  capsule <- py_dataframe$`__arrow_c_stream__`()
-  arrow::RecordBatchStreamReader$import_from_c(capsule)
+  ffi <- reticulate::import("exon_tpu.ffi")
+  stream <- nanoarrow::nanoarrow_allocate_array_stream()
+  ffi$export_to_c(py_dataframe,
+                  nanoarrow::nanoarrow_pointer_addr_chr(stream))
+  arrow::as_arrow_table(stream)
+}
+
+#' In-process read_inferred_exon_table: format inferred from extension,
+#' decoded by the engine in this process, imported over the C ABI.
+read_exon_inprocess <- function(path) {
+  read_exon_c_stream(.exon_py()$read_inferred_exon_table(path))
+}
+
+#' In-process SQL: plan + execute in the embedded engine, import the
+#' result table over the C ABI.
+exon_sql_inprocess <- function(sql) {
+  read_exon_c_stream(.exon_py()$sql(sql))
 }

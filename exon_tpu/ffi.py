@@ -46,6 +46,21 @@ def to_arrow_c_stream(df, requested_schema=None):
     return reader.__arrow_c_stream__(requested_schema)
 
 
+def export_to_c(df, stream_ptr: int) -> None:
+    """Write the DataFrame's result stream into a caller-allocated
+    ``ArrowArrayStream`` struct at address ``stream_ptr``.
+
+    This is the reference's exact FFI mechanism
+    (exon-core/src/ffi/mod.rs:58-73 writes an FFI_ArrowArrayStream at the
+    pointer the R side allocated): R calls it in-process through
+    reticulate — allocate the struct with
+    ``nanoarrow::nanoarrow_allocate_array_stream()``, pass
+    ``nanoarrow_pointer_addr_chr(...)`` here, then import with R arrow or
+    nanoarrow. See bindings/r/exonr.R read_exon_inprocess()."""
+    reader = record_batch_reader(df)
+    reader._export_to_c(int(stream_ptr))
+
+
 def read_inferred_exon_table(path: str, session=None):
     """Infer the format from the extension and stream the table
     (reference: exon-r read_inferred_exon_table, exonr/src/rust/src/lib.rs:31-57)."""

@@ -9,15 +9,17 @@ an Arrow IPC stream — the same wire format FlightSQL rides — and
 ``exon_tpu.client.ExonClient`` is the exon-py-shaped consumer.
 
 Design: stdlib http.server (no gRPC dependency in the image) + pyarrow IPC.
-Connections are handled concurrently but query execution serializes behind
-a session lock (CREATE EXTERNAL TABLE mutates catalog state, and engine
-execution is not documented thread-safe); the IPC stream is encoded to a
-buffer, then written with Content-Length. Health check at GET /health
-(exon-py health proto analog).
+Concurrency is reader-writer: SELECT-shaped statements run in parallel
+under a shared lock, while catalog-mutating statements (CREATE/DROP/SET/
+INSERT/COPY) serialize exclusively. Results stream back per record batch
+with chunked transfer encoding — the first batch is materialized before
+the status line so planner/execution errors still surface as 400 JSON.
+Health check at GET /health (exon-py health proto analog).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import io
 import json
 import threading
@@ -25,22 +27,111 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 
+class _RWLock:
+    """Reader-writer lock: many readers OR one writer (writer priority —
+    a waiting writer blocks new readers so DDL can't starve)."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+        self._writers_waiting = 0
+
+    def acquire_read(self):
+        with self._cond:
+            while self._writer or self._writers_waiting:
+                self._cond.wait()
+            self._readers += 1
+
+    def release_read(self):
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def acquire_write(self):
+        with self._cond:
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
+            self._writer = True
+
+    def release_write(self):
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
+_READONLY_HEADS = ("select", "with", "values", "explain", "show",
+                   "describe", "table")
+
+
+def _is_readonly(sql: str) -> bool:
+    head = sql.lstrip().lstrip("(").split(None, 1)
+    return bool(head) and head[0].lower() in _READONLY_HEADS
+
+
+class _ChunkSink:
+    """File-like that frames writes as HTTP/1.1 chunks (small buffer so
+    pyarrow's many tiny header writes don't become tiny chunks)."""
+
+    closed = False
+
+    def __init__(self, wfile, bufsize: int = 1 << 16):
+        self._w = wfile
+        self._buf = bytearray()
+        self._bufsize = bufsize
+
+    def writable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    def close(self) -> None:  # pyarrow closes the wrapped sink on exit
+        self.flush()
+
+    def write(self, data) -> int:
+        self._buf += data
+        if len(self._buf) >= self._bufsize:
+            self.flush()
+        return len(data)
+
+    def flush(self) -> None:
+        if self._buf:
+            self._w.write(f"{len(self._buf):X}\r\n".encode())
+            self._w.write(bytes(self._buf))
+            self._w.write(b"\r\n")
+            self._buf.clear()
+
+    def finish(self) -> None:
+        self.flush()
+        self._w.write(b"0\r\n\r\n")
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "exon-tpu"
+    protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
 
     def log_message(self, fmt, *args):  # route through engine tracing
         from .tracing import logger
 
         logger.debug("serve: " + fmt, *args)
 
+    def _send_json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self):
         if self.path == "/health":
-            body = json.dumps({"status": "SERVING"}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
+            self._send_json(200, {"status": "SERVING"})
         else:
             self.send_error(404)
 
@@ -53,30 +144,55 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length", 0))
         sql = self.rfile.read(n).decode("utf-8")
         session = self.server.exon_session  # type: ignore[attr-defined]
+        lock: _RWLock = self.server.exon_rwlock  # type: ignore[attr-defined]
+        readonly = _is_readonly(sql)
+        if readonly:
+            lock.acquire_read()
+        else:
+            lock.acquire_write()
         try:
-            # one query at a time: session catalog mutations (CREATE
-            # EXTERNAL TABLE) and engine execution race otherwise
-            with self.server.exon_lock:  # type: ignore[attr-defined]
+            try:
                 df = session.sql(sql)
-                tab = df.collect_arrow()
-        except Exception as e:  # surface engine errors as 400 + message
-            body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
-            self.send_response(400)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(body)))
+                plan = _host_root(df._execute(df._plan))
+                bit = plan.batches()
+                first = next(bit, None)
+            except Exception as e:  # surface engine errors as 400 + message
+                self._send_json(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "application/vnd.apache.arrow.stream")
+            self.send_header("Transfer-Encoding", "chunked")
             self.end_headers()
-            self.wfile.write(body)
-            return
-        sink = io.BytesIO()
-        with pa.ipc.new_stream(sink, tab.schema) as w:
-            for rb in tab.to_batches(max_chunksize=8192):
-                w.write_batch(rb)
-        body = sink.getvalue()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/vnd.apache.arrow.stream")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
+            sink = _ChunkSink(self.wfile)
+            if first is None:
+                tab = plan.collect_arrow()  # schema'd empty table
+                with pa.ipc.new_stream(sink, tab.schema) as w:
+                    pass
+            else:
+                rb = first.to_arrow()
+                with pa.ipc.new_stream(sink, rb.schema) as w:
+                    if rb.num_rows:
+                        w.write_batch(rb)
+                    for b in bit:  # stream as produced — bounded memory
+                        rb = b.to_arrow()
+                        if rb.num_rows:
+                            w.write_batch(rb)
+            sink.finish()
+        finally:
+            if readonly:
+                lock.release_read()
+            else:
+                lock.release_write()
+
+
+def _host_root(plan):
+    from .plan.physical import ScanExec
+
+    if isinstance(plan, ScanExec) and plan.to_device:
+        # bare scan at the root: stream host batches, skip the device
+        return dataclasses.replace(plan, to_device=False)
+    return plan
 
 
 class ExonServer:
@@ -91,7 +207,7 @@ class ExonServer:
         self.session = session
         self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.exon_session = session  # type: ignore[attr-defined]
-        self._httpd.exon_lock = threading.Lock()  # type: ignore[attr-defined]
+        self._httpd.exon_rwlock = _RWLock()  # type: ignore[attr-defined]
         self._thread: Optional[threading.Thread] = None
 
     @property

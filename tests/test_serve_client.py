@@ -56,3 +56,71 @@ def test_server_shares_session_state():
         # the registered table is visible on the embedded session too
         assert ctx.sql("SELECT COUNT(*) FROM seqs").collect_arrow() \
             .column(0).to_pylist() == [2]
+
+
+def test_concurrent_selects_run_in_parallel():
+    """SELECTs share a read lock (parallel); DDL takes the write lock
+    (exclusive). Instrumented via a wrapper on session.sql that records
+    in-flight concurrency."""
+    import threading
+    import time
+
+    ctx = ExonSession.new_exon()
+    state = {"inflight": 0, "peak_read": 0, "peak_write": 0}
+    mon = threading.Lock()
+    orig = ctx.sql
+
+    def wrapped(q):
+        kind = "write" if q.lstrip().lower().startswith("create") else "read"
+        with mon:
+            state["inflight"] += 1
+            state[f"peak_{kind}"] = max(state[f"peak_{kind}"],
+                                        state["inflight"])
+        try:
+            time.sleep(0.25)  # force overlap if the lock allows it
+            return orig(q)
+        finally:
+            with mon:
+                state["inflight"] -= 1
+
+    ctx.sql = wrapped
+    with ExonServer(session=ctx) as srv:
+        client = ExonClient(srv.address)
+
+        def post(q):
+            client.sql(q)
+
+        ts = [threading.Thread(target=post, args=("SELECT 1 AS x",))
+              for _ in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert state["peak_read"] >= 2, \
+            f"concurrent SELECTs serialized: {state}"
+
+        ts = [threading.Thread(
+            target=post,
+            args=(f"CREATE EXTERNAL TABLE w{i} STORED AS FASTA "
+                  f"LOCATION '{FASTA}'",)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert state["peak_write"] == 1, \
+            f"DDL did not serialize: {state}"
+
+
+def test_streamed_result_chunks_reassemble():
+    """Chunked-transfer results reassemble exactly on the client."""
+    ctx = ExonSession.new_exon()
+    with ExonServer(session=ctx) as srv:
+        client = ExonClient(srv.address)
+        tab = client.sql(f"SELECT id, description, sequence "
+                         f"FROM fasta_scan('{FASTA}')")
+        assert tab.num_rows == 2
+        assert set(tab.column_names) == {"id", "description", "sequence"}
+        # empty result still carries a schema
+        tab = client.sql(f"SELECT id FROM fasta_scan('{FASTA}') "
+                         f"WHERE id = 'nope'")
+        assert tab.num_rows == 0 and tab.column_names == ["id"]

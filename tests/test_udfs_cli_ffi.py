@@ -144,3 +144,29 @@ def test_ffi_stream_c_abi_consumer(session):
     assert rows.value == 2        # test.fasta has 2 records
     assert cols.value == 3        # id, description, sequence
     assert batches.value >= 1
+
+
+def test_ffi_export_to_c_pointer_roundtrip(ctx):
+    """export_to_c fills a caller-allocated ArrowArrayStream at a raw
+    address — the exact in-process mechanism bindings/r/exonr.R uses via
+    reticulate + nanoarrow (reference: exon-r lib.rs:31-57)."""
+    import ctypes
+
+    import pyarrow as pa
+
+    from exon_tpu.ffi import export_to_c
+
+    fasta = ("/root/reference/exon/exon-core/test-data/datasources/"
+             "fasta/test.fasta")
+    df = ctx.sql(f"SELECT id, sequence FROM fasta_scan('{fasta}') "
+                 f"ORDER BY id")
+    buf = ctypes.create_string_buffer(80)  # ArrowArrayStream is 5 ptrs
+    addr = ctypes.addressof(buf)
+    export_to_c(df, addr)
+    reader = pa.RecordBatchReader._import_from_c(addr)
+    tab = reader.read_all()
+    assert tab.column("id").to_pylist() == ["a", "b"]
+    # string address form too (nanoarrow_pointer_addr_chr passes chars)
+    export_to_c(ctx.sql("SELECT 7 AS x"), str(addr))
+    tab = pa.RecordBatchReader._import_from_c(addr).read_all()
+    assert tab.column("x").to_pylist() == [7]
