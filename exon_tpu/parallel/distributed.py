@@ -2000,11 +2000,16 @@ def _collect_side(side: PhysicalPlan, key_exprs: tuple,
 
 @functools.cache
 def _pjoin_key_step(key_exprs: tuple):
-    from ..plan.physical import _group_key_i64
+    from ..plan.physical import _group_key_i64, _group_key_valid
 
     @jax.jit
     def step(b: Batch):
-        return _group_key_i64(key_exprs, b), b.row_mask()
+        # mask excludes null-key rows (SQL join equality); window
+        # partition hashing uses only the key (NULLs form one partition
+        # via the key sentinel)
+        return (_group_key_i64(key_exprs, b),
+                jnp.logical_and(b.row_mask(),
+                                _group_key_valid(key_exprs, b)))
 
     return step
 

@@ -28,7 +28,8 @@ from ..batch import (Batch, DictColumn, FixedColumn, Schema, VarColumn,
 from ..errors import PlanError
 from ..ops import layout as layout_ops
 from .expressions import Expr, eval_expr, as_bool_mask
-from .physical import (PhysicalPlan, _group_key_i64, concat_batches,
+from .physical import (PhysicalPlan, _group_key_i64, _group_key_valid,
+                       concat_batches,
                        sort_permutation)
 
 
@@ -99,7 +100,9 @@ def _jit_build_sort(right_keys: tuple):
     @jax.jit
     def step(build: Batch):
         keys = _group_key_i64(right_keys, build)
-        mask = build.row_mask()
+        # null-key build rows can never match (SQL equality) — padding
+        mask = jnp.logical_and(build.row_mask(),
+                               _group_key_valid(right_keys, build))
         # padding rows must sort AFTER every real key without aliasing any
         # real value: a finite sentinel (the old 1<<62) silently dropped
         # all matches for keys hashing above it (~1/8 of the hash space,
@@ -111,7 +114,9 @@ def _jit_build_sort(right_keys: tuple):
         perm1 = jnp.argsort(keys, stable=True).astype(jnp.int32)
         pad_last = jnp.argsort(jnp.logical_not(mask)[perm1], stable=True)
         perm = perm1[pad_last].astype(jnp.int32)
-        n = jnp.asarray(build.length, jnp.int32)
+        # live cutoff = masked rows (null-key rows count as padding, so
+        # their sentinel keys must fall in the overwritten tail)
+        n = jnp.sum(mask, dtype=jnp.int32)
         sorted_build = layout_ops.take_batch(build, perm, n)
         skeys = jnp.where(
             jnp.arange(keys.shape[0], dtype=jnp.int32) < n,
@@ -126,7 +131,8 @@ def _jit_probe_counts(left_keys: tuple):
     @jax.jit
     def step(pb: Batch, sorted_keys, n_build):
         keys = _group_key_i64(left_keys, pb)
-        mask = pb.row_mask()
+        mask = jnp.logical_and(pb.row_mask(),
+                               _group_key_valid(left_keys, pb))
         lo = jnp.searchsorted(sorted_keys, keys, side="left").astype(jnp.int32)
         hi = jnp.searchsorted(sorted_keys, keys, side="right").astype(jnp.int32)
         lo = jnp.minimum(lo, n_build)
@@ -199,11 +205,14 @@ def _jit_probe_plan(left_keys: tuple, how: str, on: tuple):
     def step(pb: Batch, build: Batch, sorted_keys, n_build):
         keys = _group_key_i64(left_keys, pb)
         mask = pb.row_mask()
+        # null-key probe rows match nothing (SQL equality); for LEFT they
+        # still emit once, unmatched
+        kmask = jnp.logical_and(mask, _group_key_valid(left_keys, pb))
         lo = jnp.searchsorted(sorted_keys, keys, side="left").astype(jnp.int32)
         hi = jnp.searchsorted(sorted_keys, keys, side="right").astype(jnp.int32)
         lo = jnp.minimum(lo, n_build)
         hi = jnp.minimum(hi, n_build)
-        counts = jnp.where(mask, hi - lo, 0).astype(jnp.int32)
+        counts = jnp.where(kmask, hi - lo, 0).astype(jnp.int32)
         if how == "left":
             out_counts = jnp.maximum(counts, mask.astype(jnp.int32))
         else:

@@ -735,6 +735,9 @@ def _jit_finalize_grouped(agg_calls: tuple, out_schema: Schema, n_group: int):
     return fin
 
 
+_NULL_KEY_SENT = np.int64(np.uint64(0x9E3779B97F4A7C15))
+
+
 def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
     """Combine group expressions into a single int64 key per row.
 
@@ -743,6 +746,12 @@ def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
     cross-batch merges key on content, not representation. Joins re-verify
     with byte-equality residuals; group-by relies on the 64-bit hash
     (collision odds ~ n^2 / 2^64).
+
+    NULL values mix a fixed sentinel into their part, so a NULL key forms
+    its own group distinct from any real value (SQL GROUP BY semantics —
+    NULLs group together; previously NULL aliased the slot's zero fill).
+    Joins additionally EXCLUDE null-key rows from matching via
+    _group_key_valid (SQL equality: NULL matches nothing, not even NULL).
     """
     parts = []
     for e in group_exprs:
@@ -752,15 +761,20 @@ def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
             # dict- and var-encoded sides of a join/group agree on keys
             table = np.asarray([_hash_bytes_host(s.encode()) for s in v.vocab]
                                or [0], dtype=np.int64)
-            parts.append(jnp.asarray(table)[jnp.clip(v.codes, 0, len(table) - 1)])
+            p = jnp.asarray(table)[jnp.clip(v.codes, 0, len(table) - 1)]
+            parts.append(jnp.where(jnp.asarray(v.validity), p,
+                                   _NULL_KEY_SENT))
         elif isinstance(v, FixedColumn):
             if jnp.issubdtype(v.values.dtype, jnp.floating):
-                parts.append(jax.lax.bitcast_convert_type(
-                    v.values.astype(jnp.float64), jnp.int64))
+                p = jax.lax.bitcast_convert_type(
+                    v.values.astype(jnp.float64), jnp.int64)
             else:
-                parts.append(v.values.astype(jnp.int64))
+                p = v.values.astype(jnp.int64)
+            parts.append(jnp.where(jnp.asarray(v.validity), p,
+                                   _NULL_KEY_SENT))
         elif isinstance(v, VarColumn):
-            parts.append(_hash_var(v))
+            parts.append(jnp.where(jnp.asarray(v.validity), _hash_var(v),
+                                   _NULL_KEY_SENT))
         else:
             arr = jnp.asarray(v).astype(jnp.int64)
             if arr.ndim == 0:
@@ -773,6 +787,17 @@ def _group_key_i64(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
             + p.astype(jnp.uint64)
         key = k.astype(jnp.int64)
     return key
+
+
+def _group_key_valid(group_exprs: tuple, batch: Batch) -> jnp.ndarray:
+    """Per-row mask: every key expression non-NULL. Joins AND this into
+    their match masks — SQL equality never matches through NULL."""
+    ok = batch.row_mask()
+    for e in group_exprs:
+        v = eval_expr(e, batch)
+        if isinstance(v, (FixedColumn, VarColumn, DictColumn)):
+            ok = jnp.logical_and(ok, jnp.asarray(v.validity))
+    return ok
 
 
 _FNV_PRIME = 1099511628211          # 2^40 + 2^8 + 0xb3

@@ -782,18 +782,14 @@ def _correlated_quals(expr, corr_tables: set) -> list:
     return out
 
 
-def _decorrelate_exists(e, outer_stmt):
-    """[NOT] EXISTS with a single equi-correlation conjunct rewrites to
-    [NOT] IN (the semi/anti-join shape DataFusion's decorrelation produces
-    for this class). Other correlation raises instead of silently binding
-    outer-qualified names to same-named inner columns."""
-    import dataclasses as _dc
-
+def _corr_equalities(sub, outer_stmt):
+    """Split sub.where into correlation equalities [(outer, inner)] plus
+    the residual conjunction. Returns (keys, rest_where, corr_tables), or
+    None when uncorrelated; raises SqlError when correlation isn't a
+    conjunction of clean outer = inner equalities."""
     from ..plan.expressions import BinaryOp, split_conjunction
 
-    sub = e.stmt
-    if sub.where is None or getattr(sub, "group_by", None) or \
-            getattr(sub, "having", None) is not None:
+    if sub.where is None:
         return None
     inner = _ref_table_names(sub)
     outer = _ref_table_names(outer_stmt)
@@ -801,45 +797,141 @@ def _decorrelate_exists(e, outer_stmt):
     if not corr_tables:
         return None
     conjs = split_conjunction(sub.where)
-    corr = [(i, c) for i, c in enumerate(conjs)
-            if _correlated_quals(c, corr_tables)]
-    if not corr:
+    keys, rest = [], []
+    for c in conjs:
+        if not _correlated_quals(c, corr_tables):
+            rest.append(c)
+            continue
+        ok = isinstance(c, BinaryOp) and c.op == "="
+        if ok:
+            lcorr = bool(_correlated_quals(c.left, corr_tables))
+            rcorr = bool(_correlated_quals(c.right, corr_tables))
+            ok = lcorr != rcorr  # exactly one side references the outer
+        if not ok:
+            raise SqlError(
+                "correlated subqueries support conjunctions of outer = "
+                "inner equalities; rewrite as a JOIN")
+        o, i = (c.left, c.right) if lcorr else (c.right, c.left)
+        keys.append((o, i))
+    if not keys:
         return None
-    if len(corr) > 1:
-        raise SqlError(
-            "correlated EXISTS supports one equality against the outer "
-            "query; rewrite as a JOIN")
-    i, c = corr[0]
-    ok = isinstance(c, BinaryOp) and c.op == "="
-    if ok:
-        lcorr = bool(_correlated_quals(c.left, corr_tables))
-        rcorr = bool(_correlated_quals(c.right, corr_tables))
-        ok = lcorr != rcorr  # exactly one side references the outer query
-    if not ok:
-        raise SqlError(
-            "correlated EXISTS supports a single outer = inner equality; "
-            "rewrite as a JOIN")
-    outer_side, inner_side = (c.left, c.right) if lcorr else (c.right, c.left)
-    rest = [x for j, x in enumerate(conjs) if j != i]
     new_where = None
     for r in rest:
         new_where = r if new_where is None else BinaryOp("and", new_where, r)
-    new_sub = _dc.replace(sub, where=new_where,
-                          projections=[(inner_side, None)])
-    from ..plan.expressions import InSubquery
+    return keys, new_where, corr_tables
 
-    return InSubquery(outer_side, new_sub, e.negated)
+
+def _join_on(alias: str, keys: list):
+    """AND-chain of outer_j = <alias>.__kj equalities."""
+    from ..plan.expressions import BinaryOp, ColumnRef, FieldAccess
+
+    on = None
+    for j, (o, _i) in enumerate(keys):
+        eq = BinaryOp("=", o, FieldAccess(ColumnRef(alias), f"__k{j}"))
+        on = eq if on is None else BinaryOp("and", on, eq)
+    return on
+
+
+def _decorrelate_exists(e, outer_stmt, pending, fresh):
+    """[NOT] EXISTS with equi-correlation conjuncts. Single key rewrites
+    to [NOT] IN (the semi/anti-join shape DataFusion's decorrelation
+    produces); multiple keys LEFT JOIN a DISTINCT key set and null-test a
+    marker column. Other correlation raises instead of silently binding
+    outer-qualified names to same-named inner columns."""
+    import dataclasses as _dc
+
+    from ..plan.expressions import (ColumnRef, FieldAccess, InSubquery,
+                                    IsNull, Literal)
+
+    sub = e.stmt
+    if getattr(sub, "group_by", None) or \
+            getattr(sub, "having", None) is not None:
+        return None
+    ce = _corr_equalities(sub, outer_stmt)
+    if ce is None:
+        return None
+    keys, rest_where, _corr = ce
+    if len(keys) == 1:
+        (o, i), = keys
+        new_sub = _dc.replace(sub, where=rest_where,
+                              projections=[(i, None)])
+        return InSubquery(o, new_sub, e.negated)
+    alias = fresh()
+    proj = [(i, f"__k{j}") for j, (_o, i) in enumerate(keys)]
+    proj.append((Literal(1), "__m"))
+    new_sub = _dc.replace(sub, where=rest_where, projections=proj,
+                          distinct=True)
+    pending.append(A.JoinClause(how="left",
+                                table=A.SubqueryRef(new_sub, alias),
+                                on=_join_on(alias, keys)))
+    marker = FieldAccess(ColumnRef(alias), "__m")
+    # EXISTS → marker present; NOT EXISTS → marker IS NULL (the DISTINCT
+    # key set guarantees at most one match, so no row duplication)
+    return IsNull(marker, negated=not e.negated)
+
+
+_AGG_FNS = ("count", "sum", "min", "max", "avg")
+
+
+def _decorrelate_scalar_agg(e, outer_stmt, pending, fresh):
+    """Correlated scalar aggregate subquery → LEFT JOIN on the grouped
+    subquery (the standard DataFusion decorrelation): per outer row, the
+    aggregate over its matching group (NULL for empty groups; COUNT
+    coalesces to 0)."""
+    import dataclasses as _dc
+
+    from ..plan.expressions import (ColumnRef, FieldAccess, FunctionCall,
+                                    Literal)
+
+    sub = e.stmt
+    if getattr(sub, "group_by", None) or \
+            getattr(sub, "having", None) is not None or \
+            getattr(sub, "set_ops", None) or sub.distinct or \
+            sub.limit is not None or len(sub.projections) != 1:
+        return None
+    proj_e, _pa = sub.projections[0]
+    if isinstance(proj_e, str) or not (
+            isinstance(proj_e, AggregateCall)
+            and proj_e.fn.lower() in _AGG_FNS):
+        return None
+    ce = _corr_equalities(sub, outer_stmt)
+    if ce is None:
+        return None
+    keys, rest_where, corr_tables = ce
+    if _correlated_quals(proj_e, corr_tables):
+        return None  # outer refs inside the aggregate: unsupported shape
+    alias = fresh()
+    proj = [(i, f"__k{j}") for j, (_o, i) in enumerate(keys)]
+    proj.append((proj_e, "__v"))
+    new_sub = _dc.replace(sub, where=rest_where, projections=proj,
+                          group_by=[i for (_o, i) in keys])
+    pending.append(A.JoinClause(how="left",
+                                table=A.SubqueryRef(new_sub, alias),
+                                on=_join_on(alias, keys)))
+    val = FieldAccess(ColumnRef(alias), "__v")
+    if proj_e.fn.lower() == "count":
+        val = FunctionCall("coalesce", [val, Literal(0)])
+    return val
 
 
 def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
-    """Resolve uncorrelated expression subqueries eagerly: scalar → Literal,
-    EXISTS → Literal(bool), IN (SELECT …) → InList. Correlated subqueries
-    (referencing outer columns) fail planning and surface a clear error."""
+    """Resolve expression subqueries. Uncorrelated ones evaluate eagerly:
+    scalar → Literal, EXISTS → Literal(bool), IN (SELECT …) → InList.
+    Correlated ones decorrelate into joins (the standard DataFusion
+    approach): EXISTS/IN over outer = inner equality conjunctions become
+    semi/anti shapes, correlated scalar aggregates become LEFT JOINs on
+    the grouped subquery. Unsupported correlation raises a clear error."""
     import dataclasses as _dc
 
     from ..plan.expressions import ExistsSubquery, InList, InSubquery, Subquery
 
     found = [False]
+    pending_joins: list = []
+    alias_n = [0]
+
+    def fresh_alias() -> str:
+        alias_n[0] += 1
+        return f"__sq{alias_n[0]}"
 
     def has_sub(e) -> bool:
         if isinstance(e, (Subquery, ExistsSubquery, InSubquery)):
@@ -847,19 +939,25 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
         return any(has_sub(c) for c in e.children()) or \
             (isinstance(e, InSubquery) and has_sub(e.child))
 
-    def run(sub_stmt):
-        from ..dataframe import DataFrame
-
-        # an outer-qualified reference inside the subquery must not bind to
-        # a same-named inner column silently (b.k = a.k would become k = k)
+    def _corr_of(sub_stmt):
         outer = _ref_table_names(stmt)
         inner = _ref_table_names(sub_stmt)
         corr_tables = {t for t in outer if t not in inner}
         if corr_tables and sub_stmt.where is not None and \
                 _correlated_quals(sub_stmt.where, corr_tables):
+            return corr_tables
+        return None
+
+    def run(sub_stmt):
+        from ..dataframe import DataFrame
+
+        # an outer-qualified reference inside the subquery must not bind to
+        # a same-named inner column silently (b.k = a.k would become k = k)
+        if _corr_of(sub_stmt):
             raise SqlError(
-                "correlated subqueries are supported only as EXISTS with a "
-                "single outer = inner equality; rewrite as a JOIN")
+                "unsupported correlated subquery shape (supported: "
+                "EXISTS/IN over outer = inner equality conjunctions, "
+                "correlated scalar aggregates); rewrite as a JOIN")
         try:
             plan = plan_select(session, sub_stmt)
         except KeyError as e:
@@ -871,6 +969,11 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
     def rw(e):
         if isinstance(e, Subquery):
             found[0] = True
+            if _corr_of(e.stmt):
+                rewritten = _decorrelate_scalar_agg(e, stmt, pending_joins,
+                                                    fresh_alias)
+                if rewritten is not None:
+                    return rewritten
             t = run(e.stmt)
             if t.num_columns != 1:
                 raise SqlError("scalar subquery must return one column")
@@ -881,7 +984,8 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
             return Literal(t.column(0)[0].as_py())
         if isinstance(e, ExistsSubquery):
             found[0] = True
-            rewritten = _decorrelate_exists(e, stmt)
+            rewritten = _decorrelate_exists(e, stmt, pending_joins,
+                                            fresh_alias)
             if rewritten is not None:
                 return rw(rewritten)
             sub = _dc.replace(e.stmt, limit=1)
@@ -889,6 +993,23 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
             return Literal(t.num_rows > 0 if not e.negated else t.num_rows == 0)
         if isinstance(e, InSubquery):
             found[0] = True
+            if _corr_of(e.stmt):
+                # correlated IN: membership equality joins the correlation
+                # conjunction, then the EXISTS machinery decorrelates
+                if e.negated:
+                    raise SqlError(
+                        "correlated NOT IN is not supported (NULL "
+                        "semantics); rewrite as NOT EXISTS")
+                sub = e.stmt
+                if len(sub.projections) != 1 or \
+                        isinstance(sub.projections[0][0], str):
+                    raise SqlError("IN subquery must return one column")
+                y = sub.projections[0][0]
+                memb = BinaryOp("=", e.child, y)
+                new_where = BinaryOp("and", sub.where, memb) \
+                    if sub.where is not None else memb
+                return rw(ExistsSubquery(
+                    _dc.replace(sub, where=new_where), False))
             t = run(e.stmt)
             if t.num_columns != 1:
                 raise SqlError("IN subquery must return one column")
@@ -928,7 +1049,7 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
             exprs.append(j.on)
     if not any(has_sub(e) for e in exprs):
         return stmt
-    return _dc.replace(
+    new_stmt = _dc.replace(
         stmt,
         projections=[(rw_top(e), a) for e, a in stmt.projections],
         where=rw(stmt.where) if stmt.where is not None else None,
@@ -938,6 +1059,16 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
         joins=[_dc.replace(j, on=rw(j.on) if j.on is not None else None)
                for j in stmt.joins],
     )
+    if pending_joins:
+        # decorrelation joins add hidden __sq columns; a bare * would leak
+        # them into the output
+        if any(_is_star(e) for e, _ in new_stmt.projections):
+            raise SqlError(
+                "correlated subqueries with SELECT * are not supported; "
+                "list the output columns explicitly")
+        new_stmt = _dc.replace(new_stmt,
+                               joins=list(new_stmt.joins) + pending_joins)
+    return new_stmt
 
 
 def _ref_alias(ref) -> Optional[str]:

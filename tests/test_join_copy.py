@@ -190,3 +190,32 @@ def test_left_join_on_filter_null_extends(session):
     assert r["w"].tolist() == [200, 300]
     session.sql("DROP TABLE fa")
     session.sql("DROP TABLE fb")
+
+
+def test_join_and_group_null_key_semantics(session):
+    """SQL NULL semantics: equi-joins never match through NULL (not even
+    NULL = NULL), while GROUP BY keeps NULLs as one group distinct from
+    zero/empty values."""
+    import pandas as pd
+
+    session.sql("CREATE TABLE nl (k INT)")
+    session.sql("INSERT INTO nl VALUES (1), (0), (NULL)")
+    session.sql("CREATE TABLE nr (k INT, v INT)")
+    session.sql("INSERT INTO nr VALUES (1, 10), (0, 5), (NULL, 99)")
+    r = session.sql("SELECT nl.k, nr.v FROM nl JOIN nr ON nl.k = nr.k "
+                    "ORDER BY nl.k").to_pandas()
+    assert r.values.tolist() == [[0, 5], [1, 10]]
+    r = session.sql("SELECT nl.k, nr.v FROM nl LEFT JOIN nr "
+                    "ON nl.k = nr.k ORDER BY nl.k NULLS LAST").to_pandas()
+    assert len(r) == 3 and pd.isna(r.iloc[2, 1])
+    r = session.sql("SELECT k, COUNT(*) AS n FROM nl GROUP BY k "
+                    "ORDER BY k NULLS LAST").to_pandas()
+    assert r["n"].tolist() == [1, 1, 1]
+    ks = [None if pd.isna(x) else int(x) for x in r["k"]]
+    assert ks == [0, 1, None]
+    # var-width keys: NULL string vs empty string stay distinct
+    session.sql("CREATE TABLE ns (s VARCHAR)")
+    session.sql("INSERT INTO ns VALUES ('a'), (''), (NULL), (NULL)")
+    r = session.sql("SELECT s, COUNT(*) AS n FROM ns GROUP BY s "
+                    "ORDER BY s NULLS LAST").to_pandas()
+    assert r["n"].tolist() == [1, 1, 2]

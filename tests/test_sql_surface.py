@@ -225,9 +225,10 @@ def test_create_function_rejected_cleanly(session):
 
 
 def test_correlated_exists_rewrite(session):
-    """[NOT] EXISTS with one outer = inner equality decorrelates to the
-    semi/anti-join (IN) shape; other correlation raises instead of silently
-    binding outer-qualified names to same-named inner columns."""
+    """Correlated subqueries decorrelate into joins: EXISTS/IN over
+    outer = inner equality conjunctions (single- and multi-key), scalar
+    aggregates as LEFT JOINs; non-equality correlation still raises."""
+    import pandas as pd
     import pytest
 
     from exon_tpu.errors import SqlError
@@ -243,9 +244,32 @@ def test_correlated_exists_rewrite(session):
              "(SELECT 1 FROM cb WHERE cb.k = ca.k)") == 1
     assert q("SELECT COUNT(*) FROM ca WHERE EXISTS "
              "(SELECT 1 FROM cb WHERE cb.k = ca.k AND cb.w > 250)") == 1
-    with pytest.raises(SqlError, match="correlated"):
-        session.sql("SELECT (SELECT MAX(w) FROM cb WHERE cb.k = ca.k) "
-                    "FROM ca").to_pandas()
+    # multi-key EXISTS / NOT EXISTS (LEFT JOIN on the DISTINCT key set)
+    assert q("SELECT COUNT(*) FROM ca WHERE EXISTS "
+             "(SELECT 1 FROM cb WHERE cb.k = ca.k "
+             "AND cb.w = ca.v * 10)") == 2  # (2,20)->(2,200),(3,30)->(3,300)
+    assert q("SELECT COUNT(*) FROM ca WHERE NOT EXISTS "
+             "(SELECT 1 FROM cb WHERE cb.k = ca.k "
+             "AND cb.w = ca.v * 10)") == 2
+    # correlated scalar aggregates (LEFT JOIN on the grouped subquery)
+    r = session.sql("SELECT ca.k, (SELECT MAX(w) FROM cb WHERE cb.k = ca.k)"
+                    " AS m FROM ca ORDER BY ca.k, ca.v").to_pandas()
+    assert [None if pd.isna(x) else x for x in r["m"]] == \
+        [None, 200, 200, 300]
+    r = session.sql("SELECT ca.k, (SELECT COUNT(*) FROM cb "
+                    "WHERE cb.k = ca.k) AS c FROM ca "
+                    "ORDER BY ca.k, ca.v").to_pandas()
+    assert r["c"].tolist() == [0, 1, 1, 1]
+    # correlated IN (membership equality joins the correlation)
+    assert q("SELECT COUNT(*) FROM ca WHERE ca.v * 10 IN "
+             "(SELECT w FROM cb WHERE cb.k = ca.k)") == 2
+    # non-equality correlation and correlated NOT IN still refuse
+    with pytest.raises(SqlError, match="correlated|equalit"):
+        session.sql("SELECT COUNT(*) FROM ca WHERE EXISTS "
+                    "(SELECT 1 FROM cb WHERE cb.w > ca.v)").to_pandas()
+    with pytest.raises(SqlError, match="NOT IN"):
+        session.sql("SELECT COUNT(*) FROM ca WHERE ca.v NOT IN "
+                    "(SELECT w FROM cb WHERE cb.k = ca.k)").to_pandas()
 
 
 def test_window_frames_and_ranking(session):
