@@ -148,6 +148,17 @@ def decode_host(data: bytes, options: MzmlOptions,
     schema = mzml_schema(options)
     proj = projection if projection is not None else schema.names
     out_schema = schema.project(proj)
+    if projection is not None and len(projection) == 0:
+        # COUNT(*): spectrum-element count via memmem over the raw bytes
+        # (one C-speed pass; the XML never parses). Matches parse_spectra
+        # on well-formed mzML (every spectrum element opens exactly once).
+        buf = bytes(data) if not isinstance(data, bytes) else data
+        n = (buf.count(b"<spectrum ") + buf.count(b"<spectrum>")
+             + buf.count(b"<spectrum/"))
+        bs = options.batch_size
+        for lo in range(0, n, bs):
+            yield batch_from_host(out_schema, [], min(bs, n - lo))
+        return
     need_peaks = any(c in proj for c in ("mz", "intensity", "wavelength"))
     spectra = parse_spectra(data, decode_peaks=need_peaks)
     n = len(spectra)

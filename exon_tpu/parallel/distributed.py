@@ -639,28 +639,35 @@ def _flat_state_cols(state: DistAggState) -> tuple[list, Callable]:
 
 
 def exchange_and_merge(axis_name: str, state: DistAggState,
-                       agg_calls: tuple) -> DistAggState:
+                       agg_calls: tuple,
+                       bucket_cap: Optional[int] = None) -> DistAggState:
     """The distributed exchange: hash-partition the per-device group partials
     over the mesh (all_to_all) and merge each device's owned key range.
-    bucket_cap = state capacity ⇒ lossless (a device sends at most its whole
-    state to one peer)."""
+
+    bucket_cap bounds rows per (sender, receiver) pair; the default (state
+    capacity) is lossless (a device sends at most its whole state to one
+    peer) but ships n_dev fully-padded buckets. The driver passes a small
+    cap sized to live groups (ICI traffic ∝ distinct groups) and retries
+    with a bigger one on the overflow flag."""
     scap = state.keys.shape[0]
+    if bucket_cap is None:
+        bucket_cap = scap
     mask = jnp.arange(scap, dtype=jnp.int32) < state.count
     cols, rebuild = _flat_state_cols(state)
     rkeys, rmask, rcols, dropped = hash_partition_shuffle(
-        axis_name, state.keys, mask, cols, bucket_cap=scap)
+        axis_name, state.keys, mask, cols, bucket_cap=bucket_cap)
     first, partials, reps = rebuild(rcols)
     recv = DistAggState(
         jnp.where(rmask, rkeys, _I64MAX), first, partials, reps,
         jnp.sum(rmask, dtype=jnp.int32),
         jnp.logical_or(state.overflow, dropped), state.too_long)
-    # receiving n_dev buckets of up to scap rows each → merge at that size
+    # receiving n_dev buckets of up to bucket_cap rows each
     n_dev = jax.lax.axis_size(axis_name)
     # recv rows are already "state rows"; re-tag liveness via rmask ordering:
     # merge_states expects live rows in slots [0, count) — compact first.
     idx, cnt = layout_ops.mask_to_indices(rmask)
     comp = _gather_state_rows(recv, idx, cnt)
-    merged = merge_states([comp], agg_calls, n_dev * scap)
+    merged = merge_states([comp], agg_calls, n_dev * bucket_cap)
     # propagate flags across devices so every shard agrees
     any_over = jax.lax.psum(merged.overflow.astype(jnp.int32), axis_name) > 0
     any_long = jax.lax.psum(merged.too_long.astype(jnp.int32), axis_name) > 0
@@ -834,11 +841,46 @@ class DistributedAggregateExec(PhysicalPlan):
         return self._emit_rows(first, partials, reps)
 
     def _host_merged(self, state: DistAggState) -> DistAggState:
-        """Final exchange + host gather, compacted: the merged state is
-        sliced to the live-group bucket before crossing the tunnel/DCN, so
-        the transfer scales with distinct groups, not state capacity."""
-        fin = _final_exchange(self.mesh, tuple(self.agg_calls))
-        merged = fin(state)  # sharded [n_dev, n_dev*scap]
+        """Final exchange + host gather, compacted end to end so every
+        transfer scales with live groups, not state capacity:
+
+        1. slice the running state to the live-group bucket (slot axis)
+           and the representative prefixes to the longest live key;
+        2. all_to_all with a per-(sender,receiver) bucket sized for a
+           uniform hash split (2x margin), retrying with bigger buckets
+           on the overflow flag — worst-case skew degrades to the
+           lossless full-state bucket, never to wrong answers;
+        3. slice the merged result again before the tunnel/DCN gather.
+        """
+        n_dev = self.mesh.shape["shard"]
+        cnts = np.asarray(gather_full(state.count, self.mesh))
+        pre = bucket_capacity(max(int(np.max(cnts, initial=0)), 1), 128)
+        w = None
+        if any(isinstance(r, VarRep) for r in state.reps):
+            wmax = int(np.asarray(_rep_len_step(self.mesh)(state)))
+            cur_w = next(r.prefix.shape[-1] for r in state.reps
+                         if isinstance(r, VarRep))
+            w = int(bucket_capacity(max(wmax, 1), 8))
+            if w >= cur_w:
+                w = None
+        if pre < state.keys.shape[1] or w is not None:
+            state = _precut_step(self.mesh, pre, w)(state)
+        bucket = int(bucket_capacity(max(64, 2 * pre // max(n_dev, 1)), 64))
+        while True:
+            fin = _final_exchange(self.mesh, tuple(self.agg_calls),
+                                  min(bucket, pre))
+            merged = fin(state)  # sharded [n_dev, n_dev*bucket]
+            flags = gather_full((merged.overflow, merged.too_long),
+                                self.mesh)
+            if bool(np.any(np.asarray(flags[1]))):
+                raise RepTooLongError("group key exceeds rep_w bytes")
+            if not bool(np.any(np.asarray(flags[0]))):
+                break
+            if bucket >= pre:
+                # lossless bucket and still overflowing → true merge
+                # overflow (one device's owned range exceeds capacity)
+                raise StateOverflowError("merge overflow")
+            bucket = min(bucket * 4, pre)
         cnts = np.asarray(gather_full(merged.count, self.mesh))
         maxc = bucket_capacity(max(int(np.max(cnts, initial=0)), 1), 128)
         if maxc < merged.keys.shape[1]:
@@ -846,10 +888,6 @@ class DistributedAggregateExec(PhysicalPlan):
                 _cut_step(self.mesh, maxc)(merged))
         else:
             host = gather_full(merged, self.mesh)
-        if bool(np.any(host.too_long)):
-            raise RepTooLongError("group key exceeds rep_w bytes")
-        if bool(np.any(host.overflow)):
-            raise StateOverflowError("merge overflow")
         return host
 
     def _host_rows(self, host: DistAggState):
@@ -949,8 +987,16 @@ class DistributedAggregateExec(PhysicalPlan):
         reps_m = []
         for j in range(len(self.group_exprs)):
             comp = [r[3][j] for r in rows_list]
-            cats = tuple(np.concatenate([c[i] for c in comp])
-                         for i in range(len(comp[0])))
+            cats = []
+            for i in range(len(comp[0])):
+                pieces = [np.asarray(c[i]) for c in comp]
+                if pieces[0].ndim == 2:
+                    # prefix widths may differ per spill (sliced to each
+                    # spill's longest live key) — pad to the widest
+                    W = max(p.shape[1] for p in pieces)
+                    pieces = [np.pad(p, ((0, 0), (0, W - p.shape[1])))
+                              if p.shape[1] < W else p for p in pieces]
+                cats.append(np.concatenate(pieces))
             reps_m.append(tuple(c[rep_rows] for c in cats))
         return first_m, partials_m, reps_m
 
@@ -1024,6 +1070,43 @@ class DistributedAggregateExec(PhysicalPlan):
         cols, _ = _finalize_ungrouped(partials, self.agg_calls,
                                       self.out_schema)
         return Batch(self.out_schema, cols, np.int32(1)).to_device(capacity=128)
+
+
+@functools.cache
+def _precut_step(mesh: Mesh, maxc: int, rep_w: Optional[int] = None):
+    """Jit: slice the per-device running state to its live-group bucket
+    (slot axis) and optionally its representative prefixes to rep_w bytes
+    BEFORE the final exchange, keeping the shard sharding — all_to_all
+    volume then scales with distinct groups and actual key lengths."""
+    spec = NamedSharding(mesh, P("shard"))
+
+    def cut(x):
+        nd = getattr(x, "ndim", 0)
+        if nd == 3 and rep_w is not None:  # VarRep prefixes
+            return x[:, :maxc, :rep_w]
+        if nd >= 2:
+            return x[:, :maxc]
+        return x
+
+    return jax.jit(lambda s: jax.tree.map(cut, s), out_shardings=spec)
+
+
+@functools.cache
+def _rep_len_step(mesh: Mesh):
+    """Jit: global max representative-key byte length over live slots
+    (replicated scalar) — sizes the pre-exchange prefix slice."""
+    rep = NamedSharding(mesh, P())
+
+    def f(s: DistAggState):
+        live = jnp.arange(s.keys.shape[1], dtype=jnp.int32)[None, :] \
+            < s.count[:, None]
+        m = jnp.int32(0)
+        for r in s.reps:
+            if isinstance(r, VarRep):
+                m = jnp.maximum(m, jnp.max(jnp.where(live, r.lens, 0)))
+        return m
+
+    return jax.jit(f, out_shardings=rep)
 
 
 @functools.cache
@@ -1111,12 +1194,14 @@ def _wave_step_ungrouped(mesh: Mesh, agg_calls: tuple, stages: tuple):
 
 
 @functools.cache
-def _final_exchange(mesh: Mesh, agg_calls: tuple):
+def _final_exchange(mesh: Mesh, agg_calls: tuple,
+                    bucket_cap: Optional[int] = None):
     spec = P("shard")
 
     def per_device(state: DistAggState):
         s = _squeeze0(state)
-        return _expand0(exchange_and_merge("shard", s, agg_calls))
+        return _expand0(exchange_and_merge("shard", s, agg_calls,
+                                           bucket_cap))
 
     fn = jax.shard_map(per_device, mesh=mesh, in_specs=(spec,),
                        out_specs=spec)

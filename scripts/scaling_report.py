@@ -14,7 +14,7 @@ So the report gives three honest numbers:
    t_scan_compute / (t_scan_compute + t_exchange + t_merge) for the
    benchmark-scale workload.
 
-Writes SCALING_r03.json at the repo root and prints one JSON line.
+Writes SCALING_r05.json at the repo root and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -72,30 +72,54 @@ def main() -> None:
     t_wave = (time.perf_counter() - t0) / reps
     rows_per_s_chip = CAP / t_wave
 
-    # -- (2) exchange volume per device (group-partial all_to_all state)
-    # state row = key i64 + first i64 + per-agg partials (~2 f64) + rep
-    # prefix (64B) + lens/validity ≈ 104 B; DEFAULT_STATE_CAP rows
+    # -- (2) exchange volume per device (group-partial all_to_all state).
+    # Round 5 mechanics (parallel/distributed.py _host_merged): the state
+    # is sliced to the live-group bucket AND the reps to the longest live
+    # key before the exchange, and the all_to_all ships per-(src,dst)
+    # buckets sized for a uniform hash split (2x margin, overflow-retried)
+    # — padded traffic therefore scales with distinct groups and real key
+    # widths. Model the flagship (uniprot description GROUP BY: ~5k live
+    # groups/device, keys ≤ 24 B) and the worst case (capacity-bound
+    # state, the pre-round-5 shape).
+    from exon_tpu.batch import bucket_capacity
     from exon_tpu.parallel.distributed import (DEFAULT_REP_W,
                                                DEFAULT_STATE_CAP)
 
-    state_row_bytes = 8 + 8 + 16 + DEFAULT_REP_W + 4 + 1
-    exchange_bytes = DEFAULT_STATE_CAP * state_row_bytes
+    N_MODEL = 8  # modeled slice size
+    live_groups = 5_000
+    rep_w_live = int(bucket_capacity(24, 8))
+    row_bytes_live = 8 + 8 + 16 + rep_w_live + 4 + 1
+    live_cap = int(bucket_capacity(live_groups, 128))
+    bucket = int(bucket_capacity(max(64, 2 * live_cap // N_MODEL), 64))
+    exchange_bytes = N_MODEL * bucket * row_bytes_live
+    row_bytes_cap = 8 + 8 + 16 + DEFAULT_REP_W + 4 + 1
+    exchange_bytes_capacity_bound = \
+        N_MODEL * DEFAULT_STATE_CAP * row_bytes_cap
+    recv_rows = N_MODEL * bucket
 
     # -- (3) projected efficiency at N chips for the flagship workload:
     # scan 560k rows/chip (uniprot-scale per-chip share), one exchange.
     ICI_GBPS = 45e9  # v5e per-link, each direction
-    t_exchange = exchange_bytes / ICI_GBPS
     rows_per_chip = 560_000
-    t_merge = t_wave * 0.1  # merged range is <= one wave's state
-    # two bounds: device-only (if host ingest were free — worst case for
-    # the exchange share) and end-to-end (measured flagship per-chip wall,
-    # host-ingest-bound — the realistic case)
     t_dev = rows_per_chip / rows_per_s_chip
     t_e2e = 0.20  # measured: 560k-row scan+filter+count per chip (bench.py)
-    eff_dev = t_dev / (t_dev + t_exchange + t_merge)
-    eff_e2e = t_e2e / (t_e2e + t_exchange + t_merge)
-    projected = {"device_compute_only": round(eff_dev, 4),
-                 "end_to_end_per_chip": round(eff_e2e, 4)}
+    # merge sorts what a device received; scale the measured 1M-row wave
+    t_merge = t_wave * (recv_rows / CAP)
+    t_merge_cap = t_wave * (N_MODEL * DEFAULT_STATE_CAP / CAP)
+
+    def eff(xbytes, t_base, t_m):
+        t_x = xbytes / ICI_GBPS
+        return t_base / (t_base + t_x + t_m)
+
+    projected = {
+        "device_compute_only":
+            round(eff(exchange_bytes, t_dev, t_merge), 4),
+        "device_compute_only_capacity_bound_state":
+            round(eff(exchange_bytes_capacity_bound, t_dev, t_merge_cap),
+                  4),
+        "end_to_end_per_chip":
+            round(eff(exchange_bytes, t_e2e, t_merge), 4),
+    }
 
     # -- CPU-mesh correctness anchor (when we have >1 device)
     mesh_ok = None
@@ -131,6 +155,8 @@ def main() -> None:
         "wave_step_rows_per_s_per_chip": round(rows_per_s_chip, 1),
         "wave_step_ms": round(t_wave * 1e3, 3),
         "exchange_bytes_per_device": exchange_bytes,
+        "exchange_bytes_capacity_bound": exchange_bytes_capacity_bound,
+        "modeled_live_groups": live_groups,
         "ici_assumption_gbps": ICI_GBPS / 1e9,
         "projected_scaling_efficiency": projected,
         "note": ("single-chip environment: efficiency is projected from "
@@ -140,7 +166,7 @@ def main() -> None:
         "cpu_mesh_collective_parity": mesh_ok,
     }
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "SCALING_r03.json")
+        os.path.abspath(__file__))), "SCALING_r05.json")
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))
