@@ -283,14 +283,16 @@ def run_sdf(ctx, results: dict) -> None:
     from exon_tpu.io.compression import Compression, decompress
 
     gz_bytes = open(path, "rb").read()
-    t0 = time.perf_counter()
-    dec = decompress(gz_bytes, Compression.GZIP)
-    t_dec = time.perf_counter() - t0
-    arr = np.frombuffer(dec, np.uint8) if isinstance(dec, (bytes, bytearray)) \
-        else dec
-    t0 = time.perf_counter()
-    native.sdf_count(arr)
-    t_scan = time.perf_counter() - t0
+    t_dec = t_scan = float("inf")
+    for _ in range(2):  # best of 2: first touch page-faults the buffers
+        t0 = time.perf_counter()
+        dec = decompress(gz_bytes, Compression.GZIP)
+        t_dec = min(t_dec, time.perf_counter() - t0)
+        arr = np.frombuffer(dec, np.uint8) \
+            if isinstance(dec, (bytes, bytearray)) else dec
+        t0 = time.perf_counter()
+        native.sdf_count(arr)
+        t_scan = min(t_scan, time.perf_counter() - t0)
     results["sdf-scan"] = _emit(
         "sdf-scan_s", round(best, 4), "s", None,
         {"wall_s": round(best, 4), "rows": int(n),
