@@ -113,3 +113,56 @@ def test_null_heavy_group_aggregates_vs_pandas(session, tmp_path):
         {"g": [None], "si": [nullg.i.sum()], "ci": [nullg.i.count()],
          "ca": [len(nullg)]})], ignore_index=True)
     assert _eq(got, w)
+
+
+def test_null_both_sides_join_and_decorrelation_vs_pandas(session,
+                                                          tmp_path):
+    """NULLs on BOTH join sides (SQL: NULL matches nothing) and the
+    decorrelated subquery shapes vs pandas oracles."""
+    rng = np.random.default_rng(33)
+    n, m = 2000, 400
+    da = pd.DataFrame({
+        "k": [int(v) if v % 7 else None for v in rng.integers(0, 40, n)],
+        "x": rng.integers(0, 1000, n).astype(np.int64),
+    })
+    db = pd.DataFrame({
+        "k": [int(v) if v % 5 else None for v in rng.integers(0, 50, m)],
+        "y": rng.integers(0, 1000, m).astype(np.int64),
+    })
+    pa_, pb = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"k": pd.array(da["k"], dtype="Int64"),
+                             "x": da["x"]}), pa_)
+    pq.write_table(pa.table({"k": pd.array(db["k"], dtype="Int64"),
+                             "y": db["y"]}), pb)
+    session.sql(f"CREATE EXTERNAL TABLE na STORED AS PARQUET LOCATION '{pa_}'")
+    session.sql(f"CREATE EXTERNAL TABLE nb STORED AS PARQUET LOCATION '{pb}'")
+
+    # inner join count: pandas merge matches NaN==NaN, SQL must NOT — drop
+    # nulls from the oracle frames first
+    want = len(da.dropna(subset=["k"]).merge(db.dropna(subset=["k"]),
+                                             on="k"))
+    got = session.sql("SELECT COUNT(*) FROM na JOIN nb ON na.k = nb.k"
+                      ).to_pandas().iloc[0, 0]
+    assert got == want
+
+    # correlated scalar agg vs oracle map
+    r = session.sql("SELECT na.k AS k, na.x AS x, (SELECT MAX(nb.y) FROM "
+                    "nb WHERE nb.k = na.k) AS m FROM na "
+                    "ORDER BY x, k NULLS LAST").to_pandas()
+    mx = db.dropna(subset=["k"]).groupby("k")["y"].max()
+    want_m = [None if pd.isna(k) else mx.get(k) for k in r["k"]]
+    got_m = [None if pd.isna(v) else v for v in r["m"]]
+    want_m = [None if v is None or pd.isna(v) else int(v) for v in want_m]
+    assert got_m == want_m
+
+    # correlated EXISTS count vs oracle
+    keys_b = set(db.dropna(subset=["k"])["k"])
+    want_e = int(sum(1 for k in da["k"] if not pd.isna(k) and k in keys_b))
+    got_e = session.sql("SELECT COUNT(*) FROM na WHERE EXISTS "
+                        "(SELECT 1 FROM nb WHERE nb.k = na.k)"
+                        ).to_pandas().iloc[0, 0]
+    assert got_e == want_e
+    got_ne = session.sql("SELECT COUNT(*) FROM na WHERE NOT EXISTS "
+                         "(SELECT 1 FROM nb WHERE nb.k = na.k)"
+                         ).to_pandas().iloc[0, 0]
+    assert got_ne == len(da) - want_e
