@@ -2,17 +2,24 @@
 
 The distributed substrate of the engine (BASELINE.json north star): tables
 hash-partitioned by key (chromosome / position-bucket), exchanged with
-``lax.all_to_all`` inside ``shard_map`` so the exchange rides ICI, with
-salting for hot-key skew (chr1 ≫ chrM).
+``lax.all_to_all`` inside ``shard_map`` so the exchange rides ICI.
 
 Design notes:
   * Static shapes: each device sends a fixed-capacity bucket to every peer
     (``bucket_cap``); real counts travel alongside, receivers mask padding.
-    Skew beyond bucket capacity is handled a level up by the salted
-    two-phase shuffle (salt spreads a hot key over ``salt`` sub-partitions,
-    aggregates partially, then re-shuffles the tiny partials).
+    Overflow is always reported, never silent — callers retry with bigger
+    buckets (exchange_and_merge) or fall back (partitioned join).
   * The local reorder before exchange is one stable sort by destination —
     an O(n log n) on-chip XLA sort, bandwidth-bound in practice.
+  * Hot-key skew (chr1 ≫ chrM): the engine needs NO salting because every
+    exchanged row is already a pre-aggregated group partial — a hot key
+    costs one state row per device regardless of its row count, and
+    cardinality overflow spills merged partials to host
+    (distributed.py DistributedAggregateExec). A salted two-phase
+    group count lived here through round 4 as a substrate demo
+    (salt spreads a hot key over sub-partitions, partially aggregates,
+    then psums); it was never reachable from the engine and was removed
+    round 5 — git history ``bacbef8`` has it with its exactness test.
 """
 
 from __future__ import annotations
@@ -29,10 +36,8 @@ def _axis_size(axis_name):
     return jax.lax.axis_size(axis_name)
 
 
-def partition_ids(keys: jnp.ndarray, n_parts: int, salt: int = 1,
-                  salt_seed: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Destination partition per row: splittable hash of key (optionally
-    salted to spread hot keys across ``salt`` consecutive partitions)."""
+def partition_ids(keys: jnp.ndarray, n_parts: int) -> jnp.ndarray:
+    """Destination partition per row: splittable hash of key."""
     h = keys.astype(jnp.uint32)
     # murmur-style finalizer
     h ^= h >> 16
@@ -40,12 +45,7 @@ def partition_ids(keys: jnp.ndarray, n_parts: int, salt: int = 1,
     h ^= h >> 13
     h *= jnp.uint32(0xC2B2AE35)
     h ^= h >> 16
-    base = (h % jnp.uint32(n_parts)).astype(jnp.int32)
-    if salt > 1:
-        if salt_seed is None:
-            salt_seed = jnp.arange(keys.shape[0], dtype=jnp.int32)
-        return (base + (salt_seed % salt)) % n_parts
-    return base
+    return (h % jnp.uint32(n_parts)).astype(jnp.int32)
 
 
 def bucketize(dest: jnp.ndarray, mask: jnp.ndarray, cols: list[jnp.ndarray],
@@ -54,8 +54,8 @@ def bucketize(dest: jnp.ndarray, mask: jnp.ndarray, cols: list[jnp.ndarray],
     """Scatter rows into per-destination buckets [n_parts, bucket_cap].
 
     Returns (bucketed columns, counts[n_parts]). Rows overflowing a bucket
-    are dropped — callers must size bucket_cap for the post-salt skew bound
-    (counts report the true pre-drop totals so overflow is detectable).
+    are dropped — counts report the true pre-drop totals so overflow is
+    detectable and callers retry with bigger buckets.
     """
     cap = dest.shape[0]
     dest = jnp.where(mask, dest, n_parts)  # padding → overflow bin
@@ -84,7 +84,7 @@ def _bshape(mask, arr):
 
 def hash_partition_shuffle(axis_name: str, keys: jnp.ndarray,
                            mask: jnp.ndarray, cols: list[jnp.ndarray],
-                           bucket_cap: int, salt: int = 1
+                           bucket_cap: int
                            ) -> tuple[jnp.ndarray, jnp.ndarray,
                                       list[jnp.ndarray], jnp.ndarray]:
     """All-to-all exchange of rows keyed by hash(keys) (inside shard_map).
@@ -93,10 +93,10 @@ def hash_partition_shuffle(axis_name: str, keys: jnp.ndarray,
     all rows now on the device owning their key partition. ``overflow`` is a
     global bool scalar — True when any sender dropped rows because a bucket
     exceeded ``bucket_cap`` (callers must either size bucket_cap for the
-    worst case, pre-aggregate, or re-run with salt — never ignore it).
+    worst case, pre-aggregate, or retry bigger — never ignore it).
     """
     n_dev = _axis_size(axis_name)
-    dest = partition_ids(keys, n_dev, salt=salt)
+    dest = partition_ids(keys, n_dev)
     bucketed, counts = bucketize(dest, mask, [keys] + cols, n_dev, bucket_cap)
     # exchange bucket i → device i
     recv = [jax.lax.all_to_all(b, axis_name, 0, 0) for b in bucketed]
@@ -140,29 +140,3 @@ def distributed_group_sum(axis_name: str, codes: jnp.ndarray,
         jnp.clip(keys, 0, num_groups - 1).astype(jnp.int32)
     ].add(jnp.where(rmask, vals, 0))
     return jax.lax.psum(local, axis_name)
-
-
-def salted_two_phase_group_count(axis_name: str, codes: jnp.ndarray,
-                                 mask: jnp.ndarray, num_groups: int,
-                                 bucket_cap: int, salt: int
-                                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Skew-safe distributed group count: the salted two-phase shuffle the
-    module header promises.
-
-    Phase 1 shuffles raw rows with salted destinations — a hot key (chr1 ≫
-    chrM) spreads over ``salt`` consecutive partitions, so no single bucket
-    must absorb the whole key. Each receiver partially aggregates its rows
-    into [num_groups] counts (the "tiny partials"). Phase 2 combines the
-    partials with one collective (the re-shuffle of partials degenerates to
-    psum because partials are already key-addressed vectors).
-
-    Returns (counts [num_groups] on every device, overflow bool). With
-    ``salt >= ceil(max_key_rows / bucket_cap)`` overflow stays False even
-    under 100% skew.
-    """
-    keys, rmask, _, overflow = hash_partition_shuffle(
-        axis_name, codes.astype(jnp.int64), mask, [], bucket_cap, salt=salt)
-    partial = jnp.zeros(num_groups, jnp.int64).at[
-        jnp.clip(keys, 0, num_groups - 1).astype(jnp.int32)
-    ].add(rmask.astype(jnp.int64))
-    return jax.lax.psum(partial, axis_name), overflow

@@ -11,8 +11,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from exon_tpu.parallel.mesh import make_mesh
 from exon_tpu.parallel.shuffle import (bucketize, distributed_group_count,
                                        distributed_group_sum,
-                                       hash_partition_shuffle, partition_ids,
-                                       salted_two_phase_group_count)
+                                       hash_partition_shuffle, partition_ids)
 
 N_DEV = 8
 
@@ -101,9 +100,12 @@ def test_distributed_group_count_and_sum_parity(mesh):
     np.testing.assert_allclose(np.asarray(sums), expect_s, rtol=1e-5)
 
 
-def test_overflow_detected_then_salted_two_phase_exact(mesh):
+def test_overflow_detected_on_hot_key_skew(mesh):
     """90% of rows share one key; bucket_cap is far too small for the plain
-    shuffle (overflow flagged) but the salted two-phase count stays exact."""
+    shuffle — the overflow flag must fire (never silent drops). The engine
+    never hits this for aggregates (it exchanges pre-aggregated partials:
+    one state row per key per device) and retries with bigger buckets in
+    the final exchange."""
     rows_per_dev = 256
     total = rows_per_dev * N_DEV
     rng = np.random.default_rng(9)
@@ -120,13 +122,12 @@ def test_overflow_detected_then_salted_two_phase_exact(mesh):
     overflow = _run_sharded(mesh, plain, codes)
     assert int(overflow) == 1, "plain shuffle must flag dropped rows"
 
-    def salted(c):
+    # a lossless bucket (worst case: all rows to one dst) stays exact
+    def big(c):
         mask = jnp.ones(c.shape[0], bool)
-        return salted_two_phase_group_count("shard", c, mask, 16,
-                                            bucket_cap, salt=N_DEV)
+        return distributed_group_count("shard", c, mask, 16, rows_per_dev)
 
-    counts, overflow2 = _run_sharded(mesh, salted, codes)
-    assert int(overflow2) == 0
+    counts = _run_sharded(mesh, big, codes)
     expect = np.bincount(codes, minlength=16)
     assert (np.asarray(counts) == expect).all()
 
