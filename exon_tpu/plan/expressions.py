@@ -19,8 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import datatypes as dt
-from ..batch import (Batch, Column, DictColumn, FixedColumn, PrefixColumn,
-                     StructColumn, VarColumn)
+from ..batch import (Batch, Column, DictColumn, FixedColumn, ListColumn,
+                     PrefixColumn, StructColumn, VarColumn)
 from ..errors import PlanError
 from ..ops import strings as str_ops
 from ..ops.layout import row_lengths
@@ -139,6 +139,21 @@ class FieldAccess(Expr):
 
     def display_name(self) -> str:
         return self.field
+
+
+@dataclasses.dataclass(eq=False)
+class Subscript(Expr):
+    """``expr[index]`` — map value by string key (DataFusion map access),
+    1-based list element by integer, or struct field by string."""
+
+    child: Expr
+    index: Expr
+
+    def children(self):
+        return [self.child, self.index]
+
+    def display_name(self) -> str:
+        return f"{self.child.display_name()}[{self.index.display_name()}]"
 
 
 @dataclasses.dataclass(eq=False)
@@ -451,7 +466,27 @@ def eval_expr(expr: Expr, batch: Batch):
                 raise PlanError(f"no struct field {expr.field!r}; have "
                                 f"{sorted(v.children)}")
             return child
+        if isinstance(v, ListColumn) and _is_map_col(v):
+            # attributes.ID: map value lookup (DataFusion map access)
+            return _map_lookup(v, expr.field)
         raise PlanError(f"field access on non-struct value: {expr!r}")
+    if isinstance(expr, Subscript):
+        v = eval_expr(expr.child, batch)
+        if not isinstance(expr.index, Literal):
+            raise PlanError("subscript index must be a literal")
+        iv = expr.index.value
+        if isinstance(v, StructColumn) and isinstance(iv, str):
+            child = v.children.get(iv)
+            if child is None:
+                raise PlanError(f"no struct field {iv!r}")
+            return child
+        if isinstance(v, ListColumn):
+            if _is_map_col(v) and isinstance(iv, str):
+                return _map_lookup(v, iv)
+            if isinstance(iv, (int, np.integer)) and not isinstance(iv, bool):
+                return _list_element(v, int(iv))
+        raise PlanError(
+            f"subscript {iv!r} unsupported on {type(v).__name__}")
     if isinstance(expr, Case):
         return _eval_case(expr, batch)
     raise PlanError(f"cannot evaluate {expr!r}")
@@ -666,6 +701,63 @@ def _eval_string_cmp(op: str, lv, rv, batch: Batch):
             raise PlanError("ordered compare needs full strings, not prefixes")
         return _var_cmp_literal(lv, rv.encode(), op)
     raise PlanError(f"string compare over {type(lv)}")
+
+
+def _is_map_col(v) -> bool:
+    return isinstance(v.child, StructColumn) and \
+        set(v.child.children) in ({"key", "value"}, {"keys", "values"})
+
+
+def _mask_validity(col, ok: jnp.ndarray):
+    return dataclasses.replace(
+        col, validity=jnp.logical_and(jnp.asarray(col.validity), ok))
+
+
+def _map_lookup(v: ListColumn, key: str):
+    """Per-row map value for a string key (NULL when absent) — jittable:
+    vectorized key-bytes match over the flat entries + scatter-min to
+    find each row's first matching entry, one gather of the value."""
+    from ..ops import layout as layout_ops
+
+    kname = "key" if "key" in v.child.children else "keys"
+    kcol = v.child.children[kname]
+    if isinstance(kcol, DictColumn):
+        kcol = layout_ops.dict_to_var(kcol)
+    if not isinstance(kcol, VarColumn):
+        raise PlanError("map keys must be strings")
+    vcol = v.child.children["value" if kname == "key" else "values"]
+    match = str_ops.equals_literal(kcol, key.encode())
+    n_ent = match.shape[0]
+    offs = jnp.asarray(v.offsets).astype(jnp.int32)
+    cap = offs.shape[0] - 1
+    ent_ids = jnp.arange(n_ent, dtype=jnp.int32)
+    live_ent = ent_ids < offs[-1]
+    ent_row = jnp.clip(
+        jnp.searchsorted(offs, ent_ids, side="right") - 1, 0, cap - 1)
+    first = jnp.full(cap, n_ent, jnp.int32).at[ent_row].min(
+        jnp.where(jnp.logical_and(match, live_ent), ent_ids, n_ent))
+    found = jnp.logical_and(first < n_ent, jnp.asarray(v.validity))
+    idx = jnp.clip(first, 0, max(n_ent - 1, 0))
+    out = layout_ops.take_column(vcol, idx, jnp.asarray(cap, jnp.int32))
+    return _mask_validity(out, found)
+
+
+def _list_element(v: ListColumn, i: int):
+    """1-based list element (DataFusion array indexing); out-of-range or
+    non-positive index → NULL."""
+    from ..ops import layout as layout_ops
+
+    offs = jnp.asarray(v.offsets).astype(jnp.int32)
+    cap = offs.shape[0] - 1
+    lens = offs[1:] - offs[:-1]
+    ok = jnp.logical_and(jnp.asarray(v.validity),
+                         jnp.logical_and(i >= 1, lens >= i))
+    n_ent = getattr(v.child, "capacity", None)
+    if n_ent is None:
+        n_ent = jnp.asarray(v.child.validity).shape[0]
+    idx = jnp.clip(offs[:-1] + (i - 1), 0, max(int(n_ent) - 1, 0))
+    out = layout_ops.take_column(v.child, idx, jnp.asarray(cap, jnp.int32))
+    return _mask_validity(out, ok)
 
 
 def _string_col_eq(a, b) -> jnp.ndarray:

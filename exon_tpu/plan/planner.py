@@ -91,7 +91,30 @@ def infer_expr_field(expr: Expr, schema: Schema) -> Field:
                     return Field(expr.field, f.dtype, True)
             raise PlanError(f"no field named {expr.field!r} in struct "
                             f"{child.name!r}")
+        if child.dtype.kind == dt.TypeKind.MAP:
+            # map value lookup: attributes.ID → value type, nullable
+            kv = child.dtype.value_type
+            val = next(f.dtype for f in kv.children
+                       if f.name in ("value", "values"))
+            return Field(expr.field, val, True)
         raise PlanError(f"field access on non-struct column {child.name!r}")
+    from .expressions import Subscript
+
+    if isinstance(expr, Subscript):
+        child = infer_expr_field(expr.child, schema)
+        iv = expr.index.value if isinstance(expr.index, Literal) else None
+        if child.dtype.kind == dt.TypeKind.MAP and isinstance(iv, str):
+            kv = child.dtype.value_type
+            val = next(f.dtype for f in kv.children
+                       if f.name in ("value", "values"))
+            return Field(expr.display_name(), val, True)
+        if child.dtype.kind == dt.TypeKind.LIST:
+            return Field(expr.display_name(), child.dtype.value_type, True)
+        if child.dtype.kind == dt.TypeKind.STRUCT and isinstance(iv, str):
+            for f in child.dtype.children:
+                if f.name == iv:
+                    return Field(iv, f.dtype, True)
+        raise PlanError(f"cannot type subscript on {child.dtype}")
     from .expressions import Case
 
     if isinstance(expr, Case):
@@ -219,7 +242,7 @@ def _resolve_field_access(plan: L.LogicalPlan) -> L.LogicalPlan:
                     f = schema.field(child.name)
                 except Exception:
                     f = None
-                if f is not None and f.dtype.kind.value == "struct":
+                if f is not None and f.dtype.kind.value in ("struct", "map"):
                     return FieldAccess(child, e.field)
                 # table-qualified column: strip the qualifier
                 return ColumnRef(e.field)

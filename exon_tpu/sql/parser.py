@@ -13,7 +13,7 @@ from ..errors import SqlError
 from ..plan.expressions import (AggregateCall, Alias, BinaryOp, Case, Cast,
                                 ColumnRef, ExistsSubquery, Expr, FieldAccess,
                                 FunctionCall, InList, InSubquery, IsNull,
-                                Like, Literal, Not, Subquery, WindowCall)
+                                Like, Literal, Not, Subquery, Subscript, WindowCall)
 from . import ast as A
 from .lexer import Token, tokenize
 
@@ -808,14 +808,25 @@ class Parser:
         if t.kind in ("ident", "kw"):
             name = self.ident()
             if self.accept_op("("):
-                return self._parse_call(name)
+                return self._postfix(self._parse_call(name))
             # dotted chains parse as struct field access; the planner's
             # resolve pass turns table-qualifier dots back into ColumnRefs
-            expr: Expr = ColumnRef(name)
-            while self.accept_op("."):
-                expr = FieldAccess(expr, self.ident())
-            return expr
+            return self._postfix(ColumnRef(name))
         raise SqlError(f"unexpected token {t.value!r} in expression")
+
+    def _postfix(self, expr: Expr) -> Expr:
+        """Chained ``.field`` / ``[index]`` accesses (struct fields, map
+        keys, 1-based list elements — DataFusion subscript surface)."""
+        while True:
+            if self.accept_op("."):
+                expr = FieldAccess(expr, self.ident())
+            elif self.peek().kind == "op" and self.peek().value == "[":
+                self.next()
+                idx = self.parse_expr()
+                self.expect_op("]")
+                expr = Subscript(expr, idx)
+            else:
+                return expr
 
     def parse_case(self) -> Expr:
         self.expect_kw("case")

@@ -126,13 +126,13 @@ def test_distributed_join_parity(session, big_fasta, tmp_path):
     for i in range(0, 5000, 7):
         rows.append(f"chr1\tsrc\tgene\t{i+1}\t{i+10}\t.\t+\t.\tID=id{i}\n")
     ann.write_text("".join(rows))
+    # attributes.ID is Map<Utf8, List<Utf8>> — [1] takes the first value
+    # (DataFusion's 1-based array subscript), a utf8 the join can key on
     q = ("SELECT f.id, g.start FROM fasta_scan('%s') f "
-         "JOIN gff_scan('%s') g ON f.id = g.attributes.ID "
+         "JOIN gff_scan('%s') g ON f.id = g.attributes.ID[1] "
          "ORDER BY g.start" % (big_fasta, ann))
-    try:
-        ref = session.sql(q).collect_arrow()
-    except Exception:
-        pytest.skip("attributes.ID join unsupported in frontend")
+    ref = session.sql(q).collect_arrow()
+    assert ref.num_rows > 0
     got = _dist_session().sql(q).collect_arrow()
     _assert_tables_equal(ref, got)
 

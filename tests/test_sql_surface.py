@@ -630,3 +630,39 @@ def test_distinct_on(session):
     r = session.sql("SELECT DISTINCT g FROM don ORDER BY g").to_pandas()
     assert r["g"].tolist() == [1, 2]
     session.sql("DROP TABLE don")
+
+
+def test_subscript_and_map_access(session, tmp_path):
+    """DataFusion subscript surface: map value by key (dot or bracket),
+    1-based list elements, struct fields by bracket; missing keys and
+    out-of-range indexes are NULL."""
+    import pandas as pd
+
+    ann = tmp_path / "attrs.gff"
+    rows = []
+    for i in range(6):
+        rows.append(f"chr1\tsrc\tgene\t{i+1}\t{i+10}\t.\t+\t.\t"
+                    f"ID=id{i};Tag=a{i},b{i}\n")
+    ann.write_text("".join(rows))
+    g = f"gff_scan('{ann}')"
+    r = session.sql(f"SELECT attributes.ID[1] AS x FROM {g} "
+                    f"ORDER BY start").to_pandas()
+    assert r["x"].tolist() == [f"id{i}" for i in range(6)]
+    r = session.sql(f"SELECT attributes['Tag'][2] AS x FROM {g} "
+                    f"ORDER BY start").to_pandas()
+    assert r["x"].tolist() == [f"b{i}" for i in range(6)]
+    # missing key and out-of-range element → NULL
+    r = session.sql(f"SELECT attributes['Nope'] AS a, "
+                    f"attributes.ID[5] AS b FROM {g} LIMIT 2").to_pandas()
+    assert all(v is None for v in r["a"]) and all(pd.isna(r["b"]))
+    # filter + group on extracted values
+    r = session.sql(f"SELECT COUNT(*) AS n FROM {g} "
+                    f"WHERE attributes.ID[1] = 'id3'").to_pandas()
+    assert r["n"].tolist() == [1]
+    # struct subscript (SDF data struct)
+    sdf = tmp_path / "one.sdf"
+    sdf.write_text("m\n p\n\n  1  0  0  0  0  0  0  0  0  0999 V2000\n"
+                   "    0.0 0.0 0.0 C 0\nM  END\n> <k1>\nv1\n\n$$$$\n")
+    r = session.sql(f"SELECT t.data['k1'] AS v FROM sdf_scan('{sdf}') t"
+                    ).to_pandas()
+    assert r["v"].tolist() == ["v1"]
