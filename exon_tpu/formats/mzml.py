@@ -150,15 +150,19 @@ def decode_host(data: bytes, options: MzmlOptions,
     out_schema = schema.project(proj)
     if projection is not None and len(projection) == 0:
         # COUNT(*): spectrum-element count via memmem over the raw bytes
-        # (one C-speed pass; the XML never parses). Matches parse_spectra
-        # on well-formed mzML (every spectrum element opens exactly once).
+        # (one C-speed pass; the XML never parses). Only taken when the
+        # byte count provably matches parse_spectra's local-name match:
+        # no namespace-prefixed spectrum tags, no comments/CDATA that
+        # could hide or fake the literal bytes.
         buf = bytes(data) if not isinstance(data, bytes) else data
-        n = (buf.count(b"<spectrum ") + buf.count(b"<spectrum>")
-             + buf.count(b"<spectrum/"))
-        bs = options.batch_size
-        for lo in range(0, n, bs):
-            yield batch_from_host(out_schema, [], min(bs, n - lo))
-        return
+        if (b":spectrum" not in buf and b"<!--" not in buf
+                and b"<![CDATA[" not in buf):
+            n = (buf.count(b"<spectrum ") + buf.count(b"<spectrum>")
+                 + buf.count(b"<spectrum/"))
+            bs = options.batch_size
+            for lo in range(0, n, bs):
+                yield batch_from_host(out_schema, [], min(bs, n - lo))
+            return
     need_peaks = any(c in proj for c in ("mz", "intensity", "wavelength"))
     spectra = parse_spectra(data, decode_peaks=need_peaks)
     n = len(spectra)

@@ -363,14 +363,18 @@ def put_sharded_rows(arrs, mesh: Mesh):
 
 
 def _scan_chain(node) -> bool:
-    """True if the logical subtree is row-wise ops over one Scan — the
-    shape whose multi-host execution shards ingest cleanly (each process
-    decodes files[p::P] and the shards are disjoint row sets)."""
+    """True if the logical subtree is row-wise ops over one FILE-SHARDED
+    Scan — the shape whose multi-host execution shards ingest cleanly
+    (each process decodes files[p::P] and the shards are disjoint row
+    sets). Providers that don't route through iter_scan_files (MemTable,
+    Delta) would contribute their FULL rows from every process and
+    duplicate results, so they must not pass this gate."""
     from ..plan import logical as L
 
     while isinstance(node, (L.Filter, L.Project)):
         node = node.input
-    return isinstance(node, L.Scan)
+    return isinstance(node, L.Scan) and \
+        getattr(node.provider, "shards_files", False)
 
 
 def lockstep_wave_iter(source: Callable[[], Iterator[Batch]], mesh: Mesh):
@@ -1370,6 +1374,9 @@ def plan_distributed_join(join_plan, config) -> Optional[PhysicalPlan]:
         node = node.input
     if not isinstance(node, L.Scan):
         return None
+    if jax.process_count() > 1 and not getattr(
+            node.provider, "shards_files", False):
+        return None  # non-file-sharding provider would duplicate rows
     exprs = [x for pair in join_plan.on for x in pair]
     if join_plan.filter is not None:
         exprs.append(join_plan.filter)
@@ -1419,6 +1426,9 @@ def plan_distributed_aggregate(agg_plan, config) -> Optional[PhysicalPlan]:
         node = node.input
     if not isinstance(node, L.Scan):
         return None
+    if jax.process_count() > 1 and not getattr(
+            node.provider, "shards_files", False):
+        return None  # non-file-sharding provider would duplicate rows
     for e in list(agg_plan.group_exprs) + list(agg_plan.agg_exprs):
         if contains_host_fn(e):
             return None
@@ -1659,6 +1669,9 @@ def plan_distributed_topk(sort_plan, fetch: int, config
         node = node.input
     if not isinstance(node, L.Scan):
         return None
+    if jax.process_count() > 1 and not getattr(
+            node.provider, "shards_files", False):
+        return None  # non-file-sharding provider would duplicate rows
     if any(contains_host_fn(e) for e, _ in sort_plan.keys):
         return None
     scan_exec = _host_scan_exec(node)

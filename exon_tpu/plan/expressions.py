@@ -876,10 +876,12 @@ def _window(v: VarColumn, W: int):
 def _cast_utf8_to_float(v: VarColumn, npdt) -> FixedColumn:
     """Device parse of utf8 decimal/scientific forms ('3.5', '-1.25e-3',
     '1e3') to float, matching arrow's cast semantics (invalid → NULL).
-    Jittable: [cap, 32] byte window; exact for <=18 mantissa digits and
+    Jittable: [cap, 64] byte window; exact for <=18 mantissa digits and
     |decimal exponent| <= 308 (int64 mantissa scaled by an exact float
-    power-of-ten table, the classic strtod fast path)."""
-    W = 32
+    power-of-ten table, the classic strtod fast path). Known limit: a
+    valid numeral longer than 64 bytes (pathological zero-padding) parses
+    as NULL — data-dependent host fallback is impossible under jit."""
+    W = 64
     ch, lens, pos, in_row = _window(v, W)
     neg = jnp.logical_and(lens > 0, ch[:, 0] == ord("-"))
     plus = jnp.logical_and(lens > 0, ch[:, 0] == ord("+"))
@@ -898,11 +900,16 @@ def _cast_utf8_to_float(v: VarColumn, npdt) -> FixedColumn:
     int_digits = jnp.sum(mant_digit & (pos < dot_pos[:, None]), axis=1)
     frac_digits = n_mant - int_digits
     rank = jnp.cumsum(mant_digit, axis=1) - mant_digit  # exclusive rank
-    # exact int64 mantissa over the first 18 digits; dropped low digits
-    # shift the decimal exponent instead
-    n_used = jnp.minimum(n_mant, 18)
-    use = mant_digit & (rank < 18)
-    mpow = jnp.clip(n_used[:, None] - 1 - rank, 0, 18)
+    # exact int64 mantissa over the first 18 SIGNIFICANT digits (leading
+    # zeros — '0.000…01' — must not consume the budget); dropped
+    # low-order digits shift the decimal exponent instead
+    nz = mant_digit & (digit > 0)
+    sig_start = jnp.min(jnp.where(nz, rank, jnp.int32(W)), axis=1)
+    n_sig = jnp.maximum(n_mant - sig_start, 0)
+    n_used = jnp.minimum(n_sig, 18)
+    srank = rank - sig_start[:, None]
+    use = mant_digit & (srank >= 0) & (srank < 18)
+    mpow = jnp.clip(n_used[:, None] - 1 - srank, 0, 18)
     mant_i = jnp.sum(jnp.where(use, digit.astype(jnp.int64) *
                                _pow10()[mpow], 0), axis=1)
     # exponent part: optional sign after 'e', then digits
@@ -919,7 +926,7 @@ def _cast_utf8_to_float(v: VarColumn, npdt) -> FixedColumn:
     expval = jnp.sum(jnp.where(exp_digit, digit.astype(jnp.int64) *
                                _pow10()[epow], 0), axis=1)
     expval = jnp.where(eneg, -expval, expval)
-    dec_exp = expval - frac_digits + (n_mant - n_used)
+    dec_exp = expval - frac_digits + (n_sig - n_used)
     mag = jnp.clip(jnp.abs(dec_exp), 0, 308)
     scale = _pow10f()[mag]
     mant_f = mant_i.astype(jnp.float64)

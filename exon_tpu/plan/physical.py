@@ -44,13 +44,7 @@ class PhysicalPlan:
     def collect_arrow(self):
         import pyarrow as pa
 
-        src = self
-        if isinstance(src, ScanExec) and src.to_device:
-            # root bare scan: the device adds no compute — emit the host
-            # decode stream directly (a tunneled-TPU round-trip costs far
-            # more than the whole decode; ~tens of MB/s bulk transfer)
-            src = dataclasses.replace(src, to_device=False)
-        tables = [b.to_arrow() for b in src.batches()]
+        tables = [b.to_arrow() for b in host_rooted(self).batches()]
         pa_schema = None
         batches = []
         for rb in tables:
@@ -75,6 +69,16 @@ class PhysicalPlan:
 
 
 # ---------------------------------------------------------------------------
+
+
+def host_rooted(plan: "PhysicalPlan") -> "PhysicalPlan":
+    """Root bare scans stream host batches directly: the device adds no
+    compute, and a tunneled-TPU round-trip costs far more than the whole
+    decode (~tens of MB/s bulk transfer). Shared by collect_arrow and the
+    HTTP server's streaming path."""
+    if isinstance(plan, ScanExec) and plan.to_device:
+        return dataclasses.replace(plan, to_device=False)
+    return plan
 
 
 @dataclasses.dataclass

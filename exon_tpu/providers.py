@@ -44,6 +44,8 @@ class VcfTable(TableProvider):
     """VCF listing table with tabix region pruning
     (exon-core/src/datasources/vcf/table_provider.rs)."""
 
+    shards_files = True
+
     url: str
     options: object
     config: object = None
@@ -148,6 +150,8 @@ class VcfTable(TableProvider):
 class BamTable(TableProvider):
     """BAM listing table with .bai region pruning
     (exon-core/src/datasources/bam/table_provider.rs)."""
+
+    shards_files = True
 
     url: str
     options: object
@@ -270,6 +274,8 @@ class SamTable(TableProvider):
     """SAM listing table; in parse_tags mode the tags struct schema is
     inferred from the first record (exon-sam schema_builder.rs:70-349)."""
 
+    shards_files = True
+
     url: str
     options: object
     config: object = None
@@ -390,6 +396,8 @@ class SdfTable(TableProvider):
     """SDF table with data-struct schema inference (keys scanned from the
     file, exon-sdf schema_builder.rs add_field usage)."""
 
+    shards_files = True
+
     url: str
     options: object
     config: object = None
@@ -473,6 +481,8 @@ class FcsTable(TableProvider):
     """FCS table: schema = one Float32 column per channel, from the file's
     TEXT segment (exon-fcs/src/reader/mod.rs)."""
 
+    shards_files = True
+
     url: str
     options: object
     config: object = None
@@ -518,6 +528,8 @@ def make_fcs_provider(url: str, options, config):
 @dataclasses.dataclass
 class BcfTable(TableProvider):
     """BCF listing table with .csi region pruning."""
+
+    shards_files = True
 
     url: str
     options: object
@@ -612,6 +624,8 @@ class BigWigTable(TableProvider):
     get_zoom_interval semantics), so no residual device predicate is added.
     """
 
+    shards_files = True
+
     url: str
     options: object
     config: object = None
@@ -666,6 +680,8 @@ class CramTable(TableProvider):
     With ``parse_tags`` (exon.cram_parse_tags), the tags column becomes a
     per-tag Struct inferred from the first record
     (with_tags_data_type_from_data)."""
+
+    shards_files = True
 
     url: str
     options: object
@@ -987,6 +1003,8 @@ class _PartitionConstExec(PhysicalPlan):
 class ParquetTable(TableProvider):
     """Parquet listing table (the reference gets this from stock DataFusion;
     exercised by parquet-copy-test.slt)."""
+
+    shards_files = True
 
     url: str
     options: object = None

@@ -19,7 +19,6 @@ Health check at GET /health (exon-py health proto analog).
 
 from __future__ import annotations
 
-import dataclasses
 import io
 import json
 import threading
@@ -70,8 +69,19 @@ _READONLY_HEADS = ("select", "with", "values", "explain", "show",
 
 
 def _is_readonly(sql: str) -> bool:
-    head = sql.lstrip().lstrip("(").split(None, 1)
-    return bool(head) and head[0].lower() in _READONLY_HEADS
+    """True only when EVERY statement in the body is SELECT-shaped.
+    The split is a conservative heuristic: a ';' inside a string literal
+    over-splits, which can only misclassify toward the exclusive write
+    lock — never toward concurrent readers racing a mutation."""
+    ok = False
+    for stmt in sql.split(";"):
+        head = stmt.lstrip().lstrip("(").split(None, 1)
+        if not head:
+            continue
+        if head[0].lower() not in _READONLY_HEADS:
+            return False
+        ok = True
+    return ok
 
 
 class _ChunkSink:
@@ -153,7 +163,9 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             try:
                 df = session.sql(sql)
-                plan = _host_root(df._execute(df._plan))
+                from .plan.physical import host_rooted
+
+                plan = host_rooted(df._execute(df._plan))
                 bit = plan.batches()
                 first = next(bit, None)
             except Exception as e:  # surface engine errors as 400 + message
@@ -166,8 +178,14 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             sink = _ChunkSink(self.wfile)
             if first is None:
-                tab = plan.collect_arrow()  # schema'd empty table
-                with pa.ipc.new_stream(sink, tab.schema) as w:
+                # empty stream: build the schema directly — re-running the
+                # plan just to recover it would redo the whole scan
+                from .batch import arrow_type
+
+                pa_schema = pa.schema(
+                    [pa.field(f.name, arrow_type(f.dtype), f.nullable)
+                     for f in plan.schema().all_fields])
+                with pa.ipc.new_stream(sink, pa_schema) as w:
                     pass
             else:
                 rb = first.to_arrow()
@@ -184,15 +202,6 @@ class _Handler(BaseHTTPRequestHandler):
                 lock.release_read()
             else:
                 lock.release_write()
-
-
-def _host_root(plan):
-    from .plan.physical import ScanExec
-
-    if isinstance(plan, ScanExec) and plan.to_device:
-        # bare scan at the root: stream host batches, skip the device
-        return dataclasses.replace(plan, to_device=False)
-    return plan
 
 
 class ExonServer:

@@ -782,6 +782,18 @@ def _correlated_quals(expr, corr_tables: set) -> list:
     return out
 
 
+def _has_unqualified_ref(expr) -> bool:
+    """True when the tree contains a bare ColumnRef (not a table
+    qualifier inside FieldAccess(ColumnRef, field))."""
+    from ..plan.expressions import ColumnRef, FieldAccess
+
+    if isinstance(expr, ColumnRef):
+        return True
+    if isinstance(expr, FieldAccess) and isinstance(expr.child, ColumnRef):
+        return False
+    return any(_has_unqualified_ref(c) for c in expr.children())
+
+
 def _corr_equalities(sub, outer_stmt):
     """Split sub.where into correlation equalities [(outer, inner)] plus
     the residual conjunction. Returns (keys, rest_where, corr_tables), or
@@ -1004,6 +1016,14 @@ def _resolve_subqueries(session, stmt: A.SelectStmt) -> A.SelectStmt:
                 if len(sub.projections) != 1 or \
                         isinstance(sub.projections[0][0], str):
                     raise SqlError("IN subquery must return one column")
+                # the operand moves INSIDE the subquery, where a bare
+                # (unqualified) column name would silently rebind to a
+                # same-named inner column — require qualification
+                if _has_unqualified_ref(e.child):
+                    raise SqlError(
+                        "correlated IN needs a table-qualified operand "
+                        "(e.g. a.x IN (...)): an unqualified column would "
+                        "rebind inside the subquery")
                 y = sub.projections[0][0]
                 memb = BinaryOp("=", e.child, y)
                 new_where = BinaryOp("and", sub.where, memb) \

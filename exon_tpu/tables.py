@@ -24,6 +24,12 @@ from .plan.physical import PhysicalPlan, ScanExec
 
 
 class TableProvider:
+    # True when scan() routes its file list through iter_scan_files, so a
+    # multi-host run decodes disjoint per-process shards. Multi-host
+    # distributed operators REQUIRE this — a non-sharding provider would
+    # contribute its full row set from every process and duplicate rows.
+    shards_files = False
+
     def schema(self) -> Schema:
         raise NotImplementedError
 
@@ -144,6 +150,8 @@ def _host_take_column(col, keep: np.ndarray):
 @dataclasses.dataclass
 class FileTable(TableProvider):
     """Generic listing table over files decoded by a per-format module."""
+
+    shards_files = True
 
     url: str
     fmt: "FormatSpec"

@@ -58,6 +58,15 @@ def main() -> None:
         df = ctx.sql("SELECT id, description FROM t "
                      "ORDER BY description, id LIMIT 4")
         results["topk"] = df.to_pandas().to_dict("records")
+        # a MemTable doesn't shard files: multi-host operators must NOT
+        # treat it as per-process-sharded (row duplication regression)
+        ctx.sql("CREATE TABLE m (k INT)")
+        ctx.sql("INSERT INTO m VALUES (3), (1), (2)")
+        results["mem_order"] = \
+            ctx.sql("SELECT k FROM m ORDER BY k").to_pandas()["k"].tolist()
+        results["mem_group"] = ctx.sql(
+            "SELECT k, COUNT(*) AS n FROM m GROUP BY k ORDER BY k"
+        ).to_pandas().to_dict("records")
         assert shard_calls and all(tot == 9 and mine in (4, 5)
                                    for tot, mine in shard_calls), shard_calls
         results["shard_calls"] = len(shard_calls)

@@ -146,6 +146,9 @@ def test_two_process_uneven_files(tmp_path):
 
     got = _run_workers(tmp_path, data_dir, mode="uneven")
     assert got["count_star"] == [{"n": 180}]
+    # non-file-sharding providers (MemTable) must not duplicate rows
+    assert got["mem_order"] == [1, 2, 3]
+    assert got["mem_group"] == [{"k": k, "n": 1} for k in (1, 2, 3)]
     assert got["group_by"] == [
         {"description": f"group{i}", "n": 36} for i in range(5)]
     ids = sorted(f"f{f}r{i}" for f in range(9) for i in range(0, 20, 5))

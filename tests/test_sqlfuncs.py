@@ -351,3 +351,21 @@ def test_scalar_function_additions(session):
     assert len(set(r["u"])) == 3
     assert ((r["r"] >= 0) & (r["r"] < 1)).all()
     session.sql("DROP TABLE vf")
+
+
+def test_cast_string_to_float_long_numerals(session, tmp_path):
+    """Valid numerals longer than 32 chars (leading-zero expansions, wide
+    integers) parse instead of going NULL; leading zeros must not consume
+    the 18-significant-digit mantissa budget."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = ["0.00000000000000000000000000000001", "123456789012345678901.5",
+            "9" * 40, "-0.000123e-10"]
+    p = str(tmp_path / "ln.parquet")
+    pq.write_table(pa.table({"s": vals}), p)
+    session.sql(f"CREATE EXTERNAL TABLE ln STORED AS PARQUET LOCATION '{p}'")
+    got = session.sql("SELECT CAST(s AS DOUBLE) AS x FROM ln"
+                      ).to_pandas()["x"].tolist()
+    for g, w in zip(got, [float(v) for v in vals]):
+        assert abs(g - w) <= 2e-16 * abs(w), (g, w)  # ≤1 ulp
