@@ -251,12 +251,29 @@ def run_bam_s3(ctx, results: dict) -> None:
             return df.collect_arrow().column(0)[0].as_py()
 
         n, best = _time_best(q)
+
+    # WAN-shaped comparison: re-run with a simulated 30 ms RTT per S3
+    # request (typical same-continent S3 latency) so the number is
+    # comparable to the reference's over-WAN 9.012 s
+    rtt = 0.030
+    with LocalS3Endpoint(root, latency_s=rtt) as ep:
+        from exon_tpu.io.cloud import S3Store
+        from exon_tpu.io.object_store import register_store
+
+        register_store("s3://bench-bucket",
+                       S3Store("bench-bucket", endpoint=ep.endpoint,
+                               anonymous=True))
+        n2, wan = _time_best(q, reps=2)
     results["bam-s3-region-query"] = _emit(
-        "bam-s3-region-query_s", round(best, 4), "s", None,
+        "bam-s3-region-query_s", round(best, 4), "s",
+        round(9.012 / wan, 3),
         {"wall_s": round(best, 4), "matched": int(n), "region": region,
+         "wall_s_sim_wan": round(wan, 4), "sim_rtt_ms": rtt * 1e3,
          "ref_s_wan": 9.012,
-         "note": "loopback S3 endpoint (zero-egress image); reference "
-                 "number includes WAN latency"})
+         "note": "vs_baseline compares the simulated-WAN run (30 ms RTT "
+                 "per request over loopback) against the reference's "
+                 "over-WAN number; wall_s is the zero-latency loopback "
+                 "run isolating the remote-read machinery"})
 
 
 def run_sdf(ctx, results: dict) -> None:

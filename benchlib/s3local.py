@@ -19,6 +19,8 @@ from xml.sax.saxutils import escape
 
 
 class _S3Handler(BaseHTTPRequestHandler):
+    latency_s = 0.0  # per-request injected RTT (WAN simulation)
+
     protocol_version = "HTTP/1.1"
 
     def log_message(self, *a):
@@ -31,7 +33,14 @@ class _S3Handler(BaseHTTPRequestHandler):
             return None
         return os.path.join(self.server.root, parts[1])  # type: ignore
 
+    def _lat(self):
+        if self.latency_s:
+            import time as _t
+
+            _t.sleep(self.latency_s)
+
     def do_HEAD(self):
+        self._lat()
         p = self._file()
         if p is None or not os.path.isfile(p):
             self.send_response(404)
@@ -43,6 +52,7 @@ class _S3Handler(BaseHTTPRequestHandler):
         self.end_headers()
 
     def do_GET(self):
+        self._lat()
         url = urllib.parse.urlparse(self.path)
         q = urllib.parse.parse_qs(url.query)
         if "list-type" in q:
@@ -104,8 +114,10 @@ class _S3Handler(BaseHTTPRequestHandler):
 class LocalS3Endpoint:
     """Serve a directory as bucket contents over loopback HTTP."""
 
-    def __init__(self, root: str):
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _S3Handler)
+    def __init__(self, root: str, latency_s: float = 0.0):
+        handler = type("_S3HandlerL", (_S3Handler,),
+                       {"latency_s": latency_s})
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         self._httpd.root = root  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
