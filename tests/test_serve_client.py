@@ -124,3 +124,18 @@ def test_streamed_result_chunks_reassemble():
         tab = client.sql(f"SELECT id FROM fasta_scan('{FASTA}') "
                          f"WHERE id = 'nope'")
         assert tab.num_rows == 0 and tab.column_names == ["id"]
+
+
+def test_multi_statement_body_takes_write_lock():
+    """'SELECT 1; CREATE ...' must classify as a writer (every statement
+    is considered, not just the head token)."""
+    from exon_tpu.serve import _is_readonly
+
+    assert _is_readonly("SELECT 1")
+    assert _is_readonly(" ( select 1 ) ")
+    assert _is_readonly("SELECT 1; SELECT 2;")
+    assert not _is_readonly("SELECT 1; CREATE EXTERNAL TABLE t "
+                            "STORED AS FASTA LOCATION '/x'")
+    assert not _is_readonly("SELECT 1; SET exon.distributed = true")
+    assert not _is_readonly("INSERT INTO t VALUES (1)")
+    assert not _is_readonly("")
