@@ -39,7 +39,8 @@ def main() -> None:
     _prov.iter_scan_files = spy
 
     ctx = ExonSession.new_exon()  # init_distributed() runs from env vars
-    assert jax.process_count() == 2, jax.process_count()
+    n_procs = int(os.environ.get("EXON_TPU_NUM_PROCESSES", "2"))
+    assert jax.process_count() == n_procs, jax.process_count()
     assert ctx.config.distributed, "multi-process session must distribute"
 
     results = {}
@@ -67,7 +68,9 @@ def main() -> None:
         results["mem_group"] = ctx.sql(
             "SELECT k, COUNT(*) AS n FROM m GROUP BY k ORDER BY k"
         ).to_pandas().to_dict("records")
-        assert shard_calls and all(tot == 9 and mine in (4, 5)
+        pid = jax.process_index()
+        my_share = len(list(range(9))[pid::n_procs])
+        assert shard_calls and all(tot == 9 and mine == my_share
                                    for tot, mine in shard_calls), shard_calls
         results["shard_calls"] = len(shard_calls)
         with open(out_path, "w") as f:

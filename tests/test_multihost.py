@@ -43,17 +43,17 @@ def _make_fasta_files(d: str) -> None:
             fh.write("".join(lines))
 
 
-def _run_workers(tmp_path, data_dir, mode=None):
+def _run_workers(tmp_path, data_dir, mode=None, n_procs=2):
     port = _free_port()
     procs = []
     outs = []
-    for pid in range(2):
+    for pid in range(n_procs):
         out = str(tmp_path / f"result_{pid}.json")
         outs.append(out)
         env = dict(os.environ)
         env.update({
             "EXON_TPU_COORDINATOR": f"127.0.0.1:{port}",
-            "EXON_TPU_NUM_PROCESSES": "2",
+            "EXON_TPU_NUM_PROCESSES": str(n_procs),
             "EXON_TPU_PROCESS_ID": str(pid),
             "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
             "JAX_PLATFORMS": "cpu",
@@ -75,11 +75,12 @@ def _run_workers(tmp_path, data_dir, mode=None):
             pytest.fail("multi-host workers timed out")
         rcs.append(p.returncode)
         errs.append(err.decode(errors="replace")[-3000:])
-    assert rcs == [0, 0], f"worker failures: {errs}"
+    assert rcs == [0] * n_procs, f"worker failures: {errs}"
 
     results = [json.load(open(o)) for o in outs]
-    # both processes must see identical (replicated-final) results
-    assert results[0] == results[1]
+    # every process must see identical (replicated-final) results
+    for r in results[1:]:
+        assert r == results[0]
     return results[0]
 
 
@@ -149,6 +150,29 @@ def test_two_process_uneven_files(tmp_path):
     # non-file-sharding providers (MemTable) must not duplicate rows
     assert got["mem_order"] == [1, 2, 3]
     assert got["mem_group"] == [{"k": k, "n": 1} for k in (1, 2, 3)]
+    assert got["group_by"] == [
+        {"description": f"group{i}", "n": 36} for i in range(5)]
+    ids = sorted(f"f{f}r{i}" for f in range(9) for i in range(0, 20, 5))
+    assert got["topk"] == [
+        {"id": i, "description": "group0"} for i in ids[:4]]
+
+
+def test_three_process_parity(tmp_path):
+    """3 jax.distributed processes x 4 devices (12-device mesh): the
+    lockstep/shard machinery must generalize past the 2-process case."""
+    data_dir = str(tmp_path / "fasta9b")
+    os.makedirs(data_dir, exist_ok=True)
+    for f in range(9):
+        lines = []
+        for i in range(20):
+            desc = f"group{i % 5}"
+            seq = ("ACGT" if i % 3 else "TTGA") * 4
+            lines.append(f">f{f}r{i} {desc}\n{seq}\n")
+        with open(os.path.join(data_dir, f"part{f}.fasta"), "w") as fh:
+            fh.write("".join(lines))
+
+    got = _run_workers(tmp_path, data_dir, mode="uneven", n_procs=3)
+    assert got["count_star"] == [{"n": 180}]
     assert got["group_by"] == [
         {"description": f"group{i}", "n": 36} for i in range(5)]
     ids = sorted(f"f{f}r{i}" for f in range(9) for i in range(0, 20, 5))
