@@ -1077,6 +1077,8 @@ class DeltaTable(TableProvider):
                     adds.pop(action["remove"]["path"], None)
         return store, root, list(adds.values())
 
+    shards_files = True  # scan streams add-files through iter_scan_files
+
     def _read_all(self):
         import io
         import urllib.parse
@@ -1100,17 +1102,27 @@ class DeltaTable(TableProvider):
         return schema_from_arrow(self._read_all().schema)
 
     def scan(self, projection=None, filters=(), limit=None) -> PhysicalPlan:
+        import io as _io
+        import urllib.parse
+
+        import pyarrow.parquet as pq
+
         from .batch import Batch as _Batch
 
-        tbl = self._read_all()
         schema = self.schema()
         proj = list(projection) if projection is not None else schema.names
         out_schema = schema.project(proj)
-        sel = tbl.select(proj)
+        store, root, adds = self._snapshot()
+        rels = [urllib.parse.unquote(a["path"]) for a in adds]
 
         def source() -> Iterator[Batch]:
-            for rb in sel.to_batches(max_chunksize=8192):
-                yield _Batch.from_arrow(rb, out_schema)
+            # per add-file streaming through the process file shard, so
+            # multi-host runs decode disjoint data-file subsets
+            for rel in iter_scan_files(rels):
+                tbl = pq.read_table(_io.BytesIO(
+                    store.get(f"{root}/{rel}"))).select(proj)
+                for rb in tbl.to_batches(max_chunksize=8192):
+                    yield _Batch.from_arrow(rb, out_schema)
 
         return ScanExec(out_schema, source, to_device=True)
 
