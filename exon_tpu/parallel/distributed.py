@@ -332,7 +332,9 @@ def _sync_template(tpl):
     per-process batch counts (3 files over 2 processes, or a process with
     zero files) from crashing the lockstep wave loop."""
     objs = allgather_pickled(tpl)
-    for o in ([tpl] if tpl is not None else []) + objs:
+    if tpl is not None:
+        return tpl
+    for o in objs:
         if o is not None:
             return o
     raise ExecutionError(
@@ -362,6 +364,14 @@ def put_sharded_rows(arrs, mesh: Mesh):
             sharding, np.ascontiguousarray(np.asarray(x)[rows])), arrs)
 
 
+def _multihost_shardable(node) -> bool:
+    """Multi-host distributed execution requires the scan's provider to
+    shard its file list per process (iter_scan_files); a non-sharding
+    provider would contribute its FULL rows from every process."""
+    return jax.process_count() <= 1 or \
+        getattr(node.provider, "shards_files", False)
+
+
 def _scan_chain(node) -> bool:
     """True if the logical subtree is row-wise ops over one FILE-SHARDED
     Scan — the shape whose multi-host execution shards ingest cleanly
@@ -374,7 +384,7 @@ def _scan_chain(node) -> bool:
     while isinstance(node, (L.Filter, L.Project)):
         node = node.input
     return isinstance(node, L.Scan) and \
-        getattr(node.provider, "shards_files", False)
+        getattr(node.provider, "shards_files", False)  # see _multihost_shardable
 
 
 def lockstep_wave_iter(source: Callable[[], Iterator[Batch]], mesh: Mesh):
@@ -784,9 +794,6 @@ class DistributedAggregateExec(PhysicalPlan):
             return self._finalize_grouped(state)
         return self._finalize_ungrouped(state)
 
-    def _pad_wave(self, wave: list[Batch], n_slots: int):
-        return pad_wave(wave, n_slots)
-
     def _flush(self, state, wave: list[Batch], global_rank: int, grouped):
         """Fold one wave. Returns (state, rank, overflowed): overflowed
         means the grouped fold was REFUSED (state returned intact, rank
@@ -796,7 +803,7 @@ class DistributedAggregateExec(PhysicalPlan):
         from .mesh import local_shard_count
 
         n_slots = local_shard_count(self.mesh) if multi else n_dev
-        wave, cap, vcaps = self._pad_wave(wave, n_slots)
+        wave, cap, vcaps = pad_wave(wave, n_slots)
         wave = [pad_host_batch(b, cap, vcaps) for b in wave]
         stacked = stack_wave(wave, self.mesh)
         if grouped:
@@ -868,7 +875,7 @@ class DistributedAggregateExec(PhysicalPlan):
             if w >= cur_w:
                 w = None
         if pre < state.keys.shape[1] or w is not None:
-            state = _precut_step(self.mesh, pre, w)(state)
+            state = _slice_state_step(self.mesh, pre, w)(state)
         bucket = int(bucket_capacity(max(64, 2 * pre // max(n_dev, 1)), 64))
         while True:
             fin = _final_exchange(self.mesh, tuple(self.agg_calls),
@@ -889,7 +896,7 @@ class DistributedAggregateExec(PhysicalPlan):
         maxc = bucket_capacity(max(int(np.max(cnts, initial=0)), 1), 128)
         if maxc < merged.keys.shape[1]:
             host = jax.device_get(
-                _cut_step(self.mesh, maxc)(merged))
+                _slice_state_step(self.mesh, maxc, replicate=True)(merged))
         else:
             host = gather_full(merged, self.mesh)
         return host
@@ -1077,12 +1084,14 @@ class DistributedAggregateExec(PhysicalPlan):
 
 
 @functools.cache
-def _precut_step(mesh: Mesh, maxc: int, rep_w: Optional[int] = None):
-    """Jit: slice the per-device running state to its live-group bucket
-    (slot axis) and optionally its representative prefixes to rep_w bytes
-    BEFORE the final exchange, keeping the shard sharding — all_to_all
-    volume then scales with distinct groups and actual key lengths."""
-    spec = NamedSharding(mesh, P("shard"))
+def _slice_state_step(mesh: Mesh, maxc: int, rep_w: Optional[int] = None,
+                      replicate: bool = False):
+    """Jit: slice a [n_dev, S, ...] state to its live-group bucket (slot
+    axis) and optionally its representative prefixes to rep_w bytes.
+    replicate=False keeps the shard sharding (pre-exchange compaction —
+    all_to_all volume scales with distinct groups and key widths);
+    replicate=True all-gathers the sliced result (compact host fetch)."""
+    spec = NamedSharding(mesh, P() if replicate else P("shard"))
 
     def cut(x):
         nd = getattr(x, "ndim", 0)
@@ -1111,18 +1120,6 @@ def _rep_len_step(mesh: Mesh):
         return m
 
     return jax.jit(f, out_shardings=rep)
-
-
-@functools.cache
-def _cut_step(mesh: Mesh, maxc: int):
-    """Jit: slice a merged [n_dev, S, ...] state to its live-group bucket
-    and replicate — one compact transfer instead of a padded-capacity
-    gather."""
-    rep = NamedSharding(mesh, P())
-    return jax.jit(
-        lambda s: jax.tree.map(
-            lambda x: x[:, :maxc] if getattr(x, "ndim", 0) >= 2 else x, s),
-        out_shardings=rep)
 
 
 # ---------------------------------------------------------------------------
@@ -1374,9 +1371,8 @@ def plan_distributed_join(join_plan, config) -> Optional[PhysicalPlan]:
         node = node.input
     if not isinstance(node, L.Scan):
         return None
-    if jax.process_count() > 1 and not getattr(
-            node.provider, "shards_files", False):
-        return None  # non-file-sharding provider would duplicate rows
+    if not _multihost_shardable(node):
+        return None
     exprs = [x for pair in join_plan.on for x in pair]
     if join_plan.filter is not None:
         exprs.append(join_plan.filter)
@@ -1426,9 +1422,8 @@ def plan_distributed_aggregate(agg_plan, config) -> Optional[PhysicalPlan]:
         node = node.input
     if not isinstance(node, L.Scan):
         return None
-    if jax.process_count() > 1 and not getattr(
-            node.provider, "shards_files", False):
-        return None  # non-file-sharding provider would duplicate rows
+    if not _multihost_shardable(node):
+        return None
     for e in list(agg_plan.group_exprs) + list(agg_plan.agg_exprs):
         if contains_host_fn(e):
             return None
@@ -1669,9 +1664,8 @@ def plan_distributed_topk(sort_plan, fetch: int, config
         node = node.input
     if not isinstance(node, L.Scan):
         return None
-    if jax.process_count() > 1 and not getattr(
-            node.provider, "shards_files", False):
-        return None  # non-file-sharding provider would duplicate rows
+    if not _multihost_shardable(node):
+        return None
     if any(contains_host_fn(e) for e, _ in sort_plan.keys):
         return None
     scan_exec = _host_scan_exec(node)

@@ -19,7 +19,6 @@ Health check at GET /health (exon-py health proto analog).
 
 from __future__ import annotations
 
-import io
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer

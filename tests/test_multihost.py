@@ -84,6 +84,18 @@ def _run_workers(tmp_path, data_dir, mode=None, n_procs=2):
     return results[0]
 
 
+def _make_nine_files(data_dir: str) -> None:
+    os.makedirs(data_dir, exist_ok=True)
+    for f in range(9):
+        lines = []
+        for i in range(20):
+            desc = f"group{i % 5}"
+            seq = ("ACGT" if i % 3 else "TTGA") * 4
+            lines.append(f">f{f}r{i} {desc}\n{seq}\n")
+        with open(os.path.join(data_dir, f"part{f}.fasta"), "w") as fh:
+            fh.write("".join(lines))
+
+
 def test_two_process_parity(tmp_path):
     data_dir = str(tmp_path / "fasta")
     _make_fasta_files(data_dir)
@@ -135,15 +147,7 @@ def test_two_process_uneven_files(tmp_path):
     """9 files over 2 processes (5/4 split): the straggler process feeds an
     empty second wave, exercising lockstep template padding."""
     data_dir = str(tmp_path / "fasta9")
-    os.makedirs(data_dir, exist_ok=True)
-    for f in range(9):
-        lines = []
-        for i in range(20):
-            desc = f"group{i % 5}"
-            seq = ("ACGT" if i % 3 else "TTGA") * 4
-            lines.append(f">f{f}r{i} {desc}\n{seq}\n")
-        with open(os.path.join(data_dir, f"part{f}.fasta"), "w") as fh:
-            fh.write("".join(lines))
+    _make_nine_files(data_dir)
 
     got = _run_workers(tmp_path, data_dir, mode="uneven")
     assert got["count_star"] == [{"n": 180}]
@@ -161,15 +165,7 @@ def test_three_process_parity(tmp_path):
     """3 jax.distributed processes x 4 devices (12-device mesh): the
     lockstep/shard machinery must generalize past the 2-process case."""
     data_dir = str(tmp_path / "fasta9b")
-    os.makedirs(data_dir, exist_ok=True)
-    for f in range(9):
-        lines = []
-        for i in range(20):
-            desc = f"group{i % 5}"
-            seq = ("ACGT" if i % 3 else "TTGA") * 4
-            lines.append(f">f{f}r{i} {desc}\n{seq}\n")
-        with open(os.path.join(data_dir, f"part{f}.fasta"), "w") as fh:
-            fh.write("".join(lines))
+    _make_nine_files(data_dir)
 
     got = _run_workers(tmp_path, data_dir, mode="uneven", n_procs=3)
     assert got["count_star"] == [{"n": 180}]
