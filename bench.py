@@ -367,6 +367,37 @@ def run_sdf(ctx, results: dict) -> None:
              "mb_per_s": round(tsize / 1e6 / bt, 1)})
 
 
+def run_reverse_complement(ctx, results: dict) -> None:
+    """Mirror of the reference's criterion micro-bench
+    (exon-core/benches/reverse_complement.rs): 500 random DNA sequences of
+    50-1000 bp through the reverse_complement UDF. The reference repo
+    ships the bench but not its criterion output, so no vs_baseline."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    seqs = ["".join(rng.choice(list("ATCG"),
+                               size=int(rng.integers(50, 1001))))
+            for _ in range(500)]
+    total_bases = sum(len(s) for s in seqs)
+    vals = ", ".join(f"('{s}')" for s in seqs)
+    ctx.sql(f"CREATE TABLE rc_bench AS VALUES {vals}")
+
+    def q():
+        return ctx.sql("SELECT SUM(LENGTH(reverse_complement(column1))) "
+                       "FROM rc_bench").to_pandas().iloc[0, 0]
+
+    n, best = _time_best(q)
+    results["reverse-complement"] = _emit(
+        "reverse-complement_s", round(best, 5), "s", None,
+        {"wall_s": round(best, 5), "sequences": 500,
+         "bases": int(total_bases),
+         "bases_per_s": round(total_bases / best, 1),
+         "note": "reference ships this criterion bench without recorded "
+                 "output; no comparable number exists. At criterion scale "
+                 "(500 seqs, ~270 KB) the wall is tunnel-RTT-dominated "
+                 "(~27 ms/round-trip), not compute"})
+
+
 def main() -> None:
     only = set(a for a in sys.argv[1:] if not a.startswith("-"))
     from exon_tpu import ExonSession
@@ -381,6 +412,7 @@ def main() -> None:
         ("bam-s3", run_bam_s3),
         ("sdf", run_sdf),
         ("mzml", run_mzml),
+        ("reverse-complement", run_reverse_complement),
     ]
     for name, fn in steps:
         if only and not any(name.startswith(o) or o.startswith(name)
