@@ -39,7 +39,23 @@ _AGGS = [("COUNT(*)", "size"), ("SUM(x)", ("x", "sum")),
 
 
 def _rand_pred(rng):
-    """(sql, pandas_mask_fn) simple comparison predicate."""
+    """(sql, pandas_mask_fn) comparison / string predicate."""
+    kind = rng.random()
+    if kind < 0.25:
+        # string predicate over the nullable key column (SQL: NULL rows
+        # never match; pandas: fillna to a non-matching sentinel)
+        v = int(rng.integers(0, 25))
+        if rng.random() < 0.5:
+            sql = f"g = 'g{v}'"
+
+            def mask(df, v=v):
+                return df["g"].fillna("\x00") == f"g{v}"
+        else:
+            sql = f"g LIKE 'g1%'"
+
+            def mask(df):
+                return df["g"].fillna("\x00").str.startswith("g1")
+        return sql, mask
     c = _NUM[rng.integers(0, 2)]
     k = int(rng.integers(-30, 30))
     op = ["<", "<=", ">", ">=", "="][rng.integers(0, 5)]
