@@ -102,7 +102,7 @@ def _execute_stmt(session, stmt):
             from ..plan.planner import create_physical_plan, optimize
 
             pplan = instrument(create_physical_plan(
-                optimize(inner.logical_plan())))
+                optimize(inner.logical_plan()), session.config))
             for _ in pplan.batches():
                 pass
             text = "\n".join(render_metrics(pplan))
