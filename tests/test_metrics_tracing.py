@@ -33,3 +33,17 @@ def test_tracing_spans_log_at_debug(session, ref_data, caplog):
     with caplog.at_level(logging.DEBUG, logger="exon_tpu"):
         session.read_fasta(path).count()
     assert any("scan open" in r.message for r in caplog.records)
+
+
+def test_explain_analyze_instruments_distributed_plan():
+    """EXPLAIN ANALYZE must instrument the SESSION-configured plan: a
+    distributed session shows the distributed operators, not a rebuilt
+    single-device plan."""
+    from exon_tpu import ExonSession
+    from exon_tpu.config import new_exon_config
+
+    gff = "/root/reference/exon/exon-core/test-data/datasources/gff/test.gff"
+    ctx = ExonSession.with_config_exon(new_exon_config(distributed=True))
+    r = ctx.sql(f"EXPLAIN ANALYZE SELECT seqname, COUNT(*) FROM "
+                f"gff_scan('{gff}') GROUP BY seqname").to_pandas()
+    assert "DistributedAggregateExec" in r.iloc[0, 1]

@@ -1,4 +1,4 @@
-"""Multi-host distributed execution: 2 simulated processes x 4 CPU devices.
+"""Multi-host distributed execution: 2-3 simulated processes x 4 CPU devices.
 
 Spawns two jax.distributed processes (multihost_worker.py) over localhost,
 each owning 4 virtual CPU devices, and checks that distributed aggregates
